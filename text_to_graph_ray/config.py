@@ -1,0 +1,51 @@
+"""Pipeline configuration — the cache/checkpoint identity.
+
+Mirrors the reference's ``Configurations`` table semantics
+(/root/reference/graph_extractor/src/sqlite_support.py:50-60, config.py:191-229):
+the tuple of extraction-relevant knobs is hashed into ``config_hash`` and that
+hash keys every checkpoint partition, so a changed config never reuses stale
+cached stage output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # chunking (reference: config.py:191-208 — 1000 "normal" / 300 "high")
+    chunk_size: int = 1000          # target tokens per chunk
+    max_factor: float = 1.1         # hard cap = chunk_size * max_factor
+    min_factor: float = 0.5         # chunks below chunk_size * min_factor merge
+    # context padding (reference: graph_generator.py:194-199, 247-288)
+    padding_mode: str = "chars"     # "chars" (L0-style overlap) | "chunks" (L2-style ±1 chunk) | "none"
+    overlap_chars: int = 100        # L0 overlap coefficient (reference config.py:204)
+    # extraction
+    two_pass: bool = False          # L1 mentions then L2 triples vs single-pass L0
+    # entity linking
+    link_aliases: bool = True       # union-find alias merge of dotted/bare names
+    linker_batch_size: int = 4096
+    linker_concurrency: int = 4
+    # physical
+    num_partitions: int = 64        # checkpoint/shuffle partition count
+    batch_size: int = 1024          # rows per map_batches call on file-level stages
+    salt_buckets: int = 8           # salt for hot entity keys in two-phase aggregation
+    stop_entities: tuple = field(default_factory=tuple)  # entity keys dropped pre-shuffle
+
+    @property
+    def max_tokens(self) -> int:
+        return int(self.chunk_size * self.max_factor)
+
+    @property
+    def min_tokens(self) -> int:
+        return int(self.chunk_size * self.min_factor)
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=list)
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,228 @@
+"""Deterministic per-language triple extraction (the reference's LLM stage,
+made testable).
+
+The reference sends each chunk to an LLM with prompt templates
+(/root/reference/graph_extractor/src/prompts.py:3-83) and parses the CSV reply
+(response_parser.py:10-144). Here the "prompt" is a fixed per-language rule set
+(BASELINE.json north rule): imports, call edges, class/function definitions and
+repo-path containment, emitted directly as Arrow rows — no text round-trip, no
+parser. The reference parser's *semantics* (chunk-local edge dedup
+response_parser.py:102, orphan-free output response_parser.py:178-207) hold by
+construction and are asserted in tests.
+
+Output is a single flat "records" table: one row per node mention
+(kind="node": a=label, b=type) and per edge (kind="edge": a=src_label, b=pred,
+c=dst_label), keyed by (repo, path, content_sha256, chunk_index, ord). One pass
+over the chunk stream feeds both canonicalization (node records) and triple
+assembly (edge records).
+
+Stateless: regexes are compiled at module import, once per worker process
+(reference re-resolved its tokenizer per call — gpt.py:27-34; we don't).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from text_to_graph_ray.keys import (
+    T_CLS,
+    T_CONCEPT,
+    T_FILE,
+    T_FN,
+    T_MOD,
+    containment_triples,
+)
+
+_PY_IMPORT = re.compile(r"^import ([\w.]+)\s*$", re.UNICODE)
+_PY_FROM = re.compile(r"^from ([\w.]+) import (.+)$", re.UNICODE)
+_PY_DEF = re.compile(r"^def (\w+)\s*\(", re.UNICODE)
+_PY_CLASS = re.compile(r"^class (\w+)", re.UNICODE)
+_PY_METHOD = re.compile(r"^\s+def (\w+)\s*\(", re.UNICODE)
+_CALL = re.compile(r"(?<![\w.])([^\W\d][\w.]*)\s*\(", re.UNICODE)
+_PY_KEYWORDS = {"if", "elif", "while", "for", "return", "print", "super", "isinstance", "len", "range", "str", "int", "float", "list", "dict", "set", "tuple", "type"}
+
+_JS_REQUIRE = re.compile(r"require\('([\w./@-]+)'\)")
+_JS_IMPORT = re.compile(r"^import .* from '([\w./@-]+)';?$")
+_JS_FUNC = re.compile(r"^function (\w+)\s*\(")
+_JS_CLASS = re.compile(r"^class (\w+)")
+_JS_METHOD = re.compile(r"^  (\w+)\s*\([^)]*\)\s*\{$")
+_JS_KEYWORDS = {"require", "if", "for", "while", "return", "function", "switch", "catch", "console.log"}
+
+_JAVA_IMPORT = re.compile(r"^import ([\w.]+);")
+_JAVA_CLASS = re.compile(r"^(?:public |final |abstract )*class (\w+)")
+_JAVA_METHOD = re.compile(r"^\s{4}[\w<>\[\]]+ (\w+)\s*\([^)]*\)\s*\{$")
+_JAVA_KEYWORDS = {"if", "for", "while", "return", "new", "switch", "catch"}
+
+_TEXT_REL = re.compile(r"^([A-Z]\w*) (uses|contains|relates to) ([A-Z]\w*)\.$", re.UNICODE)
+
+
+def _extract_python(file_ent, lines, node, edge):
+    scope = None        # enclosing def/method name for call attribution
+    class_ctx = None
+    for line in lines:
+        if m := _PY_IMPORT.match(line):
+            edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
+        elif m := _PY_FROM.match(line):
+            mod = m.group(1)
+            edge(file_ent, T_FILE, "imports", mod, T_MOD)
+            for name in m.group(2).split(","):
+                name = name.strip().split(" as ")[0]
+                if name:
+                    edge(file_ent, T_FILE, "imports", f"{mod}.{name}", T_MOD)
+        elif m := _PY_DEF.match(line):
+            fn = m.group(1)
+            edge(file_ent, T_FILE, "defines", fn, T_FN)
+            scope, class_ctx = fn, None
+        elif m := _PY_CLASS.match(line):
+            cls = m.group(1)
+            edge(file_ent, T_FILE, "defines", cls, T_CLS)
+            class_ctx, scope = cls, None
+        elif class_ctx and (m := _PY_METHOD.match(line)):
+            meth = m.group(1)
+            edge(class_ctx, T_CLS, "defines", meth, T_FN)
+            scope = meth
+        elif line[:1].isspace():
+            if scope:
+                for m in _CALL.finditer(line):
+                    tgt = m.group(1)
+                    if tgt not in _PY_KEYWORDS and not tgt.startswith("self."):
+                        edge(scope, T_FN, "calls", tgt, T_FN)
+        elif line.strip():
+            scope, class_ctx = None, None  # other top-level statement
+
+
+def _extract_js(file_ent, lines, node, edge):
+    scope = None
+    class_ctx = None
+    for line in lines:
+        if m := _JS_REQUIRE.search(line):
+            edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
+        elif m := _JS_IMPORT.match(line):
+            edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
+        elif m := _JS_FUNC.match(line):
+            fn = m.group(1)
+            edge(file_ent, T_FILE, "defines", fn, T_FN)
+            scope, class_ctx = fn, None
+        elif m := _JS_CLASS.match(line):
+            cls = m.group(1)
+            edge(file_ent, T_FILE, "defines", cls, T_CLS)
+            class_ctx, scope = cls, None
+        elif class_ctx and (m := _JS_METHOD.match(line)):
+            meth = m.group(1)
+            edge(class_ctx, T_CLS, "defines", meth, T_FN)
+            scope = meth
+        elif line.startswith("}"):
+            scope, class_ctx = None, None
+        elif class_ctx and line.strip() == "}":
+            scope = None  # method body closed
+        elif line[:1].isspace() and scope:
+            for m in _CALL.finditer(line):
+                tgt = m.group(1)
+                if tgt not in _JS_KEYWORDS:
+                    edge(scope, T_FN, "calls", tgt, T_FN)
+
+
+def _extract_java(file_ent, lines, node, edge):
+    scope = None
+    class_ctx = None
+    for line in lines:
+        if m := _JAVA_IMPORT.match(line):
+            edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
+        elif m := _JAVA_CLASS.match(line):
+            cls = m.group(1)
+            edge(file_ent, T_FILE, "defines", cls, T_CLS)
+            class_ctx, scope = cls, None
+        elif class_ctx and (m := _JAVA_METHOD.match(line)):
+            meth = m.group(1)
+            edge(class_ctx, T_CLS, "defines", meth, T_FN)
+            scope = meth
+        elif scope and line.startswith(" " * 8):
+            for m in _CALL.finditer(line):
+                tgt = m.group(1)
+                if tgt not in _JAVA_KEYWORDS:
+                    edge(scope, T_FN, "calls", tgt, T_FN)
+
+
+def _extract_text(file_ent, lines, node, edge):
+    for line in lines:
+        if m := _TEXT_REL.match(line.strip()):
+            edge(m.group(1), T_CONCEPT, m.group(2), m.group(3), T_CONCEPT)
+
+
+_EXTRACTORS = {
+    "python": _extract_python,
+    "javascript": _extract_js,
+    "java": _extract_java,
+    "text": _extract_text,
+}
+
+RECORD_FIELDS = [
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("content_sha256", pa.string()),
+    ("chunk_index", pa.int64()),
+    ("ord", pa.int64()),
+    ("kind", pa.string()),   # "node" | "edge"
+    ("a", pa.string()),      # node: label | edge: src_label
+    ("b", pa.string()),      # node: type  | edge: pred
+    ("c", pa.string()),      # node: ""    | edge: dst_label
+]
+RECORDS_SCHEMA = pa.schema(RECORD_FIELDS)
+
+
+def extract_records(batch: pa.Table) -> pa.Table:
+    """chunk rows -> flat node/edge records; chunk-local edge dedup keep-first
+    (response_parser.py:102 semantics); nodes emitted only as edge endpoints so
+    the output is orphan-free by construction (response_parser.py:178-207)."""
+    out: dict[str, list] = {name: [] for name, _ in RECORD_FIELDS}
+
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    shas = batch.column("content_sha256").to_pylist()
+    idxs = batch.column("chunk_index").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    texts = batch.column("text").to_pylist()
+
+    for repo, path, sha, cidx, lang, text in zip(repos, paths, shas, idxs, langs, texts):
+        ordc = 0
+        seen_edges: set = set()
+        seen_nodes: set = set()
+
+        def emit(kind, a, b, c):
+            nonlocal ordc
+            out["repo"].append(repo)
+            out["path"].append(path)
+            out["content_sha256"].append(sha)
+            out["chunk_index"].append(cidx)
+            out["ord"].append(ordc)
+            out["kind"].append(kind)
+            out["a"].append(a)
+            out["b"].append(b)
+            out["c"].append(c)
+            ordc += 1
+
+        def node(label, typ):
+            key = (label, typ)
+            if key not in seen_nodes:
+                seen_nodes.add(key)
+                emit("node", label, typ, "")
+
+        def edge(src, src_t, pred, dst, dst_t):
+            node(src, src_t)
+            node(dst, dst_t)
+            key = (src, pred.lower(), dst)
+            if key not in seen_edges:  # chunk-local keep-first dedup
+                seen_edges.add(key)
+                emit("edge", src, pred, dst)
+
+        if cidx == 0:  # repo-path containment emitted once per file
+            for (s, st, p, d, dt) in containment_triples(repo, path):
+                edge(s, st, p, d, dt)
+
+        extractor = _EXTRACTORS.get(lang, _extract_text)
+        file_ent = f"{repo}/{path}"
+        extractor(file_ent, (text or "").split("\n"), node, edge)
+
+    return pa.table({name: pa.array(out[name], type=typ) for name, typ in RECORD_FIELDS})

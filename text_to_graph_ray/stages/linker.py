@@ -1,0 +1,109 @@
+"""Entity linking — the pipeline's stateful actor-pool stage.
+
+Replaces the reference's one genuinely stateful/expensive stage (the remote LLM
+client, /root/reference/graph_extractor/src/gpt.py:37-70, rebuilt per call
+there) with a deterministic alias resolver + similarity scorer whose state is
+built ONCE per actor in ``__init__``:
+
+* the **definitions index** (defined-name key -> set of defining module paths)
+  is broadcast with ``ray.put`` on the driver and fetched once per actor —
+  never re-shipped per batch;
+* a **memo cache** of resolved keys accumulates across batches (the reference's
+  response cache analogue, sqlite_support.py:275-423);
+* an optional **char-trigram scorer** ranks near-miss mentions against the
+  canonical vocabulary (the "embedding cache + scorer" of the north star).
+
+Scale note: the defs index is the *small side* of a would-be join (one entry
+per defined function/class — orders of magnitude smaller than the mention
+stream), so broadcast is the right shape at 10^12 files as long as the
+definition vocabulary fits worker memory; beyond that, swap this stage for a
+shuffle join on ``name_key`` (same key space, documented fallback).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from text_to_graph_ray.keys import entity_key, resolve_alias
+
+
+def build_defs_index(defines_rows) -> dict:
+    """(name_key, module_path) pairs -> {name_key: set(module_paths)}."""
+    idx: dict[str, set] = {}
+    for name_key, mod in defines_rows:
+        idx.setdefault(name_key, set()).add(mod)
+    return idx
+
+
+class AliasResolver:
+    """Callable for ``map_batches(AliasResolver, concurrency=N,
+    fn_constructor_kwargs={'defs_ref': ref})`` over record batches: rewrites
+    dotted entity labels onto their unique definition key (keys.resolve_alias
+    rule) and appends resolved-key columns."""
+
+    def __init__(self, defs_ref=None, defs_idx: dict | None = None):
+        if defs_idx is None:
+            import ray
+
+            defs_idx = ray.get(defs_ref) if defs_ref is not None else {}
+        self.defs_idx = defs_idx
+        self.memo: dict[str, str] = {}
+
+    def resolve(self, key: str) -> str:
+        hit = self.memo.get(key)
+        if hit is not None:
+            return hit
+        tgt = resolve_alias(key, self.defs_idx) if "." in key else None
+        out = tgt if tgt is not None else key
+        self.memo[key] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        a = batch.column("a").to_pylist()
+        c = batch.column("c").to_pylist()
+        a_key = [self.resolve(entity_key(x)) for x in a]
+        c_key = [self.resolve(entity_key(x)) if k == "edge" else "" for x, k in zip(c, kinds)]
+        return batch.append_column("a_key", pa.array(a_key, type=pa.string())).append_column(
+            "c_key", pa.array(c_key, type=pa.string())
+        )
+
+
+class NgramScorer:
+    """Deterministic char-trigram cosine scorer over a canonical vocabulary —
+    the similarity fallback for mentions that resolve to nothing. Vocabulary
+    vectors are built once per actor; per-batch scoring is a single sparse
+    matmul (numpy)."""
+
+    def __init__(self, vocab: list[str], dim: int = 4096):
+        self.dim = dim
+        self.vocab = list(vocab)
+        self.mat = np.zeros((len(vocab), dim), dtype=np.float32)
+        for i, w in enumerate(vocab):
+            self.mat[i] = self._vec(w)
+
+    def _vec(self, text: str) -> np.ndarray:
+        import zlib
+
+        v = np.zeros(self.dim, dtype=np.float32)
+        t = f"^{text}$"
+        for j in range(len(t) - 2):
+            # crc32, not hash(): python str hashing is salted per process and
+            # would make actor outputs disagree across the pool
+            v[zlib.crc32(t[j : j + 3].encode("utf-8")) % self.dim] += 1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def best(self, mentions: list[str], threshold: float = 0.7):
+        """-> list of (best_vocab_entry | None, score)."""
+        if not len(self.vocab):
+            return [(None, 0.0)] * len(mentions)
+        q = np.stack([self._vec(m) for m in mentions])
+        sims = q @ self.mat.T
+        idx = sims.argmax(axis=1)
+        out = []
+        for r, i in enumerate(idx):
+            s = float(sims[r, i])
+            out.append((self.vocab[i], s) if s >= threshold else (None, s))
+        return out

@@ -1,0 +1,403 @@
+"""Deterministic synthetic source-code repo table + ground-truth triples.
+
+The pipeline's external input is a Parquet table ``(repo, path, commit, lang,
+content)`` (BASELINE.json input_hint). No such table ships with the sandbox, so
+this module synthesises one deterministically (seeded, order-independent) at a
+scale chosen per sf, together with the exact triple/node sets a correct
+extraction + canonicalization + alias-linking run must produce. The expected
+tables are the conformance oracle: DuckDB reads them in ``oracle_sql()`` while
+Ray runs the real pipeline, and the driver hash-compares the two.
+
+Generated constructs are deliberately restricted to shapes the deterministic
+extractors (stages/extract.py) parse exactly; adversarial/malformed inputs are
+exercised separately in tests (tests/test_conformance.py) where only behavioral
+properties — not equality with a generator — are asserted.
+
+Fixture edge cases (FIXTURES.md F1): an empty file, a duplicate-content pair
+(same sha256, different paths), an oversized multi-chunk file, unicode
+identifiers, a 10x "giant repo" (skew), prose ``lang="text"`` files, plus a
+hot entity key (``log``) called from every python file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from text_to_graph_ray.keys import (
+    T_CLS,
+    T_CONCEPT,
+    T_DIR,
+    T_FILE,
+    T_FN,
+    T_MOD,
+    T_REPO,
+    containment_triples,
+    entity_key,
+    module_path,
+    resolve_alias,
+    sanitize,
+)
+
+
+# ---------------------------------------------------------------------------
+# per-file spec → (content, triples)
+# triples are 5-tuples (src_label, src_type, pred, dst_label, dst_type)
+# ---------------------------------------------------------------------------
+
+
+def _python_file(repo, path, gid, rng, n_funcs=4, giant=False):
+    file_ent = f"{repo}/{path}"
+    lines = ['"""synthetic module."""', "import os"]
+    triples = containment_triples(repo, path)
+    triples.append((file_ent, T_FILE, "imports", "os", T_MOD))
+    nf = n_funcs if not giant else 400  # oversized file: forces multi-chunk at the 1000-token default
+
+    body = []
+    for k in range(nf):
+        fn = f"fn_{gid}_{k}"
+        tgt = f"log" if k == 0 else f"fn_{gid}_{k - 1}"
+        body.append("")
+        body.append(f"def {fn}(x):")
+        body.append(f"    y = {tgt}(x)")
+        body.append("    return y")
+        triples.append((file_ent, T_FILE, "defines", fn, T_FN))
+        triples.append((fn, T_FN, "calls", tgt, T_FN))
+
+    cls = f"Cls_{gid}"
+    meth = f"meth_{gid}"
+    body += ["", f"class {cls}:", f"    def {meth}(self):", f"        fn_{gid}_0(self)", "        return self"]
+    triples.append((file_ent, T_FILE, "defines", cls, T_CLS))
+    triples.append((cls, T_CLS, "defines", meth, T_FN))
+    triples.append((meth, T_FN, "calls", f"fn_{gid}_0", T_FN))
+
+    body += ["", "def main_entry(argv):", f"    fn_{gid}_0(argv)", "    return 0"]
+    triples.append((file_ent, T_FILE, "defines", "main_entry", T_FN))
+    triples.append(("main_entry", T_FN, "calls", f"fn_{gid}_0", T_FN))
+
+    return "\n".join(lines + body) + "\n", triples
+
+
+def _python_importer(repo, path, gid, target_mod_suffix, target_fns):
+    """A file that from-imports + dotted-calls another module — alias-link fixture."""
+    file_ent = f"{repo}/{path}"
+    names = ", ".join(target_fns)
+    lines = [
+        '"""synthetic module."""',
+        f"from {target_mod_suffix} import {names}",
+    ]
+    triples = containment_triples(repo, path)
+    triples.append((file_ent, T_FILE, "imports", target_mod_suffix, T_MOD))
+    for n in target_fns:
+        triples.append((file_ent, T_FILE, "imports", f"{target_mod_suffix}.{n}", T_MOD))
+    fn = f"fn_{gid}_0"
+    lines += [
+        "",
+        f"def {fn}(x):",
+        f"    y = {target_fns[0]}(x)",
+        f"    z = {target_mod_suffix}.{target_fns[-1]}(y)",
+        "    return z",
+    ]
+    triples.append((file_ent, T_FILE, "defines", fn, T_FN))
+    triples.append((fn, T_FN, "calls", target_fns[0], T_FN))
+    triples.append((fn, T_FN, "calls", f"{target_mod_suffix}.{target_fns[-1]}", T_FN))
+    return "\n".join(lines) + "\n", triples
+
+
+def _js_file(repo, path, gid, rng):
+    file_ent = f"{repo}/{path}"
+    mod = f"libmod_{gid}"
+    fn, cls, meth = f"jsfn_{gid}", f"JsCls_{gid}", f"render_{gid}"
+    lines = [
+        "// synthetic",
+        f"const helper = require('{mod}');",
+        "",
+        f"function {fn}(x) {{",
+        "  const y = helper(x);",
+        "  return y;",
+        "}",
+        "",
+        f"class {cls} {{",
+        f"  {meth}(x) {{",
+        f"    return {fn}(x);",
+        "  }",
+        "}",
+    ]
+    triples = containment_triples(repo, path)
+    triples += [
+        (file_ent, T_FILE, "imports", mod, T_MOD),
+        (file_ent, T_FILE, "defines", fn, T_FN),
+        (fn, T_FN, "calls", "helper", T_FN),
+        (file_ent, T_FILE, "defines", cls, T_CLS),
+        (cls, T_CLS, "defines", meth, T_FN),
+        (meth, T_FN, "calls", fn, T_FN),
+    ]
+    return "\n".join(lines) + "\n", triples
+
+
+def _java_file(repo, path, gid, rng):
+    file_ent = f"{repo}/{path}"
+    imp = f"java.util.List"
+    cls, meth = f"Svc{gid}", f"run{gid}"
+    call = f"dispatch{gid}"
+    lines = [
+        "// synthetic",
+        f"import {imp};",
+        "",
+        f"public class {cls} {{",
+        f"    void {meth}() {{",
+        f"        {call}();",
+        "    }",
+        "}",
+    ]
+    triples = containment_triples(repo, path)
+    triples += [
+        (file_ent, T_FILE, "imports", imp, T_MOD),
+        (file_ent, T_FILE, "defines", cls, T_CLS),
+        (cls, T_CLS, "defines", meth, T_FN),
+        (meth, T_FN, "calls", call, T_FN),
+    ]
+    return "\n".join(lines) + "\n", triples
+
+
+_TEXT_VERBS = ["uses", "contains", "relates to"]
+
+
+def _text_file(repo, path, gid, rng):
+    file_ent = f"{repo}/{path}"
+    triples = containment_triples(repo, path)
+    lines = []
+    n = rng.randint(3, 6)
+    for k in range(n):
+        a = f"Concept{gid}x{k}"
+        b = f"Concept{gid}x{k + 1}"
+        verb = _TEXT_VERBS[rng.randint(0, 2)]
+        lines.append(f"{a} {verb} {b}.")
+        triples.append((a, T_CONCEPT, verb, b, T_CONCEPT))
+    return "\n".join(lines) + "\n", triples
+
+
+def _commit_for(repo: str) -> str:
+    return hashlib.sha256(repo.encode()).hexdigest()[:40]
+
+
+# ---------------------------------------------------------------------------
+# corpus assembly
+# ---------------------------------------------------------------------------
+
+
+def build_corpus(n_files: int, seed: int = 42):
+    """Returns (file_rows, raw_triples) where file_rows is a list of dicts and
+    raw_triples maps (repo, path) -> list of 5-tuples. Deterministic in (n_files, seed)."""
+    files = []
+    triples_by_file = {}
+    # repo layout: repo 0 is the giant (10x files); others ~16 files each
+    giant_files = max(10, n_files // 5)
+    rest = n_files - giant_files
+    n_small_repos = max(1, rest // 16)
+
+    plan = [("org0/giant", giant_files)]
+    base = rest // n_small_repos
+    extra = rest - base * n_small_repos
+    for r in range(n_small_repos):
+        plan.append((f"org{1 + r // 10}/repo{r}", base + (1 if r < extra else 0)))
+
+    gid = 0
+    for repo, nf in plan:
+        commit = _commit_for(repo)
+        giant = repo.endswith("giant")
+        py_paths = []  # (path, [fn names]) for alias-link targets
+        for fi in range(nf):
+            rng = random.Random(f"{seed}:{repo}:{fi}")
+            pkg = f"pkg{fi % 3}"
+            kind = fi % 7
+            if kind in (0, 1, 2, 3):
+                path = f"src/{pkg}/mod_{gid}.py"
+                big = giant and fi == 0
+                content, tr = _python_file(repo, path, gid, rng, n_funcs=rng.randint(3, 6), giant=big)
+                py_paths.append((path, [f"fn_{gid}_{k}" for k in range(2)]))
+            elif kind == 4 and py_paths:
+                path = f"src/{pkg}/use_{gid}.py"
+                tgt_path, tgt_fns = py_paths[rng.randint(0, len(py_paths) - 1)]
+                suffix = ".".join(module_path(tgt_path).split(".")[-2:])
+                content, tr = _python_importer(repo, path, gid, suffix, tgt_fns)
+            elif kind == 5:
+                path = f"lib/js/app_{gid}.js"
+                content, tr = _js_file(repo, path, gid, rng)
+            elif kind == 6 and fi % 14 == 6:
+                path = f"src/java/Svc{gid}.java"
+                content, tr = _java_file(repo, path, gid, rng)
+            else:
+                path = f"docs/notes_{gid}.md"
+                content, tr = _text_file(repo, path, gid, rng)
+            lang = {"py": "python", "js": "javascript", "java": "java", "md": "text"}[path.rsplit(".", 1)[1]]
+            files.append({"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content})
+            triples_by_file[(repo, path)] = tr
+            gid += 1
+
+    # fixture edge cases appended to the first small repo
+    fx_repo = plan[min(1, len(plan) - 1)][0]
+    fx_commit = _commit_for(fx_repo)
+
+    def add_file(path, content, tr):
+        files.append({"repo": fx_repo, "path": path, "commit": fx_commit, "lang": "python" if path.endswith(".py") else "text", "content": content})
+        triples_by_file[(fx_repo, path)] = tr
+
+    # empty file: containment only
+    add_file("src/empty.py", "", containment_triples(fx_repo, "src/empty.py"))
+    # duplicate-content pair (identical bytes, two paths -> same sha)
+    dup_rng = random.Random(f"{seed}:dup")
+    c1, t1 = _python_file(fx_repo, "src/dup_a.py", 900001, dup_rng, n_funcs=2)
+    c2 = c1
+    t2 = [x for x in containment_triples(fx_repo, "src/dup_b.py")]
+    # same body triples but attributed to dup_b's file entity
+    fa, fb = f"{fx_repo}/src/dup_a.py", f"{fx_repo}/src/dup_b.py"
+    for (s, st, p, d, dt) in t1:
+        if (p, d) == ("contains", fa) or st == T_DIR or s == fx_repo:
+            continue
+        t2.append((fb if s == fa else s, st, p, fb if d == fa else d, dt))
+    add_file("src/dup_a.py", c1, t1)
+    add_file("src/dup_b.py", c2, t2)
+    # unicode identifiers
+    upath = "src/unicode_mod.py"
+    ufile = f"{fx_repo}/{upath}"
+    ucontent = '"""synthetic module."""\n\ndef función_ñ(x):\n    y = log(x)\n    return y\n'
+    utr = containment_triples(fx_repo, upath) + [
+        (ufile, T_FILE, "defines", "función_ñ", T_FN),
+        ("función_ñ", T_FN, "calls", "log", T_FN),
+    ]
+    add_file(upath, ucontent, utr)
+
+    return files, triples_by_file
+
+
+# ---------------------------------------------------------------------------
+# ground-truth tables (raw, linked, nodes)
+# ---------------------------------------------------------------------------
+
+
+def _defs_index(triples_by_file):
+    """name -> set of defining module paths (python-style), for alias resolution."""
+    idx = {}
+    for (repo, path), trs in triples_by_file.items():
+        mp = module_path(path)
+        for (s, st, p, d, dt) in trs:
+            if p == "defines":
+                idx.setdefault(entity_key(d), set()).add(mp)
+    return idx
+
+
+def expected_tables(triples_by_file, link: bool):
+    """Compute the canonical expected (triples, nodes) after canonicalization
+    (+ optional alias linking). Returns (triples_rows, nodes_rows) sorted."""
+    defs_idx = _defs_index(triples_by_file) if link else {}
+
+    def canon(label):
+        k = entity_key(label)
+        if link:
+            tgt = resolve_alias(k, defs_idx)
+            if tgt is not None:
+                return tgt
+        return k
+
+    node_types: dict[str, set] = {}
+    node_labels: dict[str, set] = {}
+    node_repos: dict[str, set] = {}
+    triple_repos: dict[tuple, set] = {}
+
+    for (repo, path), trs in triples_by_file.items():
+        for (s, st, p, d, dt) in trs:
+            sk, dk = canon(s), canon(d)
+            node_types.setdefault(sk, set()).add(st)
+            node_types.setdefault(dk, set()).add(dt)
+            node_labels.setdefault(sk, set()).add(sanitize(s) if entity_key(s) == sk else sk)
+            node_labels.setdefault(dk, set()).add(sanitize(d) if entity_key(d) == dk else dk)
+            node_repos.setdefault(sk, set()).add(repo)
+            node_repos.setdefault(dk, set()).add(repo)
+            triple_repos.setdefault((sk, p.lower(), dk), set()).add(repo)
+
+    triples_rows = [
+        {"src_key": s, "pred": p, "dst_key": d, "repos_packed": "|".join(sorted(rs))}
+        for (s, p, d), rs in sorted(triple_repos.items())
+    ]
+    nodes_rows = []
+    for i, k in enumerate(sorted(node_types)):
+        # label: generator guarantees a unique casing per key outside tests;
+        # pick the lexicographically-first candidate for full determinism
+        label = sorted(node_labels[k])[0]
+        nodes_rows.append(
+            {
+                "entity_id": i,
+                "entity_key": k,
+                "label": label,
+                "types_packed": "|".join(sorted(node_types[k])),
+                "repos_packed": "|".join(sorted(node_repos[k])),
+            }
+        )
+    return triples_rows, nodes_rows
+
+
+# ---------------------------------------------------------------------------
+# parquet materialization (cached under /tmp/graft_synth/<tag>)
+# ---------------------------------------------------------------------------
+
+SYNTH_ROOT = "/tmp/graft_synth"
+
+_SF_FILES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
+
+
+def n_files_for(tag: str) -> int:
+    return _SF_FILES.get(tag, 600)
+
+
+def synth_dir_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(SYNTH_ROOT, tag)
+
+
+def ensure_synth(sf_dir: str, seed: int = 42) -> str:
+    """Idempotently materialize the synthetic corpus + oracles for an sf dir.
+
+    Writes atomically (tmp dir + rename) so concurrent callers are safe:
+      repo_files.parquet, expected_triples_raw.parquet,
+      expected_triples_linked.parquet, expected_nodes.parquet
+    Returns the directory path.
+    """
+    out = synth_dir_for(sf_dir)
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    files, tbf = build_corpus(n_files_for(tag), seed=seed)
+
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    tbl = pa.table({c: [f[c] for f in files] for c in cols})
+    pq.write_table(tbl, os.path.join(tmp, "repo_files.parquet"))
+
+    for link, name in [(False, "expected_triples_raw"), (True, "expected_triples_linked")]:
+        trs, nds = expected_tables(tbf, link=link)
+        pq.write_table(pa.Table.from_pylist(trs), os.path.join(tmp, f"{name}.parquet"))
+        if link:
+            pq.write_table(pa.Table.from_pylist(nds), os.path.join(tmp, "expected_nodes.parquet"))
+        else:
+            pq.write_table(pa.Table.from_pylist(nds), os.path.join(tmp, "expected_nodes_raw.parquet"))
+
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    import shutil
+
+    if not os.path.exists(done):
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost a race with a concurrent generator
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
