@@ -102,11 +102,16 @@ def resolved_records(records_ds, cfg: PipelineConfig = DEFAULT_CONFIG, defs_idx:
     import ray
 
     ref = ray.put(defs_idx if defs_idx is not None else {})
+    # cap the pool so it never reserves every cluster CPU — an actor pool that
+    # owns the whole node starves the shuffle stages downstream and the
+    # pipeline deadlocks under backpressure (observed at num_cpus=4)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    pool_max = max(1, min(cfg.linker_concurrency, cpus - 2))
     return records_ds.map_batches(
         AliasResolver,
         batch_format="pyarrow",
         batch_size=cfg.linker_batch_size,
-        concurrency=cfg.linker_concurrency,
+        concurrency=(1, pool_max),
         fn_constructor_kwargs={"defs_ref": ref},
     )
 

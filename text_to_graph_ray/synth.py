@@ -195,10 +195,10 @@ def build_corpus(n_files: int, seed: int = 42):
     raw_triples maps (repo, path) -> list of 5-tuples. Deterministic in (n_files, seed)."""
     files = []
     triples_by_file = {}
-    # repo layout: repo 0 is the giant (10x files); others ~16 files each
-    giant_files = max(10, n_files // 5)
+    # repo layout: repo 0 is the giant (skew fixture); others ~8 files each
+    giant_files = max(12, n_files // 4)
     rest = n_files - giant_files
-    n_small_repos = max(1, rest // 16)
+    n_small_repos = max(1, rest // 8)
 
     plan = [("org0/giant", giant_files)]
     base = rest // n_small_repos
@@ -345,7 +345,9 @@ def expected_tables(triples_by_file, link: bool):
 # parquet materialization (cached under /tmp/graft_synth/<tag>)
 # ---------------------------------------------------------------------------
 
-SYNTH_ROOT = "/tmp/graft_synth"
+# version-tagged cache dir: bump when the generator changes so stale corpora
+# are never reused across code versions
+SYNTH_ROOT = "/tmp/graft_synth/v2"
 
 _SF_FILES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 
