@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline at sf0.001; ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the training-data
+ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL. KG queries run over the
+deterministic synthetic source-code corpus (BASELINE.json input_hint shape),
+materialized idempotently under /tmp/graft_synth/ together with its
+ground-truth tables, which the SQL oracles read via read_parquet().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,333 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from text_to_graph_ray.config import PipelineConfig
+from text_to_graph_ray.synth import ensure_synth, synth_dir_for
+
+# the driver's correctness pass runs at sf0.01 — oracle SQL strings are fixed,
+# so they reference the sf0.01 synth dir explicitly
+_SF01 = "/root/testdata/sf0.01"
+
+
+def _synth(sf_dir: str) -> str:
+    return ensure_synth(sf_dir)
+
+
+# one full KG pipeline execution shared by all kg_* queries (per sf + mode)
+_KG_CACHE: dict = {}
+
+
+def _kg_tables(sf_dir: str, link: bool):
+    key = (synth_dir_for(sf_dir), link)
+    if key not in _KG_CACHE:
+        from text_to_graph_ray.pipelines import kg
+
+        d = _synth(sf_dir)
+        cfg = PipelineConfig(link_aliases=link)
+        nodes, edges = kg.graph_tables(f"{d}/repo_files.parquet", cfg)
+        _KG_CACHE[key] = (nodes.to_pandas(), edges.to_pandas())
+    return _KG_CACHE[key]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG construction over the sf0.001 synthetic code-repo table."""
+    _, edges = _kg_tables("/root/testdata/sf0.001", link=True)
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_triples(sf_dir):
+    _, edges = _kg_tables(sf_dir, link=True)
+    return edges[["src_key", "pred", "dst_key", "repos_packed"]]
+
+
+def _q_kg_triples_raw(sf_dir):
+    _, edges = _kg_tables(sf_dir, link=False)
+    return edges[["src_key", "pred", "dst_key", "repos_packed"]]
+
+
+def _q_kg_nodes(sf_dir):
+    nodes, _ = _kg_tables(sf_dir, link=True)
+    return nodes[["entity_id", "entity_key", "label", "types_packed", "repos_packed"]]
+
+
+def _q_kg_containment(sf_dir):
+    _, edges = _kg_tables(sf_dir, link=True)
+    sel = edges[edges["pred"] == "contains"]
+    return sel[["src_key", "dst_key"]].reset_index(drop=True)
+
+
+def _q_kg_edge_labels(sf_dir):
+    _, edges = _kg_tables(sf_dir, link=True)
+    g = edges.groupby("pred", as_index=False).size().rename(columns={"size": "n"})
+    g["n"] = g["n"].astype("int64")
+    return g.sort_values("pred").reset_index(drop=True)
+
+
+def _q_kg_sha256(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.stages.hashing import add_sha256
+
+    d = _synth(sf_dir)
+    ds = rd.read_parquet(f"{d}/repo_files.parquet", columns=["repo", "path", "content"])
+    return ds.map_batches(add_sha256, batch_format="pyarrow").select_columns(["repo", "path", "content_sha256"])
+
+
+def _q_kg_chunks(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.stages.chunker import chunk_files
+    from text_to_graph_ray.stages.hashing import add_sha256
+
+    d = _synth(sf_dir)
+    ds = rd.read_parquet(f"{d}/repo_files.parquet", columns=["repo", "path", "lang", "content"])
+    ds = ds.map_batches(add_sha256, batch_format="pyarrow").map_batches(chunk_files, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    return ds.groupby(["repo", "path"]).aggregate(Count(alias_name="n_chunks"), Sum("chunk_size", alias_name="n_tokens")).sort(["repo", "path"])
+
+
+def _q_kg_run_checkpointed(sf_dir):
+    """Exercises the resumable job end-to-end; returns its counters."""
+    import shutil
+
+    import pandas as pd
+
+    from text_to_graph_ray.pipelines import kg
+
+    d = _synth(sf_dir)
+    out = f"/tmp/graft_kg_run/{synth_dir_for(sf_dir).rsplit('/', 1)[-1]}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = PipelineConfig(num_partitions=16)
+    r1 = kg.run(f"{d}/repo_files.parquet", out, cfg)
+    r2 = kg.run(f"{d}/repo_files.parquet", out, cfg)  # resume must be a no-op
+    return pd.DataFrame(
+        [
+            {"run": 1, **{k: int(v) for k, v in r1.items()}},
+            {"run": 2, **{k: int(v) for k, v in r2.items()}},
+        ]
+    )
+
+
+def _q_dedup_exact(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import exact_dedup_keep_min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_keep_min(ds)
+
+
+def _q_dedup_minhash(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, threshold=0.5)
+
+
+def _q_dedup_simhash(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import simhash_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=8)
+
+
+def _q_dedup_embedding(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.45)
+
+
+def _q_text_stats(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import text_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(text_stats, batch_format="pyarrow")
+
+
+def _q_text_langid(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(lang_id, batch_format="pyarrow")
+
+
+def _q_text_quality(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import quality_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow")
+
+
+def _q_text_fingerprint(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import add_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(add_fingerprint, batch_format="pyarrow")
+
+
+def _q_ann_topk(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.ann import brute_force_topk, queries_from_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
+    return brute_force_topk(ds, q_ids, q_vecs, k=10)
+
+
+def _q_ann_lsh(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.ann import lsh_topk, queries_from_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
+    return lsh_topk(ds, q_ids, q_vecs, k=10, n_planes=6)
+
+
+def _q_events_window(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import events_tumbling_window
+
+    return events_tumbling_window(sf_dir)
+
+
+def _q_events_sessions(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import sessionize
+
+    return sessionize(sf_dir)
+
+
+def _q_rel_pricing(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_rel_segment_revenue(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import segment_revenue
+
+    return segment_revenue(sf_dir)
+
+
+def _q_rel_top_orders(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import top_orders
+
+    return top_orders(sf_dir)
+
+
+def _q_mm_decode(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.multimodal import decode_stats, media_table_from_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+    return decode_stats(media)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples": _q_kg_triples,
+        "kg_triples_raw": _q_kg_triples_raw,
+        "kg_nodes": _q_kg_nodes,
+        "kg_containment": _q_kg_containment,
+        "kg_edge_labels": _q_kg_edge_labels,
+        "kg_sha256": _q_kg_sha256,
+        "kg_chunks": _q_kg_chunks,
+        "kg_run_checkpointed": _q_kg_run_checkpointed,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "text_stats": _q_text_stats,
+        "text_langid": _q_text_langid,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
+        "rel_pricing": _q_rel_pricing,
+        "rel_segment_revenue": _q_rel_segment_revenue,
+        "rel_top_orders": _q_rel_top_orders,
+        "mm_decode": _q_mm_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # make sure the synth corpus + expected tables exist before DuckDB reads them
+    d = _synth(_SF01)
+    exp_linked = f"{d}/expected_triples_linked.parquet"
+    exp_raw = f"{d}/expected_triples_raw.parquet"
+    exp_nodes = f"{d}/expected_nodes.parquet"
+    repo_files = f"{d}/repo_files.parquet"
+    return {
+        "kg_triples": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_linked}')",
+        "kg_triples_raw": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_raw}')",
+        "kg_nodes": f"SELECT entity_id, entity_key, label, types_packed, repos_packed FROM read_parquet('{exp_nodes}')",
+        "kg_containment": f"SELECT src_key, dst_key FROM read_parquet('{exp_linked}') WHERE pred = 'contains'",
+        "kg_edge_labels": f"SELECT pred, count(*)::BIGINT AS n FROM read_parquet('{exp_linked}') GROUP BY pred ORDER BY pred",
+        "kg_sha256": f"SELECT repo, path, sha256(content) AS content_sha256 FROM read_parquet('{repo_files}')",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+        "dedup_embedding": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+        ),
+        "text_stats": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens, "
+            "(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::BIGINT AS n_punct "
+            "FROM documents"
+        ),
+        "ann_topk": (
+            "SELECT q.vec_id AS query_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rank, "
+            "e.vec_id AS vec_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim "
+            "FROM embeddings e, embeddings q WHERE q.vec_id < 8 QUALIFY rank <= 10"
+        ),
+        "events_window": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS w, "
+            "round(sum(value), 4) AS sum_value, count(*)::BIGINT AS n_events "
+            "FROM events GROUP BY event_type, w"
+        ),
+        "rel_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_quantity), 4) AS avg_qty, "
+            "round(avg(l_discount), 4) AS avg_disc, count(*)::BIGINT AS n_rows "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "rel_segment_revenue": (
+            "SELECT c_mktsegment AS seg, round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "rel_top_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+    }

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — the exact baseline: query matrix broadcast once via
+  ``ray.put``; each batch is one float64 matmul; per-batch top-k partials are
+  merged with a final tiny groupby (combiner-first, no full shuffle of the
+  corpus).
+* ``lsh_topk`` — the scale path: signed-random-projection buckets; only
+  same-bucket (plus probe) candidates are scored. Approximate by design;
+  recall measured in tests, rows-only checked by the driver.
+
+Determinism: scores computed in float64 and rounded to 1e-6; ranking key is
+(round(sim,6) DESC, id ASC) so ties break identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _topk_partials_fn(ref, id_col, vec_col, k):
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        sims = np.round(q_mat @ vecs.T, 6)  # (Q, B)
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        take = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            # batch-local top-k partial; ties -> lower vec_id first
+            order = np.lexsort((ids, -sims[qi]))[:take]
+            rows["query_id"].extend([int(q_ids[qi])] * len(order))
+            rows["vec_id"].extend(int(ids[j]) for j in order)
+            rows["sim"].extend(float(sims[qi, j]) for j in order)
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+                "sim": pa.array(rows["sim"], type=pa.float64()),
+            }
+        )
+
+    return fn
+
+
+def _merge_topk(k):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return fn
+
+
+def brute_force_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id", vec_col="embedding"):
+    """Exact top-k cosine neighbors for each query vector.
+    query_vecs: (Q, D) array-like; returns (query_id, rank, vec_id, sim)."""
+    import ray
+
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    ref = ray.put((q_ids, q_mat))
+    partials = ds.map_batches(_topk_partials_fn(ref, id_col, vec_col, k), batch_format="pyarrow")
+    merged = partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+    return merged.sort(["query_id", "rank"])
+
+
+def queries_from_dataset(ds, n_queries=8, id_col="vec_id", vec_col="embedding"):
+    """First n vectors (by id) as the query set — deterministic."""
+    rows = ds.sort(id_col).limit(n_queries).take_all()
+    ids = [r[id_col] for r in rows]
+    vecs = [r[vec_col] for r in rows]
+    return ids, np.asarray(vecs, dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+class LshIndexer:
+    """Signed-random-projection bucketer: hyperplanes drawn once per actor
+    from a fixed seed; each batch appends its bucket key."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42, vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+        self.vec_col = vec_col
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes.T) >= 0
+        return (signs.astype(np.uint32) << np.arange(signs.shape[1], dtype=np.uint32)).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        return batch.append_column("bucket", pa.array(self.bucket_of(vecs).astype("int64")))
+
+
+def lsh_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id", vec_col="embedding", n_planes=8, seed=42):
+    """Approximate top-k: score only vectors whose bucket matches a query's
+    bucket. Smaller n_planes -> bigger buckets -> higher recall/cost."""
+    import ray
+
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    dim = q_mat.shape[1]
+    indexer = LshIndexer(dim, n_planes, seed, vec_col)
+    q_buckets = indexer.bucket_of(q_mat)
+    ref = ray.put((q_ids, q_mat, q_buckets))
+
+    bucketed = ds.map_batches(
+        LshIndexer, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed, "vec_col": vec_col},
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, qb = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int64)
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        for q in range(len(qi)):
+            mask = buckets == qb[q]
+            if not mask.any():
+                continue
+            sims = np.round(qm[q] @ vecs[mask].T, 6)
+            cand = ids[mask]
+            take = min(k, len(cand))
+            order = np.lexsort((cand, -sims))[:take]
+            rows["query_id"].extend([int(qi[q])] * len(order))
+            rows["vec_id"].extend(int(cand[j]) for j in order)
+            rows["sim"].extend(float(sims[j]) for j in order)
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+                "sim": pa.array(rows["sim"], type=pa.float64()),
+            }
+        )
+
+    partials = bucketed.map_batches(score, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas").sort(["query_id", "rank"])

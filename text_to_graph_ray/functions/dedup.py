@@ -1,0 +1,299 @@
+"""Deduplication operators over a documents table.
+
+All operators are Dataset -> Dataset transforms; heavy math is numpy inside
+``map_batches``; the only all-to-all exchanges are the final small groupbys
+over pre-aggregated/candidate rows (combiner-first, SURVEY §7.3).
+
+* exact: content-hash groupby, keep-first (min id) — the distributed analogue
+  of the reference's sha-256 document cache uniqueness
+  (/root/reference/graph_extractor/src/sqlite_support.py:67, my_hash.py:4-16).
+* MinHash+LSH: word-shingle -> k-perm minhash -> banded buckets -> candidate
+  pairs -> Jaccard estimate from signatures. Signatures ride along with band
+  rows (k*8 bytes/row) so candidate verification needs no second pass over
+  the corpus; at 10^12-doc scale swap the ride-along for a signature join.
+* SimHash: 64-bit token-hash majority fingerprint, banded into 4x16-bit
+  buckets; hamming-distance verify within buckets.
+* embedding-cosine near-dup: brute-force verified pairs against a broadcast
+  matrix (exact; the oracle-checkable baseline) — the LSH-bucketed variant
+  for scale lives in functions/ann.py.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash_array(strings: list[str]) -> np.ndarray:
+    return np.fromiter((zlib.crc32(s.encode("utf-8")) for s in strings), dtype=np.uint64, count=len(strings))
+
+
+def _perm_params(k: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def word_shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One survivor (min id) per distinct content. Per-batch partial min before
+    the groupby so duplicate-heavy corpora pre-collapse in the combiner."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in b.column(text_col).to_pylist()]
+        t = pa.table({"h": pa.array(h), id_col: b.column(id_col)})
+        # batch-local min per hash
+        import pandas as pd
+
+        df = t.to_pandas().groupby("h", as_index=False)[id_col].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("h").aggregate(Min(id_col, alias_name=id_col)).select_columns([id_col]).sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Actor-pool stage: permutation parameters built once per actor."""
+
+    def __init__(self, text_col="text", id_col="doc_id", k=64, shingle=3, seed=42):
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.shingle = k, shingle
+        self.a, self.b = _perm_params(k, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.shingle)
+        if not sh:
+            return np.full(self.k, np.uint64(_MERSENNE), dtype=np.uint64)
+        base = _stable_hash_array(sh)  # (S,)
+        # (S, k) universal hashing, min over shingles
+        vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = [self.signature(t or "") for t in batch.column(self.text_col).to_pylist()]
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
+    """signature rows -> (band, band_hash, id, sig) — signatures ride along."""
+    ids = batch.column("id").to_pylist()
+    sigs = batch.column("sig").to_pylist()
+    out_band, out_hash, out_id, out_sig = [], [], [], []
+    for i, sig in zip(ids, sigs):
+        arr = np.asarray(sig, dtype=np.uint64)
+        r = len(arr) // bands
+        for band in range(bands):
+            chunk = arr[band * r : (band + 1) * r]
+            out_band.append(band)
+            out_hash.append(zlib.crc32(chunk.tobytes()))
+            out_id.append(i)
+            out_sig.append(sig)
+    return pa.table(
+        {
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
+            "id": pa.array(out_id, type=pa.int64()),
+            "sig": pa.array(out_sig, type=pa.list_(pa.uint64())),
+        }
+    )
+
+
+def _bucket_pairs(group, max_bucket: int = 200):
+    """All pairs within one (band, band_hash) bucket with signature-estimated
+    Jaccard. Buckets above max_bucket are truncated (logged via a sentinel row
+    count upstream) — a hot bucket at real scale means a degenerate shingle."""
+    import pandas as pd
+
+    ids = list(group["id"])
+    sigs = list(group["sig"])
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order][:max_bucket]
+    sigs = [np.asarray(sigs[i], dtype=np.uint64) for i in order][:max_bucket]
+    a_out, b_out, est = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+            est.append(float((sigs[i] == sigs[j]).mean()))
+    return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": est})
+
+
+def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", k=64, bands=16, shingle=3, threshold=0.7, seed=42, concurrency=4):
+    """Documents -> candidate near-dup pairs (a < b, est_jaccard >= threshold),
+    deduped across bands, sorted."""
+    sigs = ds.map_batches(
+        MinHasher,
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k, "shingle": shingle, "seed": seed},
+    )
+    band_rows = sigs.map_batches(lambda b: _band_rows(b, bands), batch_format="pyarrow")
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"), threshold)), batch_format="pyarrow"
+    )
+    # dedup across bands: keep max estimate per pair
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard")).sort(["a", "b"])
+
+
+def exact_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
+    sa, sb = set(word_shingles(text_a, shingle)), set(word_shingles(text_b, shingle))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in toks:
+        h = np.uint64((zlib.crc32(t.encode()) << 32) | zlib.crc32(t[::-1].encode()))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
+    """4x16-bit banded SimHash buckets -> hamming-verified pairs. A pair within
+    hamming<=3 of a 64-bit fingerprint shares at least one of 4 bands exactly
+    (pigeonhole), so banding loses nothing."""
+    import pandas as pd
+
+    def fingerprints(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        fps = [simhash64(t or "") for t in b.column(text_col).to_pylist()]
+        rows = {"band": [], "band_val": [], "id": [], "fp": []}
+        for i, fp in zip(ids, fps):
+            for band in range(4):
+                rows["band"].append(band)
+                rows["band_val"].append((fp >> (16 * band)) & 0xFFFF)
+                rows["id"].append(i)
+                rows["fp"].append(fp)
+        return pa.table(
+            {
+                "band": pa.array(rows["band"], type=pa.int32()),
+                "band_val": pa.array(rows["band_val"], type=pa.int64()),
+                "id": pa.array(rows["id"], type=pa.int64()),
+                "fp": pa.array(rows["fp"], type=pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = list(group["id"])
+        fps = list(group["fp"])
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        fps = [int(fps[i]) for i in order]
+        a, b, h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(fps[i] ^ fps[j]).count("1")
+                if d <= max_hamming:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    h.append(d)
+        return pd.DataFrame({"a": a, "b": b, "hamming": h})
+
+    from ray.data.aggregate import Min
+
+    rows = ds.map_batches(fingerprints, batch_format="pyarrow")
+    pairs = rows.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")).sort(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact, broadcast matrix)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id", vec_col="embedding"):
+    """Exact cosine pairs (a < b, sim >= threshold). The full (normalized)
+    matrix is broadcast once via ray.put and each batch does one float64
+    matmul against it — correct baseline; use ann.lsh_buckets for the
+    >memory-scale path."""
+    import ray
+
+    ids, vecs = [], []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids.extend(b.column(id_col).to_pylist())
+        vecs.extend(b.column(vec_col).to_pylist())
+    mat = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+    id_arr = np.asarray(ids, dtype=np.int64)
+    ref = ray.put((id_arr, matn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(ref)
+        bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        bv = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bv, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = (bv / bn) @ m.T
+        rows_a, rows_b, rows_s = [], [], []
+        for r in range(sims.shape[0]):
+            hit = np.where(sims[r] >= threshold)[0]
+            for c in hit:
+                if bids[r] < all_ids[c]:
+                    rows_a.append(int(bids[r]))
+                    rows_b.append(int(all_ids[c]))
+                    rows_s.append(round(float(sims[r, c]), 6))
+        return pa.table(
+            {
+                "a": pa.array(rows_a, type=pa.int64()),
+                "b": pa.array(rows_b, type=pa.int64()),
+                "sim": pa.array(rows_s, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow").sort(["a", "b"])
