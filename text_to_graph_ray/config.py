@@ -28,7 +28,7 @@ class PipelineConfig:
     # entity linking
     link_aliases: bool = True       # union-find alias merge of dotted/bare names
     linker_batch_size: int = 4096
-    linker_concurrency: int = 4
+    linker_concurrency: int = 0     # actor-pool max; 0 = auto (cluster CPUs - 2)
     # physical
     num_partitions: int = 64        # checkpoint/shuffle partition count
     batch_size: int = 1024          # rows per map_batches call on file-level stages

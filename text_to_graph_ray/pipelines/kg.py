@@ -28,28 +28,45 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from text_to_graph_ray.config import DEFAULT_CONFIG, PipelineConfig
-from text_to_graph_ray.keys import entity_key, module_path
 from text_to_graph_ray.stages.canonicalize import (
     add_dense_index,
-    edge_partials,
-    merge_edge_group,
-    merge_node_group,
-    node_partials,
+    combined_partials,
+    merge_bucket,
+    split_edges,
+    split_nodes,
 )
 from text_to_graph_ray.stages.chunker import chunk_files
 from text_to_graph_ray.stages.extract import extract_records
 from text_to_graph_ray.stages.hashing import add_sha256
-from text_to_graph_ray.stages.linker import AliasResolver
+
 from text_to_graph_ray.state.checkpoint import CheckpointStore, part_of
 
 INPUT_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _input_blocks(input_path: str) -> int:
+    """Read-task count: ~1 MB of parquet per block (extraction is the
+    bottleneck at ~1.6 MB/s/core, so 1 MB ≈ sub-second tasks). Ray's default
+    sizing targets much larger blocks and would serialize small corpora onto
+    one task; capped so huge inputs don't explode the task count."""
+    import os
+
+    total = 0
+    if os.path.isdir(input_path):
+        for root, _, names in os.walk(input_path):
+            total += sum(os.path.getsize(os.path.join(root, n)) for n in names if n.endswith(".parquet"))
+    elif os.path.exists(input_path):
+        total = os.path.getsize(input_path)
+    return max(16, min(4096, total // (1 << 20) or 16))
 
 
 def records_dataset(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, with_part: bool = False):
     """read -> sha -> chunk -> extract. Column-pruned at the read."""
     import ray.data as rd
 
-    ds = rd.read_parquet(input_path, columns=["repo", "path", "lang", "content"])
+    ds = rd.read_parquet(
+        input_path, columns=["repo", "path", "lang", "content"], override_num_blocks=_input_blocks(input_path)
+    )
     ds = ds.map_batches(add_sha256, batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(lambda b: chunk_files(b, cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(extract_records, batch_format="pyarrow", batch_size=cfg.batch_size)
@@ -64,16 +81,21 @@ def _with_part(batch: pa.Table, num_partitions: int) -> pa.Table:
 
 
 def _defines_pairs(batch: pa.Table) -> pa.Table:
-    """(name_key, module) pairs for the defs index — pre-deduped per batch."""
+    """(name_key, module) pairs for the defs index — vectorized, pre-deduped
+    per batch."""
+    from text_to_graph_ray.stages.linker import entity_key_array
+
     mask = pc.and_(pc.equal(batch.column("kind"), "edge"), pc.equal(batch.column("b"), "defines"))
     sel = batch.filter(mask)
-    pairs = sorted({(entity_key(c), module_path(p)) for c, p in zip(sel.column("c").to_pylist(), sel.column("path").to_pylist())})
-    return pa.table(
+    import pandas as pd
+
+    df = pd.DataFrame(
         {
-            "name_key": pa.array([a for a, _ in pairs], type=pa.string()),
-            "module": pa.array([b for _, b in pairs], type=pa.string()),
+            "name_key": entity_key_array(sel.column("c")).to_pandas(),
+            "module": sel.column("path").to_pandas().str.rsplit(".", n=1).str[0].str.replace("/", ".", regex=False),
         }
-    )
+    ).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def build_defs_index(records_ds) -> dict:
@@ -88,32 +110,92 @@ def build_defs_index(records_ds) -> dict:
 
 
 def _plain_keys(batch: pa.Table) -> pa.Table:
-    """No-linking key computation (link_aliases=False path)."""
-    a_key = [entity_key(x) for x in batch.column("a").to_pylist()]
-    c_key = [entity_key(x) if k == "edge" else "" for x, k in zip(batch.column("c").to_pylist(), batch.column("kind").to_pylist())]
-    return batch.append_column("a_key", pa.array(a_key, type=pa.string())).append_column("c_key", pa.array(c_key, type=pa.string()))
+    """No-linking key computation (link_aliases=False path) — vectorized."""
+    from text_to_graph_ray.stages.linker import entity_key_array
+
+    return batch.append_column("a_key", entity_key_array(batch.column("a"))).append_column(
+        "c_key", entity_key_array(batch.column("c"))
+    )
 
 
-def resolved_records(records_ds, cfg: PipelineConfig = DEFAULT_CONFIG, defs_idx: dict | None = None):
-    """Attach resolved entity keys. With linking on, the defs index is
-    ray.put() once and fetched per actor (broadcast join, no shuffle)."""
-    if not cfg.link_aliases:
-        return records_ds.map_batches(_plain_keys, batch_format="pyarrow", batch_size=cfg.linker_batch_size)
+def keyed_records(records_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Attach normalized entity keys (vectorized) + optional stop-entity
+    filter. Alias linking happens LATER, on the merged vocabulary
+    (relink_merged) — resolving per distinct entity instead of per mention."""
+    return _filter_stop(records_ds.map_batches(_plain_keys, batch_format="pyarrow", batch_size=cfg.linker_batch_size), cfg)
+
+
+def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """SPARSE entity-linking pass over the vocabulary-sized merged graph.
+
+    Alias resolution only ever rewrites dotted keys onto their definition key,
+    so after ``MergedLinker`` re-keys the vocabulary, the only rows that need
+    a second exchange are (a) rows whose key changed and (b) rows whose key a
+    changed row landed on. Those affected keys are collected (they are a small
+    fraction of the vocabulary — guarded by a fallback to a full re-merge when
+    they are not), broadcast, and only the affected slice re-shuffles; the
+    rest of the graph passes through untouched."""
     import ray
 
-    ref = ray.put(defs_idx if defs_idx is not None else {})
-    # cap the pool so it never reserves every cluster CPU — an actor pool that
-    # owns the whole node starves the shuffle stages downstream and the
-    # pipeline deadlocks under backpressure (observed at num_cpus=4)
+    from text_to_graph_ray.stages.canonicalize import SEP, _stable_bucket, merge_bucket_packed
+    from text_to_graph_ray.stages.linker import MergedLinker
+
+    ref = ray.put({k: tuple(sorted(v)) for k, v in defs_idx.items()})
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    pool_max = max(1, min(cfg.linker_concurrency, cpus - 2))
-    return records_ds.map_batches(
-        AliasResolver,
+    # the vocabulary pass is dict-lookup cheap: a small pool amortizes the
+    # per-actor defs-index fetch instead of paying it cpus-2 times
+    pool_max = max(1, min(cfg.linker_concurrency if cfg.linker_concurrency > 0 else 4, cpus - 2))
+    linked = merged.map_batches(
+        MergedLinker,
         batch_format="pyarrow",
-        batch_size=cfg.linker_batch_size,
         concurrency=(1, pool_max),
         fn_constructor_kwargs={"defs_ref": ref},
+    ).materialize()  # vocabulary-sized; consumed three times below
+
+    changed_rows = linked.map_batches(
+        lambda b: b.filter(b.column("changed")).select(["kind", "k1", "k2", "k3"]), batch_format="pyarrow"
+    ).take_all()
+    if not changed_rows:
+        return linked.drop_columns(["changed"])
+    node_keys = {r["k1"] for r in changed_rows if r["kind"] == "n"}
+    triple_keys = {(r["k1"], r["k2"], r["k3"]) for r in changed_rows if r["kind"] == "e"}
+    aff_ref = ray.put((node_keys, triple_keys))
+
+    def affected_mask(b: pa.Table) -> pa.Array:
+        nk, tk = ray.get(aff_ref)
+        import pandas as pd
+
+        df = b.select(["kind", "k1", "k2", "k3", "changed"]).to_pandas()
+        is_n = df["kind"] == "n"
+        hit = df["changed"] | (is_n & df["k1"].isin(nk))
+        if tk:
+            trip = list(zip(df["k1"], df["k2"], df["k3"]))
+            hit = hit | (~is_n & pd.Series([t in tk for t in trip], index=df.index))
+        return pa.array(hit.to_numpy())
+
+    def take_affected(b: pa.Table) -> pa.Table:
+        return b.filter(affected_mask(b)).drop_columns(["changed"])
+
+    def take_passthrough(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(affected_mask(b))).drop_columns(["changed"])
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        is_n = df["kind"] == "n"
+        key = df["k1"].where(is_n, df["k1"] + SEP + df["k2"] + SEP + df["k3"])
+        df["bucket"] = _stable_bucket(key, cfg.num_partitions)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    remerged = (
+        linked.map_batches(take_affected, batch_format="pyarrow")
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket_packed, batch_format="pandas")
     )
+    passthrough = linked.map_batches(take_passthrough, batch_format="pyarrow")
+    return passthrough.union(remerged).materialize()
 
 
 def _filter_stop(ds, cfg: PipelineConfig):
@@ -128,38 +210,38 @@ def _filter_stop(ds, cfg: PipelineConfig):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def nodes_table(resolved, cfg: PipelineConfig = DEFAULT_CONFIG, with_ids: bool = True):
-    """Canonical entity table: groupby(entity_key) with packed-set partials,
-    sorted, dense ids by rank (FIXTURES F4 nodes)."""
-    parts = resolved.map_batches(node_partials, batch_format="pyarrow")
-    merged = parts.groupby("entity_key").map_groups(merge_node_group, batch_format="pandas")
-    merged = merged.sort("entity_key")
+def merged_graph(resolved, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """The single canonicalization shuffle: node mentions and edges travel
+    together (kind column), combiner-reduced per batch, merged per hash
+    bucket. Returns the (vocabulary-sized) merged dataset, materialized so
+    nodes and edges can both be split from it without re-running extraction."""
+    parts = resolved.map_batches(lambda b: combined_partials(b, cfg.num_partitions), batch_format="pyarrow")
+    return parts.groupby("bucket").map_groups(merge_bucket, batch_format="pandas").materialize()
+
+
+def nodes_from_merged(merged, with_ids: bool = True):
+    nodes = merged.map_batches(split_nodes, batch_format="pyarrow").sort("entity_key")
     if with_ids:
-        merged = add_dense_index(merged, col="entity_id")
-    return merged
+        nodes = add_dense_index(nodes, col="entity_id")
+    return nodes
 
 
-def edges_table(resolved, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """Deduplicated triple table with provenance, deterministically sorted."""
-    parts = resolved.map_batches(edge_partials, batch_format="pyarrow")
-    merged = parts.groupby(["src_key", "pred", "dst_key"]).map_groups(merge_edge_group, batch_format="pandas")
-    return merged.sort(["src_key", "pred", "dst_key"])
+def edges_from_merged(merged):
+    return merged.map_batches(split_edges, batch_format="pyarrow").sort(["src_key", "pred", "dst_key"])
 
 
 def graph_tables(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, which: str = "both"):
-    """Lazy end-to-end: returns (nodes_ds, edges_ds); either may be None per ``which``."""
-    records = records_dataset(input_path, cfg)
-    defs_idx = build_defs_index(records_dataset(input_path, cfg)) if cfg.link_aliases else None
-    resolved = _filter_stop(resolved_records(records, cfg, defs_idx), cfg)
-    nodes = nodes_table(resolved, cfg) if which in ("both", "nodes") else None
-    # re-derive for edges only when both are needed (a Dataset is consumed once per sink)
-    if which == "both":
-        resolved2 = _filter_stop(resolved_records(records_dataset(input_path, cfg), cfg, defs_idx), cfg)
-        edges = edges_table(resolved2, cfg)
-    elif which == "edges":
-        edges = edges_table(resolved, cfg)
-    else:
-        edges = None
+    """End-to-end: returns (nodes_ds, edges_ds); either may be None per
+    ``which``. The record stream is consumed once for the combined
+    canonicalization shuffle (plus once for the defs index when linking);
+    only the vocabulary-sized merged graph is ever materialized. For
+    disk-backed reuse/resume at scale, use ``run`` instead."""
+    merged = merged_graph(keyed_records(records_dataset(input_path, cfg), cfg), cfg)
+    if cfg.link_aliases:
+        defs_idx = build_defs_index(records_dataset(input_path, cfg))
+        merged = relink_merged(merged, defs_idx, cfg)
+    nodes = nodes_from_merged(merged) if which in ("both", "nodes") else None
+    edges = edges_from_merged(merged) if which in ("both", "edges") else None
     return nodes, edges
 
 
@@ -249,12 +331,12 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
     def read_records():
         return rd.read_parquet(rec_dir)
 
-    defs_idx = build_defs_index(read_records()) if cfg.link_aliases else None
-    nodes = nodes_table(_filter_stop(resolved_records(read_records(), cfg, defs_idx), cfg), cfg)
-    nodes = nodes.map_batches(_unpack_lists, batch_format="pyarrow")
+    merged = merged_graph(keyed_records(read_records(), cfg), cfg)
+    if cfg.link_aliases:
+        merged = relink_merged(merged, build_defs_index(read_records()), cfg)
+    nodes = nodes_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
     nodes.write_parquet(f"{out_dir}/nodes")
-    edges = edges_table(_filter_stop(resolved_records(read_records(), cfg, defs_idx), cfg), cfg)
-    edges = edges.map_batches(_unpack_lists, batch_format="pyarrow")
+    edges = edges_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
     edges.write_parquet(f"{out_dir}/edges")
 
     n_nodes = rd.read_parquet(f"{out_dir}/nodes").count()

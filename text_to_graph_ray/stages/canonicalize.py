@@ -3,24 +3,27 @@
 Reference semantics re-expressed as two-phase distributed aggregation:
 * entity grouping by ``entity_key = sanitize(label).lower()`` with type-set
   union (/root/reference/graph_extractor/src/graph_utils.py:13-88 G1),
-* cross-document provenance union (graph_utils.py:144-251 G3) as a proper
-  ``repos`` list column instead of ``"label|d1|d2"`` string packing,
+* cross-document provenance union (graph_utils.py:144-251 G3) as list columns
+  instead of ``"label|d1|d2"`` string packing,
 * exact triple dedup on ``(src_key, lower(pred), dst_key)``
   (graph_utils.py:61-64 G2),
 * deterministic dense ids by rank over ``sort(entity_key)`` — a deliberate
   strengthening of the reference's insertion-order ids
-  (sqlite_support.py:468-474 has no ORDER BY; see SURVEY §1.3).
+  (sqlite_support.py:468-474 has no ORDER BY; SURVEY §1.3).
 
-Skew design: each batch is pre-aggregated (combiner) before the shuffle, so a
-hot key ("log" called from every file, "utils.py" at 10^12-file scale) ships at
-most one row per upstream batch into the exchange instead of one per mention —
-the two-phase/salted-aggregation requirement of the north rule. Groups are
-merged with ``map_groups`` over packed partial sets.
-
-Label rule: canonical label = lexicographically-min original label whose own
-entity_key equals the group key (deterministic stand-in for the reference's
-order-dependent first-seen casing, graph_utils.py:41-45; identical whenever a
-key has a single casing, which conformance fixtures assert).
+Physical design (why it looks the way it does):
+* **Combined single pass**: node mentions and edges shuffle TOGETHER (a
+  ``kind`` column), so nodes+edges need one consumption of the record stream
+  and one groupby — no mid-pipeline materialize of the full record table.
+* **Combiner first**: each batch is reduced to DISTINCT partial rows
+  (vectorized pandas ``drop_duplicates``) before the exchange, so a hot key
+  ("log" called from every file, "utils.py" at 10^12-file scale) ships one row
+  per upstream batch, not one per mention — the salted/two-phase-aggregation
+  requirement of the north rule.
+* **Hash-bucket groups**: the shuffle groups by a stable hash bucket of the
+  key (``pandas.util.hash_pandas_object``, process-stable), and each bucket
+  merges all its keys in one vectorized call — same result as a per-key
+  groupby at a fraction of the per-group scheduling overhead.
 """
 
 from __future__ import annotations
@@ -30,95 +33,155 @@ import pyarrow as pa
 
 from text_to_graph_ray.keys import entity_key
 
-SEP = "\x1f"  # packs partial sets; never appears in sanitized labels/types/repos
+SEP = "\x1f"
 
 
-def node_partials(batch: pa.Table) -> pa.Table:
-    """records (kind=node, with resolved a_key) -> one partial row per entity
-    key per batch: packed label/type/repo sets. The combiner half of G1/G3."""
-    kinds = batch.column("kind").to_pylist()
-    keys = batch.column("a_key").to_pylist()
-    labels = batch.column("a").to_pylist()
-    types = batch.column("b").to_pylist()
-    repos = batch.column("repo").to_pylist()
+def _stable_bucket(series: pd.Series, buckets: int) -> pd.Series:
+    # deterministic across processes (fixed hash key, no PYTHONHASHSEED issues)
+    return (pd.util.hash_pandas_object(series, index=False) % buckets).astype("int64")
 
-    agg: dict[str, tuple[set, set, set]] = {}
-    for kind, k, label, typ, repo in zip(kinds, keys, labels, types, repos):
-        if kind != "node":
-            continue
-        ls, ts, rs = agg.setdefault(k, (set(), set(), set()))
-        ls.add(label)
-        ts.add(typ)
-        rs.add(repo)
-    out_keys = sorted(agg)
+
+def combined_partials(batch: pa.Table, buckets: int) -> pa.Table:
+    """Resolved records -> distinct partial rows for BOTH kinds:
+
+      kind='n': k1=entity_key, k2=label,        k3=type,    repo
+      kind='e': k1=src_key,    k2=lower(pred),  k3=dst_key, repo
+
+    One vectorized drop_duplicates per kind; bucket = stable hash of the
+    grouping key."""
+    df = batch.select(["kind", "a", "b", "c", "a_key", "c_key", "repo"]).to_pandas()
+
+    n = df[df["kind"] == "node"]
+    nodes = pd.DataFrame(
+        {"kind": "n", "k1": n["a_key"], "k2": n["a"], "k3": n["b"], "repo": n["repo"]}
+    ).drop_duplicates()
+    nodes["bucket"] = _stable_bucket(nodes["k1"], buckets)
+
+    e = df[df["kind"] == "edge"]
+    edges = pd.DataFrame(
+        {"kind": "e", "k1": e["a_key"], "k2": e["b"].str.lower(), "k3": e["c_key"], "repo": e["repo"]}
+    ).drop_duplicates()
+    edges["bucket"] = _stable_bucket(edges["k1"] + SEP + edges["k2"] + SEP + edges["k3"], buckets)
+
+    out = pd.concat([nodes, edges], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Merge one hash bucket: entity rows -> (entity_key, label, types_packed,
+    repos_packed); edge rows -> (src,pred,dst, repos_packed). Python dict work
+    is proportional to the bucket's DISTINCT rows (already combiner-reduced)."""
+    rows_kind, rows_k1, rows_k2, rows_k3, rows_pack = [], [], [], [], []
+
+    n = group[group["kind"] == "n"]
+    ents: dict[str, tuple[set, set, set]] = {}
+    for k1, k2, k3, repo in zip(n["k1"], n["k2"], n["k3"], n["repo"]):
+        ent = ents.get(k1)
+        if ent is None:
+            ent = ents[k1] = (set(), set(), set())
+        ent[0].add(k2)
+        ent[1].add(k3)
+        ent[2].add(repo)
+    for k in sorted(ents):
+        labels, types, repos = ents[k]
+        own = [l for l in labels if entity_key(l) == k]
+        rows_kind.append("n")
+        rows_k1.append(k)
+        rows_k2.append(min(own) if own else min(labels))
+        rows_k3.append("|".join(sorted(t for t in types if t)))
+        rows_pack.append("|".join(sorted(repos)))
+
+    e = group[group["kind"] == "e"]
+    eds: dict[tuple, set] = {}
+    for k1, k2, k3, repo in zip(e["k1"], e["k2"], e["k3"], e["repo"]):
+        eds.setdefault((k1, k2, k3), set()).add(repo)
+    for (k1, k2, k3) in sorted(eds):
+        rows_kind.append("e")
+        rows_k1.append(k1)
+        rows_k2.append(k2)
+        rows_k3.append(k3)
+        rows_pack.append("|".join(sorted(eds[(k1, k2, k3)])))
+
+    # return Arrow, not pandas: object-dtype pandas blocks force a slow
+    # string conversion in every downstream stage (and in materialize)
+    return _merged_table(rows_kind, rows_k1, rows_k2, rows_k3, rows_pack)
+
+
+def _merged_table(kind, k1, k2, k3, pack) -> pa.Table:
     return pa.table(
         {
-            "entity_key": pa.array(out_keys, type=pa.string()),
-            "labels_packed": pa.array([SEP.join(sorted(agg[k][0])) for k in out_keys], type=pa.string()),
-            "types_packed": pa.array([SEP.join(sorted(agg[k][1])) for k in out_keys], type=pa.string()),
-            "repos_packed": pa.array([SEP.join(sorted(agg[k][2])) for k in out_keys], type=pa.string()),
+            "kind": pa.array(kind, type=pa.string()),
+            "k1": pa.array(k1, type=pa.string()),
+            "k2": pa.array(k2, type=pa.string()),
+            "k3": pa.array(k3, type=pa.string()),
+            "repos_packed": pa.array(pack, type=pa.string()),
         }
     )
 
 
-def merge_node_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Final merge of one entity's partials (runs inside groupby.map_groups)."""
-    key = group["entity_key"].iloc[0]
-    labels: set = set()
-    types: set = set()
-    repos: set = set()
-    for ls, ts, rs in zip(group["labels_packed"], group["types_packed"], group["repos_packed"]):
-        labels.update(ls.split(SEP))
-        types.update(ts.split(SEP))
-        repos.update(rs.split(SEP))
-    own = [l for l in labels if entity_key(l) == key]
-    label = min(own) if own else min(labels)
-    return pd.DataFrame(
-        {
-            "entity_key": [key],
-            "label": [label],
-            "types_packed": ["|".join(sorted(t for t in types if t))],
-            "repos_packed": ["|".join(sorted(repos))],
-        }
-    )
+def merge_bucket_packed(group: pd.DataFrame) -> pd.DataFrame:
+    """Second-phase merge after entity linking re-keys the (already merged,
+    vocabulary-sized) graph: groups whose keys collided post-linking union
+    their packed label/type/repo sets. Input/output schema == merge_bucket's
+    output."""
+    rows_kind, rows_k1, rows_k2, rows_k3, rows_pack = [], [], [], [], []
+
+    n = group[group["kind"] == "n"]
+    ents: dict[str, tuple[set, set, set]] = {}
+    for k1, k2, k3, rp in zip(n["k1"], n["k2"], n["k3"], n["repos_packed"]):
+        ent = ents.get(k1)
+        if ent is None:
+            ent = ents[k1] = (set(), set(), set())
+        ent[0].add(k2)
+        ent[1].update(k3.split("|") if k3 else [])
+        ent[2].update(rp.split("|"))
+    for k in sorted(ents):
+        labels, types, repos = ents[k]
+        own = [l for l in labels if entity_key(l) == k]
+        rows_kind.append("n")
+        rows_k1.append(k)
+        rows_k2.append(min(own) if own else min(labels))
+        rows_k3.append("|".join(sorted(t for t in types if t)))
+        rows_pack.append("|".join(sorted(repos)))
+
+    e = group[group["kind"] == "e"]
+    eds: dict[tuple, set] = {}
+    for k1, k2, k3, rp in zip(e["k1"], e["k2"], e["k3"], e["repos_packed"]):
+        eds.setdefault((k1, k2, k3), set()).update(rp.split("|"))
+    for (k1, k2, k3) in sorted(eds):
+        rows_kind.append("e")
+        rows_k1.append(k1)
+        rows_k2.append(k2)
+        rows_k3.append(k3)
+        rows_pack.append("|".join(sorted(eds[(k1, k2, k3)])))
+
+    return _merged_table(rows_kind, rows_k1, rows_k2, rows_k3, rows_pack)
 
 
-def edge_partials(batch: pa.Table) -> pa.Table:
-    """records (kind=edge, resolved a_key/c_key) -> one partial row per triple
-    per batch with a packed repo set. The combiner half of G2/G3."""
-    kinds = batch.column("kind").to_pylist()
-    srcs = batch.column("a_key").to_pylist()
-    preds = batch.column("b").to_pylist()
-    dsts = batch.column("c_key").to_pylist()
-    repos = batch.column("repo").to_pylist()
+def split_nodes(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
 
-    agg: dict[tuple, set] = {}
-    for kind, s, p, d, r in zip(kinds, srcs, preds, dsts, repos):
-        if kind != "edge":
-            continue
-        agg.setdefault((s, p.lower(), d), set()).add(r)
-    items = sorted(agg)
+    t = batch.filter(pc.equal(batch.column("kind"), "n"))
     return pa.table(
         {
-            "src_key": pa.array([k[0] for k in items], type=pa.string()),
-            "pred": pa.array([k[1] for k in items], type=pa.string()),
-            "dst_key": pa.array([k[2] for k in items], type=pa.string()),
-            "repos_packed": pa.array([SEP.join(sorted(agg[k])) for k in items], type=pa.string()),
+            "entity_key": t.column("k1"),
+            "label": t.column("k2"),
+            "types_packed": t.column("k3"),
+            "repos_packed": t.column("repos_packed"),
         }
     )
 
 
-def merge_edge_group(group: pd.DataFrame) -> pd.DataFrame:
-    repos: set = set()
-    for rs in group["repos_packed"]:
-        repos.update(rs.split(SEP))
-    first = group.iloc[0]
-    return pd.DataFrame(
+def split_edges(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    t = batch.filter(pc.equal(batch.column("kind"), "e"))
+    return pa.table(
         {
-            "src_key": [first["src_key"]],
-            "pred": [first["pred"]],
-            "dst_key": [first["dst_key"]],
-            "repos_packed": ["|".join(sorted(repos))],
+            "src_key": t.column("k1"),
+            "pred": t.column("k2"),
+            "dst_key": t.column("k3"),
+            "repos_packed": t.column("repos_packed"),
         }
     )
 

@@ -25,7 +25,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from text_to_graph_ray.keys import entity_key, resolve_alias
+from text_to_graph_ray.keys import resolve_alias
+
+
+def entity_key_array(arr):
+    """Vectorized sanitize+lower (keys.entity_key semantics) via pyarrow.compute."""
+    import pyarrow.compute as pc
+
+    return pc.utf8_lower(pc.utf8_trim_whitespace(pc.replace_substring(arr, pattern="|", replacement="_")))
 
 
 def build_defs_index(defines_rows) -> dict:
@@ -59,15 +66,62 @@ class AliasResolver:
         self.memo[key] = out
         return out
 
+    def _resolve_array(self, arr: pa.Array) -> pa.Array:
+        """Vectorized: dictionary-encode the column and resolve only the
+        DISTINCT keys through the (memoized) alias rule — per-row python work
+        drops from O(rows) to O(unique keys per batch)."""
+        keys = entity_key_array(arr)
+        enc = keys.combine_chunks().dictionary_encode() if isinstance(keys, pa.ChunkedArray) else keys.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        mapped = [self.resolve(u) for u in uniq]
+        if mapped == uniq:
+            return keys
+        return pa.array(mapped, type=pa.string()).take(enc.indices)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch.column("kind").to_pylist()
-        a = batch.column("a").to_pylist()
-        c = batch.column("c").to_pylist()
-        a_key = [self.resolve(entity_key(x)) for x in a]
-        c_key = [self.resolve(entity_key(x)) if k == "edge" else "" for x, k in zip(c, kinds)]
-        return batch.append_column("a_key", pa.array(a_key, type=pa.string())).append_column(
-            "c_key", pa.array(c_key, type=pa.string())
+        a_key = self._resolve_array(batch.column("a"))
+        c_key = self._resolve_array(batch.column("c"))
+        return batch.append_column("a_key", a_key).append_column("c_key", c_key)
+
+
+class MergedLinker:
+    """Post-canonicalization entity linking over the DISTINCT vocabulary.
+
+    Runs on the (already merged, vocabulary-sized) graph rows rather than the
+    raw mention stream: resolving once per distinct key instead of once per
+    mention makes the alias rule O(|vocabulary|), and the broadcast defs index
+    is fetched by this one small stage only. Rewrites k1 (both kinds) and k3
+    (edge dst only — for node rows k3 is the packed type set and must pass
+    through untouched)."""
+
+    def __init__(self, defs_ref=None, defs_idx: dict | None = None):
+        if defs_idx is None:
+            import ray
+
+            defs_idx = ray.get(defs_ref) if defs_ref is not None else {}
+        self.r = AliasResolver(defs_idx=defs_idx)
+
+    def _resolve_keys(self, arr: pa.Array) -> pa.Array:
+        # keys are already normalized; only the alias rule applies here
+        enc = arr.combine_chunks().dictionary_encode() if isinstance(arr, pa.ChunkedArray) else arr.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        mapped = [self.r.resolve(u) for u in uniq]
+        if mapped == uniq:
+            return arr
+        return pa.array(mapped, type=pa.string()).take(enc.indices)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        old_k1, old_k3 = batch.column("k1"), batch.column("k3")
+        k1 = self._resolve_keys(old_k1)
+        is_edge = pc.equal(batch.column("kind"), "e")
+        k3 = pc.if_else(is_edge, self._resolve_keys(old_k3), old_k3)
+        changed = pc.or_(pc.invert(pc.equal(k1, old_k1)), pc.invert(pc.equal(k3, old_k3)))
+        out = batch.set_column(batch.schema.get_field_index("k1"), "k1", k1).set_column(
+            batch.schema.get_field_index("k3"), "k3", k3
         )
+        return out.append_column("changed", changed)
 
 
 class NgramScorer:

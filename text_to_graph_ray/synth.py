@@ -347,7 +347,7 @@ def expected_tables(triples_by_file, link: bool):
 
 # version-tagged cache dir: bump when the generator changes so stale corpora
 # are never reused across code versions
-SYNTH_ROOT = "/tmp/graft_synth/v2"
+SYNTH_ROOT = "/tmp/graft_synth/v3"
 
 _SF_FILES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 
@@ -381,7 +381,9 @@ def ensure_synth(sf_dir: str, seed: int = 42) -> str:
 
     cols = ["repo", "path", "commit", "lang", "content"]
     tbl = pa.table({c: [f[c] for f in files] for c in cols})
-    pq.write_table(tbl, os.path.join(tmp, "repo_files.parquet"))
+    # small row groups so ray.data.read_parquet can split one file into many
+    # read tasks — a single fat row group serializes the whole extract chain
+    pq.write_table(tbl, os.path.join(tmp, "repo_files.parquet"), row_group_size=128)
 
     for link, name in [(False, "expected_triples_raw"), (True, "expected_triples_linked")]:
         trs, nds = expected_tables(tbf, link=link)
@@ -391,6 +393,66 @@ def ensure_synth(sf_dir: str, seed: int = 42) -> str:
         else:
             pq.write_table(pa.Table.from_pylist(nds), os.path.join(tmp, "expected_nodes_raw.parquet"))
 
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    import shutil
+
+    if not os.path.exists(done):
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _scaling_file(repo: str, path: str, gid: int, n_files: int, n_funcs: int = 6, body_lines: int = 30) -> str:
+    """Call-heavy, definition-light python file (~4 KB): realistic shape for
+    the scaling measurement — per-file extraction compute dominates while the
+    defs vocabulary stays broadcast-sized, and cross-file bare-name calls
+    exercise the canonicalization merge."""
+    lines = ['"""synthetic module."""', "import os"]
+    for k in range(n_funcs):
+        fn = f"fn_{gid}_{k}"
+        lines.append("")
+        lines.append(f"def {fn}(x):")
+        lines.append("    y0 = log(x)")
+        for i in range(1, body_lines):
+            tgt_gid = (gid + i * 7 + k) % n_files
+            tgt = f"fn_{tgt_gid}_{i % n_funcs}"
+            lines.append(f"    y{i} = {tgt}(y{i - 1})")
+        lines.append(f"    return y{body_lines - 1}")
+    return "\n".join(lines) + "\n"
+
+
+def ensure_scaling_corpus(n_files: int = 60_000, n_funcs: int = 6, body_lines: int = 30, seed: int = 42, shards: int = 64) -> str:
+    """A larger content-only corpus for the two-parallelism scaling
+    measurement, sharded into many parquet files so the read fans out. No
+    oracle tables (the scaling run measures throughput, not correctness —
+    the correctness corpus is ``ensure_synth``)."""
+    out = os.path.join(SYNTH_ROOT, f"scaling2-{n_files}-{n_funcs}x{body_lines}")
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    per_shard = (n_files + shards - 1) // shards
+    gid = 0
+    for s in range(shards):
+        rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+        for _ in range(per_shard):
+            if gid >= n_files:
+                break
+            repo = f"org{gid % 40}/repo{gid % 400}"
+            path = f"src/pkg{gid % 7}/mod_{gid}.py"
+            rows["repo"].append(repo)
+            rows["path"].append(path)
+            rows["commit"].append(_commit_for(repo))
+            rows["lang"].append("python")
+            rows["content"].append(_scaling_file(repo, path, gid, n_files, n_funcs, body_lines))
+            gid += 1
+        pq.write_table(pa.table(rows), os.path.join(tmp, f"shard-{s:04d}.parquet"), row_group_size=256)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
     import shutil
