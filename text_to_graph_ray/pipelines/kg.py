@@ -109,6 +109,19 @@ def build_defs_index(records_ds) -> dict:
     return idx
 
 
+def defs_index_from_merged(merged) -> dict:
+    """Same index, read off the merged graph's ``kind='d'`` rows — definition
+    sites rode the canonicalization shuffle, so no second extraction pass."""
+    idx: dict[str, set] = {}
+    d = merged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "d")).select(["k1", "k2"]), batch_format="pyarrow"
+    )
+    for b in d.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for n, m in zip(b.column("k1").to_pylist(), b.column("k2").to_pylist()):
+            idx.setdefault(n, set()).add(m)
+    return idx
+
+
 def _plain_keys(batch: pa.Table) -> pa.Table:
     """No-linking key computation (link_aliases=False path) — vectorized."""
     from text_to_graph_ray.stages.linker import entity_key_array
@@ -145,18 +158,26 @@ def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
     # the vocabulary pass is dict-lookup cheap: a small pool amortizes the
     # per-actor defs-index fetch instead of paying it cpus-2 times
     pool_max = max(1, min(cfg.linker_concurrency if cfg.linker_concurrency > 0 else 4, cpus - 2))
-    linked = merged.map_batches(
+    merged_nd = merged.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("kind"), "d"))), batch_format="pyarrow"
+    )  # def-site rows were only needed to build the index
+
+    # cheap pre-scan: does ANY vocabulary key actually alias? On corpora with
+    # no (or few) dotted references this avoids rewriting + re-materializing
+    # the whole merged graph — the common case at scale.
+    probe = merged_nd.map_batches(
         MergedLinker,
         batch_format="pyarrow",
         concurrency=(1, pool_max),
         fn_constructor_kwargs={"defs_ref": ref},
-    ).materialize()  # vocabulary-sized; consumed three times below
-
-    changed_rows = linked.map_batches(
+    )
+    changed_rows = probe.map_batches(
         lambda b: b.filter(b.column("changed")).select(["kind", "k1", "k2", "k3"]), batch_format="pyarrow"
     ).take_all()
     if not changed_rows:
-        return linked.drop_columns(["changed"])
+        return merged_nd  # lazy filter over the already-materialized merged
+
+    linked = probe.materialize()  # vocabulary-sized; consumed twice below
     node_keys = {r["k1"] for r in changed_rows if r["kind"] == "n"}
     triple_keys = {(r["k1"], r["k2"], r["k3"]) for r in changed_rows if r["kind"] == "e"}
     aff_ref = ray.put((node_keys, triple_keys))
@@ -238,8 +259,7 @@ def graph_tables(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, which: s
     disk-backed reuse/resume at scale, use ``run`` instead."""
     merged = merged_graph(keyed_records(records_dataset(input_path, cfg), cfg), cfg)
     if cfg.link_aliases:
-        defs_idx = build_defs_index(records_dataset(input_path, cfg))
-        merged = relink_merged(merged, defs_idx, cfg)
+        merged = relink_merged(merged, defs_index_from_merged(merged), cfg)
     nodes = nodes_from_merged(merged) if which in ("both", "nodes") else None
     edges = edges_from_merged(merged) if which in ("both", "edges") else None
     return nodes, edges
@@ -333,7 +353,7 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
 
     merged = merged_graph(keyed_records(read_records(), cfg), cfg)
     if cfg.link_aliases:
-        merged = relink_merged(merged, build_defs_index(read_records()), cfg)
+        merged = relink_merged(merged, defs_index_from_merged(merged), cfg)
     nodes = nodes_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
     nodes.write_parquet(f"{out_dir}/nodes")
     edges = edges_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")

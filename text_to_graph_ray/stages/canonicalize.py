@@ -63,7 +63,11 @@ def combined_partials(batch: pa.Table, buckets: int) -> pa.Table:
     ).drop_duplicates()
     edges["bucket"] = _stable_bucket(edges["k1"] + SEP + edges["k2"] + SEP + edges["k3"], buckets)
 
-    out = pd.concat([nodes, edges], ignore_index=True)
+    d = df[df["kind"] == "def"]
+    defs = pd.DataFrame({"kind": "d", "k1": d["a_key"], "k2": d["b"], "k3": "", "repo": ""}).drop_duplicates()
+    defs["bucket"] = _stable_bucket(defs["k1"], buckets)
+
+    out = pd.concat([nodes, edges, defs], ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -102,9 +106,22 @@ def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         rows_k3.append(k3)
         rows_pack.append("|".join(sorted(eds[(k1, k2, k3)])))
 
+    _append_def_rows(group, rows_kind, rows_k1, rows_k2, rows_k3, rows_pack)
+
     # return Arrow, not pandas: object-dtype pandas blocks force a slow
     # string conversion in every downstream stage (and in materialize)
     return _merged_table(rows_kind, rows_k1, rows_k2, rows_k3, rows_pack)
+
+
+def _append_def_rows(group, rows_kind, rows_k1, rows_k2, rows_k3, rows_pack):
+    d = group[group["kind"] == "d"]
+    if len(d):
+        for k1, k2 in sorted(set(zip(d["k1"], d["k2"]))):
+            rows_kind.append("d")
+            rows_k1.append(k1)
+            rows_k2.append(k2)
+            rows_k3.append("")
+            rows_pack.append("")
 
 
 def _merged_table(kind, k1, k2, k3, pack) -> pa.Table:
@@ -154,6 +171,8 @@ def merge_bucket_packed(group: pd.DataFrame) -> pd.DataFrame:
         rows_k2.append(k2)
         rows_k3.append(k3)
         rows_pack.append("|".join(sorted(eds[(k1, k2, k3)])))
+
+    _append_def_rows(group, rows_kind, rows_k1, rows_k2, rows_k3, rows_pack)
 
     return _merged_table(rows_kind, rows_k1, rows_k2, rows_k3, rows_pack)
 

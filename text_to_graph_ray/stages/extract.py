@@ -151,6 +151,10 @@ def _extract_text(file_ent, lines, node, edge):
             edge(m.group(1), T_CONCEPT, m.group(2), m.group(3), T_CONCEPT)
 
 
+def _module_of(path: str) -> str:
+    return path.rsplit(".", 1)[0].replace("/", ".")
+
+
 _EXTRACTORS = {
     "python": _extract_python,
     "javascript": _extract_js,
@@ -216,6 +220,11 @@ def extract_records(batch: pa.Table) -> pa.Table:
             if key not in seen_edges:  # chunk-local keep-first dedup
                 seen_edges.add(key)
                 emit("edge", src, pred, dst)
+                if pred == "defines":
+                    # definition-site record: (name, defining module path) —
+                    # rides the same stream so the linking index can be read
+                    # off the merged graph without a second extraction pass
+                    emit("def", dst, _module_of(path), "")
 
         if cidx == 0:  # repo-path containment emitted once per file
             for (s, st, p, d, dt) in containment_triples(repo, path):

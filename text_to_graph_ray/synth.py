@@ -409,29 +409,37 @@ def ensure_synth(sf_dir: str, seed: int = 42) -> str:
 
 def _scaling_file(repo: str, path: str, gid: int, n_files: int, n_funcs: int = 6, body_lines: int = 30) -> str:
     """Call-heavy, definition-light python file (~4 KB): realistic shape for
-    the scaling measurement — per-file extraction compute dominates while the
-    defs vocabulary stays broadcast-sized, and cross-file bare-name calls
-    exercise the canonicalization merge."""
+    the scaling measurement — per-file extraction compute dominates, call
+    targets REPEAT (like real code) so the chunk-local dedup and the combiner
+    collapse the edge stream, the defs vocabulary stays broadcast-sized, and
+    cross-file bare-name calls exercise the canonicalization merge."""
     lines = ['"""synthetic module."""', "import os"]
     for k in range(n_funcs):
         fn = f"fn_{gid}_{k}"
+        # each function calls a small pool of targets, repeatedly
+        pool = [
+            "log",
+            f"fn_{gid}_{(k + 1) % n_funcs}",
+            f"fn_{(gid + 13) % n_files}_{k % n_funcs}",
+            f"fn_{(gid * 31 + k) % n_files}_0",
+            "os.path",
+        ]
         lines.append("")
         lines.append(f"def {fn}(x):")
         lines.append("    y0 = log(x)")
         for i in range(1, body_lines):
-            tgt_gid = (gid + i * 7 + k) % n_files
-            tgt = f"fn_{tgt_gid}_{i % n_funcs}"
+            tgt = pool[i % len(pool)]
             lines.append(f"    y{i} = {tgt}(y{i - 1})")
         lines.append(f"    return y{body_lines - 1}")
     return "\n".join(lines) + "\n"
 
 
-def ensure_scaling_corpus(n_files: int = 60_000, n_funcs: int = 6, body_lines: int = 30, seed: int = 42, shards: int = 64) -> str:
+def ensure_scaling_corpus(n_files: int = 100_000, n_funcs: int = 8, body_lines: int = 250, seed: int = 42, shards: int = 128) -> str:
     """A larger content-only corpus for the two-parallelism scaling
     measurement, sharded into many parquet files so the read fans out. No
     oracle tables (the scaling run measures throughput, not correctness —
     the correctness corpus is ``ensure_synth``)."""
-    out = os.path.join(SYNTH_ROOT, f"scaling2-{n_files}-{n_funcs}x{body_lines}")
+    out = os.path.join(SYNTH_ROOT, f"scaling3-{n_files}-{n_funcs}x{body_lines}")
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
