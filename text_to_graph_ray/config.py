@@ -21,7 +21,11 @@ class PipelineConfig:
     max_factor: float = 1.1         # hard cap = chunk_size * max_factor
     min_factor: float = 0.5         # chunks below chunk_size * min_factor merge
     # context padding (reference: graph_generator.py:194-199, 247-288)
-    padding_mode: str = "chars"     # "chars" (L0-style overlap) | "chunks" (L2-style ±1 chunk) | "none"
+    # "chars" (L0-style overlap) | "chunks" (L2-style ±1 chunk) | "none".
+    # Default "none": the deterministic extractors read `text` only, so
+    # padding would double the chunk stream's bytes for nothing; switch to
+    # "chars"/"chunks" for the two-pass mention-hint mode.
+    padding_mode: str = "none"
     overlap_chars: int = 100        # L0 overlap coefficient (reference config.py:204)
     # extraction
     two_pass: bool = False          # L1 mentions then L2 triples vs single-pass L0

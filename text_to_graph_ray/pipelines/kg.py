@@ -57,7 +57,7 @@ def _input_blocks(input_path: str) -> int:
             total += sum(os.path.getsize(os.path.join(root, n)) for n in names if n.endswith(".parquet"))
     elif os.path.exists(input_path):
         total = os.path.getsize(input_path)
-    return max(16, min(4096, total // (1 << 20) or 16))
+    return max(16, min(1024, total // (4 << 20) or 16))
 
 
 def records_dataset(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, with_part: bool = False):
@@ -69,7 +69,17 @@ def records_dataset(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, with_
     )
     ds = ds.map_batches(add_sha256, batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(lambda b: chunk_files(b, cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(extract_records, batch_format="pyarrow", batch_size=cfg.batch_size)
+    if cfg.two_pass:
+        # L1 mentions -> L2 triples gated on the mention set (reference "high
+        # resolution" path, graph_generator.py:378-382). Fused in one call so
+        # a chunk's records never split across the filter's batch boundary.
+        from text_to_graph_ray.stages.extract import mention_consistency_filter
+
+        ds = ds.map_batches(
+            lambda b: mention_consistency_filter(extract_records(b)), batch_format="pyarrow", batch_size=cfg.batch_size
+        )
+    else:
+        ds = ds.map_batches(extract_records, batch_format="pyarrow", batch_size=cfg.batch_size)
     if with_part:
         ds = ds.map_batches(lambda b: _with_part(b, cfg.num_partitions), batch_format="pyarrow")
     return ds

@@ -111,7 +111,9 @@ def chunk_one_file(content: str, lang: str, cfg: PipelineConfig) -> list[dict]:
     # context padding computed in place — no cross-row dependency
     n = len(chunks)
     for idx, ch in enumerate(chunks):
-        if cfg.padding_mode == "none" or n == 1:
+        if cfg.padding_mode == "none":
+            padded = ""  # not materialized: extraction reads `text`; modes "chars"/"chunks" exist for the two-pass path
+        elif n == 1:
             padded = ch["text"]
         elif cfg.padding_mode == "chunks":  # L2-style ±1 full chunk (graph_generator.py:194-199)
             parts = []

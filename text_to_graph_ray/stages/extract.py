@@ -176,6 +176,57 @@ RECORD_FIELDS = [
 RECORDS_SCHEMA = pa.schema(RECORD_FIELDS)
 
 
+def extract_mentions(batch: pa.Table) -> pa.Table:
+    """L1 mention pass (reference "high resolution" first stage,
+    graph_generator.py:215-243): per-chunk entity list as proper rows
+    ``(repo, path, content_sha256, chunk_index, ord, mention, type)`` —
+    a real Arrow table instead of the reference's quoted CSV blob
+    (sqlite_support.py:71-81)."""
+    rec = extract_records(batch)
+    import pyarrow.compute as pc
+
+    nodes = rec.filter(pc.equal(rec.column("kind"), "node"))
+    return pa.table(
+        {
+            "repo": nodes.column("repo"),
+            "path": nodes.column("path"),
+            "content_sha256": nodes.column("content_sha256"),
+            "chunk_index": nodes.column("chunk_index"),
+            "ord": nodes.column("ord"),
+            "mention": nodes.column("a"),
+            "type": nodes.column("b"),
+        }
+    )
+
+
+def mention_consistency_filter(batch: pa.Table) -> pa.Table:
+    """L2 semantics (reference graph_generator.py:160-212): the triple pass is
+    seeded with the chunk's L1 mention list; edges whose endpoints are not in
+    that chunk's mention set are dropped. Chunk-local — no join, no shuffle
+    (the mention set is re-derived from the node records riding the same
+    batch, which is exact because extraction emits every endpoint as a node
+    record)."""
+    kinds = batch.column("kind").to_pylist()
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    idxs = batch.column("chunk_index").to_pylist()
+    a = batch.column("a").to_pylist()
+    c = batch.column("c").to_pylist()
+
+    mentions: dict[tuple, set] = {}
+    for kind, r, p, i, label in zip(kinds, repos, paths, idxs, a):
+        if kind == "node":
+            mentions.setdefault((r, p, i), set()).add(label)
+    keep = []
+    for kind, r, p, i, s, d in zip(kinds, repos, paths, idxs, a, c):
+        if kind != "edge":
+            keep.append(True)
+        else:
+            m = mentions.get((r, p, i), set())
+            keep.append(s in m and d in m)
+    return batch.filter(pa.array(keep))
+
+
 def extract_records(batch: pa.Table) -> pa.Table:
     """chunk rows -> flat node/edge records; chunk-local edge dedup keep-first
     (response_parser.py:102 semantics); nodes emitted only as edge endpoints so
