@@ -31,7 +31,12 @@ class PipelineConfig:
     two_pass: bool = False          # L1 mentions then L2 triples vs single-pass L0
     # entity linking
     link_aliases: bool = True       # union-find alias merge of dotted/bare names
-    linker_batch_size: int = 4096
+    # record-level stages (keys / partials) use whole-block batches
+    # (batch_size=None): per-call pandas overhead is ~3-5 ms, so slicing
+    # tens of millions of records into small batches burns more time in
+    # fixed overhead than in work, and a fixed batch size larger than the
+    # block forces cross-block bundling that breaks operator fusion
+    linker_batch_size: int | None = None
     linker_concurrency: int = 0     # actor-pool max; 0 = auto (cluster CPUs - 2)
     # physical
     num_partitions: int = 64        # checkpoint/shuffle partition count

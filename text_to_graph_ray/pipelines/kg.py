@@ -1,20 +1,25 @@
 """The flagship KG-construction pipeline (SURVEY §3.4 lifecycle):
 
-    read_parquet(repo_files)
-      -> map_batches(add_sha256)                      stateless tasks
-      -> map_batches(chunk_files)                     stateless (padding fused)
-      -> map_batches(extract_records)                 stateless per-lang rules
-      -> map_batches(AliasResolver, concurrency=N)    actor pool (broadcast defs index)
-      -> map_batches(node/edge partials)              combiner (pre-shuffle)
-      -> groupby(entity_key / triple).map_groups      the canonicalization shuffle
-      -> sort + dense ids                             deterministic materialize
+    read_parquet(repo_files)                     block-split, column-pruned
+      -> map_batches(add_sha256)                 stateless tasks (fused chain)
+      -> map_batches(chunk_files)                code-aware chunking
+      -> map_batches(extract_records)            per-lang rules (+ def-site rows)
+      -> map_batches(_plain_keys)                vectorized entity keys
+      -> map_batches(combined_partials)          combiner: distinct rows/batch
+      -> groupby(bucket).map_groups(merge)       ONE canonicalization shuffle
+                                                 (nodes + edges + def sites)
+      -> relink_merged                           sparse vocabulary-level alias
+                                                 linking (MergedLinker actor
+                                                 pool, broadcast defs index;
+                                                 only affected rows re-merge)
+      -> split + sort + dense ids                deterministic materialize
       -> write_parquet(nodes/, edges/)
 
 Two entry shapes:
-* ``nodes_table`` / ``edges_table`` — lazy Datasets for queries/tests
-  (no checkpointing, stream straight through);
-* ``run`` — the checkpointed job: extraction results land in per-partition
-  parquet + manifests, interrupted runs resume via manifest anti-join without
+* ``graph_tables`` — lazy end-to-end for queries/tests (only the
+  vocabulary-sized merged graph is materialized);
+* ``run`` — the checkpointed job: extraction lands in per-partition parquet +
+  manifests; interrupted runs resume via manifest anti-join without
   recomputing completed partitions.
 
 Nothing here calls ray.init(); callers own the session.
@@ -246,7 +251,9 @@ def merged_graph(resolved, cfg: PipelineConfig = DEFAULT_CONFIG):
     together (kind column), combiner-reduced per batch, merged per hash
     bucket. Returns the (vocabulary-sized) merged dataset, materialized so
     nodes and edges can both be split from it without re-running extraction."""
-    parts = resolved.map_batches(lambda b: combined_partials(b, cfg.num_partitions), batch_format="pyarrow")
+    parts = resolved.map_batches(
+        lambda b: combined_partials(b, cfg.num_partitions), batch_format="pyarrow", batch_size=cfg.linker_batch_size
+    )
     return parts.groupby("bucket").map_groups(merge_bucket, batch_format="pandas").materialize()
 
 
