@@ -105,22 +105,27 @@ class MinHasher:
         )
 
 
-def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
-    """signature rows -> (band, band_hash, id, sig) — signatures ride along."""
+def _band_rows(batch: pa.Table, bands: int, shuffle_buckets: int = 64) -> pa.Table:
+    """signature rows -> (bucket, band, band_hash, id, sig). ``bucket`` is a
+    stable hash of (band, band_hash) so the exchange groups by ~64 coarse
+    buckets (one vectorized merge task each) instead of one task per LSH
+    bucket — same output, none of the per-tiny-group scheduling overhead."""
     ids = batch.column("id").to_pylist()
     sigs = batch.column("sig").to_pylist()
-    out_band, out_hash, out_id, out_sig = [], [], [], []
+    out_bucket, out_band, out_hash, out_id, out_sig = [], [], [], [], []
     for i, sig in zip(ids, sigs):
         arr = np.asarray(sig, dtype=np.uint64)
         r = len(arr) // bands
         for band in range(bands):
-            chunk = arr[band * r : (band + 1) * r]
+            h = zlib.crc32(arr[band * r : (band + 1) * r].tobytes())
+            out_bucket.append(zlib.crc32(f"{band}:{h}".encode()) % shuffle_buckets)
             out_band.append(band)
-            out_hash.append(zlib.crc32(chunk.tobytes()))
+            out_hash.append(h)
             out_id.append(i)
             out_sig.append(sig)
     return pa.table(
         {
+            "bucket": pa.array(out_bucket, type=pa.int64()),
             "band": pa.array(out_band, type=pa.int32()),
             "band_hash": pa.array(out_hash, type=pa.int64()),
             "id": pa.array(out_id, type=pa.int64()),
@@ -130,25 +135,24 @@ def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
 
 
 def _bucket_pairs(group, max_bucket: int = 200):
-    """All pairs within one (band, band_hash) bucket with signature-estimated
-    Jaccard. Buckets above max_bucket are truncated (logged via a sentinel row
-    count upstream) — a hot bucket at real scale means a degenerate shingle."""
+    """All pairs within each (band, band_hash) LSH bucket of one coarse shuffle
+    bucket, with signature-estimated Jaccard. LSH buckets above max_bucket are
+    truncated — a hot bucket at real scale means a degenerate shingle."""
     import pandas as pd
 
-    ids = list(group["id"])
-    sigs = list(group["sig"])
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    order = np.argsort(ids)
-    ids = [ids[i] for i in order][:max_bucket]
-    sigs = [np.asarray(sigs[i], dtype=np.uint64) for i in order][:max_bucket]
     a_out, b_out, est = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-            est.append(float((sigs[i] == sigs[j]).mean()))
-    return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": est})
+    for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
+        if len(g) < 2:
+            continue
+        order = np.argsort(list(g["id"]))[:max_bucket]
+        ids = [list(g["id"])[i] for i in order]
+        sigs = [np.asarray(list(g["sig"])[i], dtype=np.uint64) for i in order]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                est.append(float((sigs[i] == sigs[j]).mean()))
+    return pd.DataFrame({"a": np.array(a_out, dtype="int64"), "b": np.array(b_out, dtype="int64"), "est_jaccard": np.array(est, dtype="float64")})
 
 
 def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", k=64, bands=16, shingle=3, threshold=0.7, seed=42, concurrency=4):
@@ -161,7 +165,7 @@ def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", k=64, bands=16,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k, "shingle": shingle, "seed": seed},
     )
     band_rows = sigs.map_batches(lambda b: _band_rows(b, bands), batch_format="pyarrow")
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = band_rows.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"), threshold)), batch_format="pyarrow"
     )
@@ -211,15 +215,18 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
     def fingerprints(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_pylist()
         fps = [simhash64(t or "") for t in b.column(text_col).to_pylist()]
-        rows = {"band": [], "band_val": [], "id": [], "fp": []}
+        rows = {"bucket": [], "band": [], "band_val": [], "id": [], "fp": []}
         for i, fp in zip(ids, fps):
             for band in range(4):
+                val = (fp >> (16 * band)) & 0xFFFF
+                rows["bucket"].append(zlib.crc32(f"{band}:{val}".encode()) % 64)
                 rows["band"].append(band)
-                rows["band_val"].append((fp >> (16 * band)) & 0xFFFF)
+                rows["band_val"].append(val)
                 rows["id"].append(i)
                 rows["fp"].append(fp)
         return pa.table(
             {
+                "bucket": pa.array(rows["bucket"], type=pa.int64()),
                 "band": pa.array(rows["band"], type=pa.int32()),
                 "band_val": pa.array(rows["band_val"], type=pa.int64()),
                 "id": pa.array(rows["id"], type=pa.int64()),
@@ -228,25 +235,25 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = list(group["id"])
-        fps = list(group["fp"])
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        fps = [int(fps[i]) for i in order]
         a, b, h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(fps[i] ^ fps[j]).count("1")
-                if d <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    h.append(d)
-        return pd.DataFrame({"a": a, "b": b, "hamming": h})
+        for (_, _), g in group.groupby(["band", "band_val"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = sorted(g["id"])
+            fp_of = dict(zip(g["id"], (int(x) for x in g["fp"])))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(fp_of[ids[i]] ^ fp_of[ids[j]]).count("1")
+                    if d <= max_hamming:
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        h.append(d)
+        return pd.DataFrame({"a": np.array(a, dtype="int64"), "b": np.array(b, dtype="int64"), "hamming": np.array(h, dtype="int64")})
 
     from ray.data.aggregate import Min
 
     rows = ds.map_batches(fingerprints, batch_format="pyarrow")
-    pairs = rows.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")).sort(["a", "b"])
 
 
