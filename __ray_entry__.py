@@ -192,6 +192,24 @@ def _q_text_quality(sf_dir):
     return ds.map_batches(quality_score, batch_format="pyarrow")
 
 
+def _q_text_tokens(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import bpe_ish_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_ish_tokens, batch_format="pyarrow")
+
+
+def _q_dedup_ngram_verified(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import verified_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return verified_near_dup_pairs(ds, threshold=0.4)
+
+
 def _q_text_fingerprint(sf_dir):
     import ray.data as rd
 
@@ -276,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "text_stats": _q_text_stats,
+        "text_tokens": _q_text_tokens,
+        "dedup_ngram_verified": _q_dedup_ngram_verified,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
@@ -316,6 +336,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens, "
             "(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::BIGINT AS n_punct "
             "FROM documents"
+        ),
+        "text_tokens": (
+            "SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_ws_tokens, "
+            "len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))::BIGINT AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "events_sessions": (
+            "SELECT user_id, round(min(epoch), 6) AS start_epoch, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 4) AS sum_value FROM ("
+            "  SELECT user_id, value, epoch, sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch ROWS UNBOUNDED PRECEDING) AS sess FROM ("
+            "    SELECT user_id, value, epoch(ts) AS epoch, "
+            "    CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "         OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800 THEN 1 ELSE 0 END AS new_sess "
+            "    FROM events)) "
+            "GROUP BY user_id, sess"
         ),
         "ann_topk": (
             "SELECT q.vec_id AS query_id, "

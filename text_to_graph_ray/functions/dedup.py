@@ -175,6 +175,41 @@ def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", k=64, bands=16,
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard")).sort(["a", "b"])
 
 
+def verified_near_dup_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands=32, shingle=3, seed=42):
+    """MinHash-LSH candidates verified with EXACT n-gram Jaccard. Candidate
+    ids are a small set, so their texts are collected once and broadcast; the
+    verification itself is a map over the (tiny) pair table — the corpus is
+    never passed a second time."""
+    import ray
+
+    cand = minhash_near_dup_pairs(
+        ds, text_col=text_col, id_col=id_col, bands=bands, shingle=shingle, threshold=max(0.0, threshold - 0.2), seed=seed
+    )
+    pair_rows = cand.take_all()
+    if not pair_rows:
+        import ray.data as rd
+
+        return rd.from_items([]).map_batches(lambda b: b)  # empty dataset
+    ids = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
+    id_set = pa.array(ids, type=pa.int64())
+    texts: dict[int, str] = {}
+    flt = ds.map_batches(lambda b: b.filter(pc.is_in(b.column(id_col), value_set=id_set)), batch_format="pyarrow")
+    for b in flt.select_columns([id_col, text_col]).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            texts[i] = t or ""
+    ref = ray.put(texts)
+
+    def verify(b: pa.Table) -> pa.Table:
+        tx = ray.get(ref)
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        jac = [round(exact_jaccard(tx.get(x, ""), tx.get(y, ""), shingle), 6) for x, y in zip(a, bb)]
+        out = b.append_column("jaccard", pa.array(jac, type=pa.float64()))
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return cand.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+
+
 def exact_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     sa, sb = set(word_shingles(text_a, shingle)), set(word_shingles(text_b, shingle))
     if not sa and not sb:

@@ -40,6 +40,27 @@ def text_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# BPE-ish pre-tokenization (GPT-2-style word/number/punct split, simplified to
+# an RE2-compatible pattern — no lookaheads — so a DuckDB oracle can replicate
+# it exactly with regexp_extract_all)
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+_BPE_ISH = re.compile(BPE_ISH_PATTERN)
+
+
+def bpe_ish_tokens(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Token counts: whitespace tokens + BPE-ish pre-tokens per document."""
+    texts = batch.column(text_col).to_pylist()
+    ws = [len((t or "").split()) for t in texts]
+    bpe = [len(_BPE_ISH.findall(t or "")) for t in texts]
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_ws_tokens": pa.array(ws, type=pa.int64()),
+            "n_bpe_tokens": pa.array(bpe, type=pa.int64()),
+        }
+    )
+
+
 def quality_score(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Composite quality heuristics (length / mean token length / stopword
     ratio / alpha ratio) — pipeline-filter material, rows-only checked."""
