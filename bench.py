@@ -124,7 +124,9 @@ def run_scaling() -> dict:
 
     from text_to_graph_ray.synth import ensure_scaling_corpus
 
-    corpus = ensure_scaling_corpus()
+    # GRAFT_SCALING_FILES shrinks the corpus for a quick smoke of the
+    # machinery; the recorded BASELINE.md numbers use the 100k default
+    corpus = ensure_scaling_corpus(n_files=int(os.environ.get("GRAFT_SCALING_FILES", "100000")))
 
     def child(ncpu: int) -> dict:
         env = dict(

@@ -189,7 +189,15 @@ def verified_near_dup_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5,
     if not pair_rows:
         import ray.data as rd
 
-        return rd.from_items([]).map_batches(lambda b: b)  # empty dataset
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        return rd.from_arrow(empty)
     ids = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
     id_set = pa.array(ids, type=pa.int64())
     texts: dict[int, str] = {}
