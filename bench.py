@@ -140,8 +140,13 @@ def run_scaling() -> dict:
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = child(lo)
-    r_hi = child(hi)
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+    # shared-host noise penalizes the full-width (32-cpu) runs most; with
+    # repeats > 1, the min per level estimates uncontended capability
+    runs_lo = [child(lo) for _ in range(repeats)]
+    runs_hi = [child(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
