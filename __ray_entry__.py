@@ -13,8 +13,12 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # repo-root import safety
 
 from text_to_graph_ray.config import PipelineConfig
 from text_to_graph_ray.synth import ensure_synth, synth_dir_for
