@@ -169,6 +169,15 @@ def _q_dedup_embedding(sf_dir):
     return embedding_near_dup_pairs(ds, threshold=0.45)
 
 
+def _q_dedup_embedding_lsh(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import embedding_near_dup_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_lsh(ds, threshold=0.45, n_planes=4)
+
+
 def _q_text_stats(sf_dir):
     import ray.data as rd
 
@@ -297,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_stats": _q_text_stats,
         "text_tokens": _q_text_tokens,
         "dedup_ngram_verified": _q_dedup_ngram_verified,

@@ -191,3 +191,19 @@ def test_relabel_edges(ray_session):
     out = relabel_edges(ds, {"calls": "invokes"}).to_pandas()
     assert set(out["pred"]) == {"invokes", "defines"}
     assert relabel_edges(ds, {}) is ds
+
+
+def test_embedding_near_dup_lsh_finds_close_pair(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import embedding_near_dup_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=16)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + rng.normal(scale=0.005, size=16)).tolist()},
+        {"vec_id": 2, "embedding": rng.normal(size=16).tolist()},
+    ]
+    out = embedding_near_dup_lsh(rd.from_items(rows), threshold=0.95, n_planes=2).to_pandas()
+    assert (0, 1) in set(zip(out["a"], out["b"]))  # nearly-identical vectors share every bucket

@@ -305,6 +305,50 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
 # ---------------------------------------------------------------------------
 
 
+def embedding_near_dup_lsh(ds, threshold=0.95, id_col="vec_id", vec_col="embedding", n_planes=8, seed=42):
+    """Scale-path variant: signed-random-projection buckets (shared with
+    functions/ann.LshIndexer), pairwise cosine only WITHIN a bucket — no
+    broadcast of the full matrix, each bucket merges independently.
+    Approximate: pairs straddling a hyperplane are missed (raise recall with
+    fewer planes or multi-probe)."""
+    import pandas as pd
+
+    from text_to_graph_ray.functions.ann import LshIndexer
+
+    first = ds.take(1)
+    if not first:
+        return ds
+    dim = len(first[0][vec_col])
+    bucketed = ds.map_batches(
+        LshIndexer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed, "vec_col": vec_col},
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.asarray(list(g[vec_col]), dtype=np.float64)[order]
+        n = np.linalg.norm(vecs, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (vecs / n) @ (vecs / n).T
+        a, b, s = [], [], []
+        for i in range(len(ids)):
+            hit = np.where(sims[i, i + 1 :] >= threshold)[0]
+            for j in hit:
+                a.append(int(ids[i]))
+                b.append(int(ids[i + 1 + j]))
+                s.append(round(float(sims[i, i + 1 + j]), 6))
+        return pd.DataFrame({"a": np.array(a, dtype="int64"), "b": np.array(b, dtype="int64"), "sim": np.array(s, dtype="float64")})
+
+    from ray.data.aggregate import Max
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Max("sim", alias_name="sim")).sort(["a", "b"])
+
+
 def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id", vec_col="embedding"):
     """Exact cosine pairs (a < b, sim >= threshold). The full (normalized)
     matrix is broadcast once via ray.put and each batch does one float64
