@@ -43,6 +43,13 @@ class PipelineConfig:
     batch_size: int = 1024          # rows per map_batches call on file-level stages
     salt_buckets: int = 8           # salt for hot entity keys in two-phase aggregation
     stop_entities: tuple = field(default_factory=tuple)  # entity keys dropped pre-shuffle
+    # linking scale guards: defs index is broadcast while it fits
+    # (<= defs_broadcast_max def-site rows), else the shuffle-join fallback
+    # runs (defs table stays distributed); changed-row collection in the
+    # sparse relink is capped at relink_collect_max rows — beyond that the
+    # whole (vocabulary-sized) graph re-merges distributedly instead
+    defs_broadcast_max: int = 2_000_000
+    relink_collect_max: int = 200_000
 
     @property
     def max_tokens(self) -> int:

@@ -1,0 +1,449 @@
+"""Independent local reference implementations ("naive oracles").
+
+Each approximate / heuristic operator in ``functions/`` (MinHash+LSH dedup,
+SimHash dedup, embedding-LSH near-dup, ANN-LSH, text heuristics, the fake
+media decoder) gets a deliberately straightforward SINGLE-THREADED
+re-implementation here, written against the operator's documented semantics —
+NOT by importing its code. ``ensure_doc_expected`` materializes the resulting
+expected tables as parquet under ``/tmp/graft_expected/<tag>/`` so the DuckDB
+oracles in ``__ray_entry__.oracle_sql`` can hash-compare the distributed
+pipelines against them. A divergence between the two code paths (distributed
+bucketing / shuffle / merge vs. the naive loop) fails the driver's hash gate.
+
+What is deliberately shared with the engine (because it IS the spec, not the
+implementation under test): crc32 as the stable hash primitive,
+``np.random.RandomState(seed)`` for permutation / hyperplane parameters, and
+the reference-derived constants (k=64 minhash perms, 16/32 bands, 4x16-bit
+simhash bands, shingle width 3). Everything else — signature accumulation,
+banding, candidate generation, pair verification, ranking — is re-derived.
+
+Reference anchors: near-dup semantics model the sha-identity dedup of
+/root/reference/graph_extractor/src/my_hash.py:4-16 generalized per
+SURVEY.md §2/§6 (Broder MinHash, Charikar SimHash — public algorithms).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXPECTED_ROOT = "/tmp/graft_expected/v1"
+
+_MERSENNE = (1 << 61) - 1
+
+
+def expected_dir_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(EXPECTED_ROOT, tag)
+
+
+# ---------------------------------------------------------------------------
+# text heuristics (independent re-implementations, pure python)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"),
+}
+
+
+def naive_lang(text: str) -> str:
+    t = text or ""
+    for ch in t[:400]:
+        if "一" <= ch <= "鿿":
+            return "zh"
+    words = [w.lower() for w in t.split()[:200]]
+    if not words:
+        return "und"
+    best, best_n = "und", 0
+    for lang in ("en", "de", "fr", "es"):
+        n = 0
+        for w in words:
+            if w in _STOPWORDS[lang]:
+                n += 1
+        if n > best_n:
+            best, best_n = lang, n
+    return best if best_n > 0 else "und"
+
+
+def naive_quality(text: str) -> tuple[float, float, float, float]:
+    t = text or ""
+    toks = t.split()
+    n = len(toks)
+    mean_len = sum(len(x) for x in toks) / n if n else 0.0
+    stop = _STOPWORDS["en"]
+    stop_r = sum(1 for x in toks if x.lower() in stop) / n if n else 0.0
+    alpha = sum(1 for c in t if c.isalpha()) / len(t) if t else 0.0
+    q = min(1.0, n / 50.0) * 0.4 + min(mean_len / 8.0, 1.0) * 0.2 + stop_r * 0.2 + alpha * 0.2
+    return round(mean_len, 6), round(stop_r, 6), round(alpha, 6), round(q, 6)
+
+
+def naive_fingerprint(text: str, k: int = 5, window: int = 4) -> int:
+    t = text or ""
+    if len(t) < k:
+        return zlib.crc32(t.encode("utf-8"))
+    grams = [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)]
+    if len(grams) < window:
+        return min(grams)
+    mins = {min(grams[i : i + window]) for i in range(len(grams) - window + 1)}
+    out = 0
+    for m in mins:  # xor is commutative/associative: iteration order irrelevant
+        out ^= m
+    return out & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized over tokens — different shape than the engine's
+# per-token accumulation loop, same 64-bit majority fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def naive_simhash64(text: str) -> int:
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    hs = np.array(
+        [((zlib.crc32(t.encode()) << 32) | zlib.crc32(t[::-1].encode())) for t in toks],
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(bool)
+    acc = np.where(bits, 1, -1).sum(axis=0)
+    fp = 0
+    for i in range(64):
+        if acc[i] > 0:
+            fp |= 1 << i
+    return fp
+
+
+def naive_simhash_pairs(ids: list[int], texts: list[str], max_hamming: int = 3):
+    """All-pairs hamming check — no banding at all. Equals the engine's banded
+    result for max_hamming <= 3 (4x16-bit pigeonhole: within hamming 3 at
+    least one band matches exactly)."""
+    fps = [naive_simhash64(t) for t in texts]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    a_out, b_out, h_out = [], [], []
+    for x in range(len(order)):
+        i = order[x]
+        for y in range(x + 1, len(order)):
+            j = order[y]
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= max_hamming:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                h_out.append(d)
+    return a_out, b_out, h_out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (naive banding over a dict of buckets)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(k: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def naive_minhash_sig(text: str, a: np.ndarray, b: np.ndarray, shingle: int = 3) -> np.ndarray:
+    """k-perm signature, one shingle at a time (running minimum) — the engine
+    builds an (S, k) matrix instead. Universal hash (crc*a+b) runs in uint64
+    wraparound arithmetic then mod 2^61-1, per the spec."""
+    toks = (text or "").split()
+    if len(toks) < shingle:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+    k = len(a)
+    if not shingles:
+        return np.full(k, np.uint64(_MERSENNE), dtype=np.uint64)
+    sig = np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+    m = np.uint64(_MERSENNE)
+    for s in shingles:
+        h = np.uint64(zlib.crc32(s.encode("utf-8")))
+        sig = np.minimum(sig, (h * a + b) % m)
+    return sig
+
+
+def naive_minhash_pairs(
+    ids: list[int],
+    texts: list[str],
+    k: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    max_bucket: int = 200,
+):
+    """Candidate pairs: same crc32(band bytes) in any band; bucket capped at
+    the max_bucket smallest ids; est_jaccard = fraction of equal signature
+    positions. Returns sorted (a, b, est) with max-est dedup across bands."""
+    a_p, b_p = _minhash_params(k, seed)
+    sigs = {i: naive_minhash_sig(t, a_p, b_p, shingle) for i, t in zip(ids, texts)}
+    r = k // bands
+    buckets: dict[tuple, list] = {}
+    for i in ids:
+        sig = sigs[i]
+        for band in range(bands):
+            h = zlib.crc32(sig[band * r : (band + 1) * r].tobytes())
+            buckets.setdefault((band, h), []).append(i)
+    pairs: dict[tuple, float] = {}
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)[:max_bucket]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                est = float((sigs[i] == sigs[j]).mean())
+                prev = pairs.get((i, j))
+                if prev is None or est > prev:
+                    pairs[(i, j)] = est
+    out = sorted(pairs.items())
+    return [p[0] for p, _ in out], [p[1] for p, _ in out], [e for _, e in out]
+
+
+def naive_word_jaccard(ta: str, tb: str, shingle: int = 3) -> float:
+    def sh(t):
+        toks = (t or "").split()
+        if len(toks) < shingle:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)}
+
+    sa, sb = sh(ta), sh(tb)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# embedding LSH (signed random projections) + ANN-LSH
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _srp_buckets(vecs_n: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (vecs_n @ planes.T) >= 0
+    return (signs.astype(np.uint32) << np.arange(signs.shape[1], dtype=np.uint32)).sum(axis=1).astype(np.int64)
+
+
+def naive_embedding_lsh_pairs(ids: np.ndarray, vecs: np.ndarray, threshold: float, n_planes: int, seed: int = 42):
+    vn = _norm_rows(vecs.astype(np.float64))
+    buckets = _srp_buckets(vn, _planes(vecs.shape[1], n_planes, seed))
+    a_out, b_out, s_out = [], [], []
+    for bk in np.unique(buckets):
+        members = np.where(buckets == bk)[0]
+        if len(members) < 2:
+            continue
+        members = members[np.argsort(ids[members])]
+        sub = vn[members]
+        sims = sub @ sub.T
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                if sims[x, y] >= threshold:
+                    a_out.append(int(ids[members[x]]))
+                    b_out.append(int(ids[members[y]]))
+                    s_out.append(round(float(sims[x, y]), 6))
+    order = sorted(range(len(a_out)), key=lambda i: (a_out[i], b_out[i]))
+    return [a_out[i] for i in order], [b_out[i] for i in order], [s_out[i] for i in order]
+
+
+def naive_ann_lsh(ids: np.ndarray, vecs: np.ndarray, n_queries: int, k: int, n_planes: int, seed: int = 42):
+    """Global top-k by (round(sim,6) desc, id asc) among same-bucket vectors,
+    for the first n_queries vectors by id."""
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    vn = _norm_rows(vecs.astype(np.float64))
+    buckets = _srp_buckets(vn, _planes(vecs.shape[1], n_planes, seed))
+    rows = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
+    for qi in range(min(n_queries, len(ids))):
+        qb = buckets[qi]
+        mask = buckets == qb
+        cand_ids = ids[mask]
+        sims = np.round(vn[qi] @ vn[mask].T, 6)
+        top = np.lexsort((cand_ids, -sims))[:k]
+        for rank, j in enumerate(top, start=1):
+            rows["query_id"].append(int(ids[qi]))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(int(cand_ids[j]))
+            rows["sim"].append(float(sims[j]))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# fake media decode (the decoder's fake kernel is itself the spec:
+# crc32-seeded RandomState pseudo-pixels)
+# ---------------------------------------------------------------------------
+
+
+def naive_mm_stats(doc_id: int, text: str):
+    payload = (text or "").encode("utf-8")
+    crc = zlib.crc32(payload)
+    w, h = 8 + (crc % 8), 8
+    img = np.random.RandomState(crc).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
+    return doc_id, w, h, round(float(img.mean()), 4), round(float(img.std()), 4)
+
+
+# ---------------------------------------------------------------------------
+# materialization
+# ---------------------------------------------------------------------------
+
+
+def _write(tmp: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
+
+
+def ensure_doc_expected(sf_dir: str) -> str:
+    """Idempotently build every documents/embeddings-derived expected table for
+    one sf dir. Atomic (tmp dir + rename); returns the directory."""
+    out = expected_dir_for(sf_dir)
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = [t or "" for t in docs.column("text").to_pylist()]
+
+    # per-document text heuristics
+    langs = [naive_lang(t) for t in texts]
+    quals = [naive_quality(t) for t in texts]
+    fps = [naive_fingerprint(t) for t in texts]
+    _write(
+        tmp,
+        "expected_text",
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "lang_pred": pa.array(langs, type=pa.string()),
+                "mean_tok_len": pa.array([q[0] for q in quals], type=pa.float64()),
+                "stop_ratio": pa.array([q[1] for q in quals], type=pa.float64()),
+                "alpha_ratio": pa.array([q[2] for q in quals], type=pa.float64()),
+                "quality": pa.array([q[3] for q in quals], type=pa.float64()),
+                "fingerprint": pa.array(fps, type=pa.int64()),
+            }
+        ),
+    )
+
+    # simhash pairs (hamming <= 3 — the banding-guaranteed regime)
+    sa, sb, sh = naive_simhash_pairs(ids, texts, max_hamming=3)
+    _write(
+        tmp,
+        "expected_simhash_pairs",
+        pa.table(
+            {
+                "a": pa.array(sa, type=pa.int64()),
+                "b": pa.array(sb, type=pa.int64()),
+                "hamming": pa.array(sh, type=pa.int64()),
+            }
+        ),
+    )
+
+    # minhash candidate pairs, 16 bands (the dedup_minhash query shape)
+    a16, b16, est16 = naive_minhash_pairs(ids, texts, bands=16)
+    _write(
+        tmp,
+        "expected_minhash_pairs",
+        pa.table(
+            {
+                "a": pa.array(a16, type=pa.int64()),
+                "b": pa.array(b16, type=pa.int64()),
+                "est_jaccard": pa.array(est16, type=pa.float64()),
+            }
+        ),
+    )
+
+    # ngram-verified pairs: 32-band candidates + exact word-3-shingle jaccard
+    a32, b32, est32 = naive_minhash_pairs(ids, texts, bands=32)
+    text_of = dict(zip(ids, texts))
+    jac = [round(naive_word_jaccard(text_of[a], text_of[b]), 6) for a, b in zip(a32, b32)]
+    _write(
+        tmp,
+        "expected_ngram_pairs",
+        pa.table(
+            {
+                "a": pa.array(a32, type=pa.int64()),
+                "b": pa.array(b32, type=pa.int64()),
+                "est_jaccard": pa.array(est32, type=pa.float64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        ),
+    )
+
+    # embeddings: LSH near-dup pairs + ANN-LSH top-k
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    vids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    ea, eb, es = naive_embedding_lsh_pairs(vids, vecs, threshold=0.45, n_planes=4)
+    _write(
+        tmp,
+        "expected_emb_lsh_pairs",
+        pa.table(
+            {
+                "a": pa.array(ea, type=pa.int64()),
+                "b": pa.array(eb, type=pa.int64()),
+                "sim": pa.array(es, type=pa.float64()),
+            }
+        ),
+    )
+    ann = naive_ann_lsh(vids, vecs, n_queries=8, k=10, n_planes=6)
+    _write(
+        tmp,
+        "expected_ann_lsh",
+        pa.table(
+            {
+                "query_id": pa.array(ann["query_id"], type=pa.int64()),
+                "rank": pa.array(ann["rank"], type=pa.int64()),
+                "vec_id": pa.array(ann["vec_id"], type=pa.int64()),
+                "sim": pa.array(ann["sim"], type=pa.float64()),
+            }
+        ),
+    )
+
+    # fake media decode stats
+    mm = [naive_mm_stats(i, t) for i, t in zip(ids, texts)]
+    _write(
+        tmp,
+        "expected_mm",
+        pa.table(
+            {
+                "media_id": pa.array([m[0] for m in mm], type=pa.int64()),
+                "width": pa.array([m[1] for m in mm], type=pa.int64()),
+                "height": pa.array([m[2] for m in mm], type=pa.int64()),
+                "pixel_mean": pa.array([m[3] for m in mm], type=pa.float64()),
+                "pixel_std": pa.array([m[4] for m in mm], type=pa.float64()),
+            }
+        ),
+    )
+
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    import shutil
+
+    if not os.path.exists(done):
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

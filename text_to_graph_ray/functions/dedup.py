@@ -11,11 +11,14 @@ over pre-aggregated/candidate rows (combiner-first, SURVEY §7.3).
   pairs -> Jaccard estimate from signatures. Signatures ride along with band
   rows (k*8 bytes/row) so candidate verification needs no second pass over
   the corpus; at 10^12-doc scale swap the ride-along for a signature join.
+* n-gram-Jaccard verified: LSH candidates hash-joined back to the corpus
+  texts (two distributed joins), exact Jaccard inside map_batches — nothing
+  O(candidates) on the driver.
 * SimHash: 64-bit token-hash majority fingerprint, banded into 4x16-bit
-  buckets; hamming-distance verify within buckets.
-* embedding-cosine near-dup: brute-force verified pairs against a broadcast
-  matrix (exact; the oracle-checkable baseline) — the LSH-bucketed variant
-  for scale lives in functions/ann.py.
+  buckets; hamming-distance verify within buckets (exact for hamming <= 3).
+* embedding-cosine near-dup: exact pairs via blocked pairwise (bounded driver
+  blocks broadcast against the streaming corpus); the LSH-bucketed variant
+  below is the sub-quadratic scale path.
 """
 
 from __future__ import annotations
@@ -175,47 +178,69 @@ def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", k=64, bands=16,
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard")).sort(["a", "b"])
 
 
-def verified_near_dup_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands=32, shingle=3, seed=42):
-    """MinHash-LSH candidates verified with EXACT n-gram Jaccard. Candidate
-    ids are a small set, so their texts are collected once and broadcast; the
-    verification itself is a map over the (tiny) pair table — the corpus is
-    never passed a second time."""
+def _empty_pairs(*extra_float_cols: str):
+    import ray.data as rd
+
+    cols = {
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+    }
+    for c in extra_float_cols:
+        cols[c] = pa.array([], type=pa.float64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def join_partitions_for(requested: int | None = None) -> int:
+    """Hash-join partition count sized to the cluster: Ray's join aggregator
+    actors reserve CPU/memory per partition, so a partition count far above
+    the CPU budget starves the pool and deadlocks the pipeline when several
+    joins execute concurrently. Cap at ~1/4 of cluster CPUs (>= 2)."""
     import ray
 
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cap = max(2, cpus // 4)
+    return min(requested, cap) if requested else cap
+
+
+def verified_near_dup_pairs(
+    ds, text_col="text", id_col="doc_id", threshold=0.5, bands=32, shingle=3, seed=42, num_partitions=None
+):
+    """MinHash-LSH candidates verified with EXACT n-gram Jaccard — fully
+    distributed. The candidate pair table is joined back to the corpus texts
+    with two hash-shuffle joins (Ray Data native ``Dataset.join``) and the
+    Jaccard verification runs inside ``map_batches`` on the joined rows.
+    Nothing O(candidates) or O(corpus) ever lands on the driver: on a
+    duplicate-heavy 100 TB corpus the candidate set and its texts stay in the
+    object store end-to-end (the corpus passes the exchange once per join
+    side — the standard cost of a distributed join)."""
     cand = minhash_near_dup_pairs(
         ds, text_col=text_col, id_col=id_col, bands=bands, shingle=shingle, threshold=max(0.0, threshold - 0.2), seed=seed
-    )
-    pair_rows = cand.take_all()
-    if not pair_rows:
-        import ray.data as rd
+    ).materialize()  # object-store resident; avoids re-running LSH for count + join
+    if cand.count() == 0:
+        return _empty_pairs("est_jaccard", "jaccard")
 
-        empty = pa.table(
-            {
-                "a": pa.array([], type=pa.int64()),
-                "b": pa.array([], type=pa.int64()),
-                "est_jaccard": pa.array([], type=pa.float64()),
-                "jaccard": pa.array([], type=pa.float64()),
-            }
-        )
-        return rd.from_arrow(empty)
-    ids = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
-    id_set = pa.array(ids, type=pa.int64())
-    texts: dict[int, str] = {}
-    flt = ds.map_batches(lambda b: b.filter(pc.is_in(b.column(id_col), value_set=id_set)), batch_format="pyarrow")
-    for b in flt.select_columns([id_col, text_col]).iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
-            texts[i] = t or ""
-    ref = ray.put(texts)
+    def _side(col: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({col: b.column(id_col), out: b.column(text_col)})
+
+        return fn
+
+    n_parts = join_partitions_for(num_partitions)
+    hint = 32 << 20  # pair/text partitions are small; keeps aggregator memory reservations sane
+    ta = ds.map_batches(_side("a", "__text_a"), batch_format="pyarrow")
+    tb = ds.map_batches(_side("b", "__text_b"), batch_format="pyarrow")
+    j = cand.join(ta, join_type="inner", num_partitions=n_parts, on=("a",), partition_size_hint=hint)
+    j = j.join(tb, join_type="inner", num_partitions=n_parts, on=("b",), partition_size_hint=hint)
 
     def verify(b: pa.Table) -> pa.Table:
-        tx = ray.get(ref)
-        a = b.column("a").to_pylist()
-        bb = b.column("b").to_pylist()
-        jac = [round(exact_jaccard(tx.get(x, ""), tx.get(y, ""), shingle), 6) for x, y in zip(a, bb)]
-        out = b.append_column("jaccard", pa.array(jac, type=pa.float64()))
+        jac = [
+            round(exact_jaccard(x or "", y or "", shingle), 6)
+            for x, y in zip(b.column("__text_a").to_pylist(), b.column("__text_b").to_pylist())
+        ]
+        out = b.drop_columns(["__text_a", "__text_b"]).append_column("jaccard", pa.array(jac, type=pa.float64()))
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
-    return cand.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+    return j.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
 def exact_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
@@ -317,7 +342,7 @@ def embedding_near_dup_lsh(ds, threshold=0.95, id_col="vec_id", vec_col="embeddi
 
     first = ds.take(1)
     if not first:
-        return ds
+        return _empty_pairs("sim")  # pair schema, like every other path
     dim = len(first[0][vec_col])
     bucketed = ds.map_batches(
         LshIndexer,
@@ -349,45 +374,57 @@ def embedding_near_dup_lsh(ds, threshold=0.95, id_col="vec_id", vec_col="embeddi
     return pairs.groupby(["a", "b"]).aggregate(Max("sim", alias_name="sim")).sort(["a", "b"])
 
 
-def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id", vec_col="embedding"):
-    """Exact cosine pairs (a < b, sim >= threshold). The full (normalized)
-    matrix is broadcast once via ray.put and each batch does one float64
-    matmul against it — correct baseline; use ann.lsh_buckets for the
-    >memory-scale path."""
+def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id", vec_col="embedding", block_rows=8192):
+    """Exact cosine pairs (a < b, sim >= threshold) via BLOCKED pairwise: the
+    corpus is streamed on the driver one bounded block at a time (block_rows ×
+    dim floats ≈ a few MB — never the whole matrix), each block is broadcast
+    with ``ray.put`` and matmul'd against the streaming corpus inside
+    ``map_batches``. A pair (a < b) is emitted exactly once: by the block that
+    contains ``a`` (the ``block_id < corpus_id`` filter kills the mirror hit).
+    Work is the inherent O(N²/B · B) of exact all-pairs; driver heap is O(B).
+    For >quadratic-scale corpora use ``embedding_near_dup_lsh``."""
     import ray
 
-    ids, vecs = [], []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_size=8192, batch_format="pyarrow"):
-        ids.extend(b.column(id_col).to_pylist())
-        vecs.extend(b.column(vec_col).to_pylist())
-    mat = np.asarray(vecs, dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    matn = mat / norms
-    id_arr = np.asarray(ids, dtype=np.int64)
-    ref = ray.put((id_arr, matn))
+    mds = ds.select_columns([id_col, vec_col]).materialize()  # scanned once per block: keep it object-store resident
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(ref)
-        bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        bv = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        bn = np.linalg.norm(bv, axis=1, keepdims=True)
-        bn[bn == 0] = 1.0
-        sims = (bv / bn) @ m.T
-        rows_a, rows_b, rows_s = [], [], []
-        for r in range(sims.shape[0]):
-            hit = np.where(sims[r] >= threshold)[0]
-            for c in hit:
-                if bids[r] < all_ids[c]:
-                    rows_a.append(int(bids[r]))
-                    rows_b.append(int(all_ids[c]))
-                    rows_s.append(round(float(sims[r, c]), 6))
-        return pa.table(
-            {
-                "a": pa.array(rows_a, type=pa.int64()),
-                "b": pa.array(rows_b, type=pa.int64()),
-                "sim": pa.array(rows_s, type=pa.float64()),
-            }
-        )
+    def block_pairs(ref):
+        def pairs(batch: pa.Table) -> pa.Table:
+            q_ids, q_m = ray.get(ref)
+            bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            bv = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            bn = np.linalg.norm(bv, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            sims = q_m @ (bv / bn).T  # (Q, B)
+            rows_a, rows_b, rows_s = [], [], []
+            for r in range(sims.shape[0]):
+                hit = np.where(sims[r] >= threshold)[0]
+                for c in hit:
+                    if q_ids[r] < bids[c]:
+                        rows_a.append(int(q_ids[r]))
+                        rows_b.append(int(bids[c]))
+                        rows_s.append(round(float(sims[r, c]), 6))
+            return pa.table(
+                {
+                    "a": pa.array(rows_a, type=pa.int64()),
+                    "b": pa.array(rows_b, type=pa.int64()),
+                    "sim": pa.array(rows_s, type=pa.float64()),
+                }
+            )
 
-    return ds.map_batches(pairs, batch_format="pyarrow").sort(["a", "b"])
+        return pairs
+
+    parts = []
+    for blk in mds.iter_batches(batch_size=block_rows, batch_format="pyarrow"):
+        q_ids = np.asarray(blk.column(id_col).to_pylist(), dtype=np.int64)
+        q = np.asarray(blk.column(vec_col).to_pylist(), dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        ref = ray.put((q_ids, q / qn))
+        parts.append(mds.map_batches(block_pairs(ref), batch_format="pyarrow"))
+
+    if not parts:
+        return _empty_pairs("sim")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.sort(["a", "b"])

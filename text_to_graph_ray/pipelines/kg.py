@@ -50,10 +50,12 @@ INPUT_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def _input_blocks(input_path: str) -> int:
-    """Read-task count: ~1 MB of parquet per block (extraction is the
-    bottleneck at ~1.6 MB/s/core, so 1 MB ≈ sub-second tasks). Ray's default
-    sizing targets much larger blocks and would serialize small corpora onto
-    one task; capped so huge inputs don't explode the task count."""
+    """Read-task count: ~4 MB of parquet per block (extraction is the
+    bottleneck at ~1.6 MB/s/core, so a block is a few seconds of work —
+    small enough to load-balance, big enough to amortize task overhead).
+    Ray's default sizing targets much larger blocks and would serialize small
+    corpora onto one task; capped so huge inputs don't explode the task
+    count."""
     import os
 
     total = 0
@@ -65,13 +67,11 @@ def _input_blocks(input_path: str) -> int:
     return max(16, min(1024, total // (4 << 20) or 16))
 
 
-def records_dataset(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, with_part: bool = False):
-    """read -> sha -> chunk -> extract. Column-pruned at the read."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(
-        input_path, columns=["repo", "path", "lang", "content"], override_num_blocks=_input_blocks(input_path)
-    )
+def extract_chain(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """sha -> chunk -> extract over a (repo, path, lang, content) dataset —
+    the ONE extraction chain, shared by ``records_dataset`` (lazy queries) and
+    ``run`` (checkpointed job) so config knobs like ``two_pass`` can never
+    silently diverge between the two entry points."""
     ds = ds.map_batches(add_sha256, batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(lambda b: chunk_files(b, cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.two_pass:
@@ -85,6 +85,17 @@ def records_dataset(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, with_
         )
     else:
         ds = ds.map_batches(extract_records, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return ds
+
+
+def records_dataset(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, with_part: bool = False):
+    """read -> sha -> chunk -> extract. Column-pruned at the read."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        input_path, columns=["repo", "path", "lang", "content"], override_num_blocks=_input_blocks(input_path)
+    )
+    ds = extract_chain(ds, cfg)
     if with_part:
         ds = ds.map_batches(lambda b: _with_part(b, cfg.num_partitions), batch_format="pyarrow")
     return ds
@@ -153,19 +164,73 @@ def keyed_records(records_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     return _filter_stop(records_ds.map_batches(_plain_keys, batch_format="pyarrow", batch_size=cfg.linker_batch_size), cfg)
 
 
+def _drop_def_rows(merged):
+    return merged.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("kind"), "d"))), batch_format="pyarrow"
+    )  # def-site rows are only needed to build the linking index
+
+
+def _rebucket_fn(cfg: PipelineConfig):
+    from text_to_graph_ray.stages.canonicalize import SEP, _stable_bucket
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        is_n = df["kind"] == "n"
+        key = df["k1"].where(is_n, df["k1"] + SEP + df["k2"] + SEP + df["k3"])
+        df["bucket"] = _stable_bucket(key, cfg.num_partitions)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return rebucket
+
+
+def _remerge_all(rows, cfg: PipelineConfig):
+    """Full distributed re-merge of (possibly re-keyed) merged-graph rows —
+    one vocabulary-sized shuffle, no driver involvement."""
+    from text_to_graph_ray.stages.canonicalize import merge_bucket_packed
+
+    return (
+        rows.map_batches(_rebucket_fn(cfg), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket_packed, batch_format="pandas")
+        .materialize()
+    )
+
+
+def _defs_count(merged) -> int:
+    """Distributed count of def-site rows (metadata-cheap, no collect)."""
+    cnt = merged.map_batches(
+        lambda b: pa.table({"n": pa.array([b.filter(pc.equal(b.column("kind"), "d")).num_rows], type=pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return int(cnt.sum("n") or 0)
+
+
+def link_merged(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Entity linking over the merged vocabulary. The defs index is the small
+    side of a join: broadcast while it fits (<= cfg.defs_broadcast_max rows),
+    else fall back to the shuffle-join path where the def-site table stays
+    distributed. Both paths produce hash-identical graphs (asserted in
+    tests/test_linker.py by forcing the threshold to 0)."""
+    if _defs_count(merged) <= cfg.defs_broadcast_max:
+        return relink_merged(merged, defs_index_from_merged(merged), cfg)
+    return relink_merged_distributed(merged, cfg)
+
+
 def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """SPARSE entity-linking pass over the vocabulary-sized merged graph.
+    """SPARSE entity-linking pass over the vocabulary-sized merged graph
+    (broadcast defs index).
 
     Alias resolution only ever rewrites dotted keys onto their definition key,
     so after ``MergedLinker`` re-keys the vocabulary, the only rows that need
     a second exchange are (a) rows whose key changed and (b) rows whose key a
-    changed row landed on. Those affected keys are collected (they are a small
-    fraction of the vocabulary — guarded by a fallback to a full re-merge when
-    they are not), broadcast, and only the affected slice re-shuffles; the
-    rest of the graph passes through untouched."""
+    changed row landed on. Those affected keys are collected — bounded by
+    ``cfg.relink_collect_max``; above that the whole vocabulary re-merges
+    distributedly instead (``_remerge_all``) — broadcast, and only the
+    affected slice re-shuffles; the rest of the graph passes through
+    untouched. The linker pass executes exactly once (materialized)."""
     import ray
 
-    from text_to_graph_ray.stages.canonicalize import SEP, _stable_bucket, merge_bucket_packed
+    from text_to_graph_ray.stages.canonicalize import merge_bucket_packed
     from text_to_graph_ray.stages.linker import MergedLinker
 
     ref = ray.put({k: tuple(sorted(v)) for k, v in defs_idx.items()})
@@ -173,26 +238,29 @@ def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
     # the vocabulary pass is dict-lookup cheap: a small pool amortizes the
     # per-actor defs-index fetch instead of paying it cpus-2 times
     pool_max = max(1, min(cfg.linker_concurrency if cfg.linker_concurrency > 0 else 4, cpus - 2))
-    merged_nd = merged.map_batches(
-        lambda b: b.filter(pc.invert(pc.equal(b.column("kind"), "d"))), batch_format="pyarrow"
-    )  # def-site rows were only needed to build the index
+    merged_nd = _drop_def_rows(merged)
 
-    # cheap pre-scan: does ANY vocabulary key actually alias? On corpora with
-    # no (or few) dotted references this avoids rewriting + re-materializing
-    # the whole merged graph — the common case at scale.
-    probe = merged_nd.map_batches(
+    # the ONE linker execution; everything below derives from this
+    linked = merged_nd.map_batches(
         MergedLinker,
         batch_format="pyarrow",
         concurrency=(1, pool_max),
         fn_constructor_kwargs={"defs_ref": ref},
-    )
-    changed_rows = probe.map_batches(
+    ).materialize()
+    changed_ds = linked.map_batches(
         lambda b: b.filter(b.column("changed")).select(["kind", "k1", "k2", "k3"]), batch_format="pyarrow"
-    ).take_all()
-    if not changed_rows:
+    ).materialize()
+    n_changed = changed_ds.count()
+    if n_changed == 0:
         return merged_nd  # lazy filter over the already-materialized merged
+    if n_changed > cfg.relink_collect_max:
+        # heavily-aliased vocabulary: the sparse split would collect too much —
+        # re-merge everything distributedly instead (still vocabulary-sized)
+        return _remerge_all(
+            linked.map_batches(lambda b: b.drop_columns(["changed"]), batch_format="pyarrow"), cfg
+        )
 
-    linked = probe.materialize()  # vocabulary-sized; consumed twice below
+    changed_rows = changed_ds.take_all()  # bounded by relink_collect_max
     node_keys = {r["k1"] for r in changed_rows if r["kind"] == "n"}
     triple_keys = {(r["k1"], r["k2"], r["k3"]) for r in changed_rows if r["kind"] == "e"}
     aff_ref = ray.put((node_keys, triple_keys))
@@ -217,21 +285,113 @@ def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
 
         return b.filter(pc.invert(affected_mask(b))).drop_columns(["changed"])
 
-    def rebucket(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        is_n = df["kind"] == "n"
-        key = df["k1"].where(is_n, df["k1"] + SEP + df["k2"] + SEP + df["k3"])
-        df["bucket"] = _stable_bucket(key, cfg.num_partitions)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
     remerged = (
         linked.map_batches(take_affected, batch_format="pyarrow")
-        .map_batches(rebucket, batch_format="pyarrow")
+        .map_batches(_rebucket_fn(cfg), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(merge_bucket_packed, batch_format="pandas")
     )
     passthrough = linked.map_batches(take_passthrough, batch_format="pyarrow")
     return passthrough.union(remerged).materialize()
+
+
+def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Shuffle-join linking fallback: for defs vocabularies too large to
+    broadcast, the def-site table NEVER leaves the object store.
+
+    (1) def-site rows (name, module) and dotted vocabulary keys
+        (name, prefix, full key) meet in one ``groupby(name)`` exchange where
+        the alias rule (keys.resolve_alias: unique defining module whose path
+        ends with the dotted prefix at a dot boundary) emits rewrite rows
+        (old_key -> new_key);
+    (2) the rewrite table hash-joins back onto the graph rows (k1 for all
+        rows, k3 for edges) — Ray Data native shuffle joins;
+    (3) re-keyed rows re-merge distributedly (``_remerge_all``).
+
+    Output is hash-identical to the broadcast path."""
+    import pandas as pd
+
+    merged_nd = _drop_def_rows(merged)
+
+    defs = merged.map_batches(
+        lambda b: (
+            lambda t: pa.table(
+                {
+                    "name": t.column("k1"),
+                    "module": t.column("k2"),
+                    "qkey": pa.array([""] * t.num_rows, type=pa.string()),
+                    "src": pa.array(["d"] * t.num_rows, type=pa.string()),
+                }
+            )
+        )(b.filter(pc.equal(b.column("kind"), "d"))),
+        batch_format="pyarrow",
+    )
+
+    def dotted_rows(b: pa.Table) -> pa.Table:
+        keys = set()
+        kinds = b.column("kind").to_pylist()
+        for k in b.column("k1").to_pylist():
+            if "." in k:
+                keys.add(k)
+        for kind, k3 in zip(kinds, b.column("k3").to_pylist()):
+            if kind == "e" and "." in k3:
+                keys.add(k3)
+        names, prefixes, full = [], [], []
+        for k in sorted(keys):
+            prefix, name = k.rsplit(".", 1)
+            names.append(name)
+            prefixes.append(prefix)
+            full.append(k)
+        return pa.table(
+            {
+                "name": pa.array(names, type=pa.string()),
+                "module": pa.array(prefixes, type=pa.string()),
+                "qkey": pa.array(full, type=pa.string()),
+                "src": pa.array(["q"] * len(full), type=pa.string()),
+            }
+        )
+
+    queries = merged_nd.map_batches(dotted_rows, batch_format="pyarrow")
+
+    def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+        mods = set(g.loc[g["src"] == "d", "module"])
+        out_old, out_new = [], []
+        if mods:
+            q = g[g["src"] == "q"][["module", "qkey", "name"]].drop_duplicates()
+            for prefix, key, name in zip(q["module"], q["qkey"], q["name"]):
+                matches = {m for m in mods if m == prefix or m.endswith("." + prefix)}
+                if len(matches) == 1:
+                    out_old.append(key)
+                    out_new.append(name)
+        return pd.DataFrame({"old_key": pd.Series(out_old, dtype="object"), "new_key": pd.Series(out_new, dtype="object")})
+
+    rewrites = defs.union(queries).groupby("name").map_groups(resolve_group, batch_format="pandas").materialize()
+    if rewrites.count() == 0:
+        return merged_nd
+
+    rw1 = rewrites.map_batches(
+        lambda b: pa.table({"k1": b.column("old_key"), "__new_k1": b.column("new_key")}), batch_format="pyarrow"
+    )
+    rw3 = rewrites.map_batches(
+        lambda b: pa.table({"k3": b.column("old_key"), "__new_k3": b.column("new_key")}), batch_format="pyarrow"
+    )
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    n_parts = join_partitions_for(cfg.num_partitions)
+    hint = 32 << 20
+    j = merged_nd.join(rw1, join_type="left_outer", num_partitions=n_parts, on=("k1",), partition_size_hint=hint)
+    j = j.join(rw3, join_type="left_outer", num_partitions=n_parts, on=("k3",), partition_size_hint=hint)
+
+    def apply_rewrites(b: pa.Table) -> pa.Table:
+        k1 = pc.if_else(pc.is_valid(b.column("__new_k1")), b.column("__new_k1"), b.column("k1"))
+        is_edge = pc.equal(b.column("kind"), "e")
+        k3_new_ok = pc.and_(is_edge, pc.is_valid(b.column("__new_k3")))
+        k3 = pc.if_else(k3_new_ok, b.column("__new_k3"), b.column("k3"))
+        out = b.set_column(b.schema.get_field_index("k1"), "k1", k1)
+        out = out.set_column(out.schema.get_field_index("k3"), "k3", k3)
+        return out.drop_columns(["__new_k1", "__new_k3"])
+
+    return _remerge_all(j.map_batches(apply_rewrites, batch_format="pyarrow"), cfg)
 
 
 def _filter_stop(ds, cfg: PipelineConfig):
@@ -276,7 +436,7 @@ def graph_tables(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, which: s
     disk-backed reuse/resume at scale, use ``run`` instead."""
     merged = merged_graph(keyed_records(records_dataset(input_path, cfg), cfg), cfg)
     if cfg.link_aliases:
-        merged = relink_merged(merged, defs_index_from_merged(merged), cfg)
+        merged = link_merged(merged, cfg)
     nodes = nodes_from_merged(merged) if which in ("both", "nodes") else None
     edges = edges_from_merged(merged) if which in ("both", "edges") else None
     return nodes, edges
@@ -308,9 +468,23 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
     """
     import ray.data as rd
 
+    from text_to_graph_ray.state.checkpoint import input_fingerprint
+
     t0 = time.monotonic()
     store = CheckpointStore(f"{out_dir}/checkpoints", cfg.config_hash())
-    done = store.done_parts("records") if resume else set()
+    fp = input_fingerprint(input_path)
+    if resume:
+        existing = store.counters("records")
+        if any(m is None or m.get("input_fingerprint") != fp for m in existing.values()):
+            # input changed since (part of) the checkpoint was written: stale
+            # data files could alias partitions that no longer exist — wipe
+            # the stage rather than trust any of it
+            store.clear_stage("records")
+            done: set[int] = set()
+        else:
+            done = set(existing)
+    else:
+        done = set()
 
     # which partitions exist in the input (pruned read of just the key columns)
     key_ds = rd.read_parquet(input_path, columns=["repo", "path"])
@@ -333,9 +507,7 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
         ds = rd.read_parquet(input_path, columns=["repo", "path", "lang", "content"])
         ds = ds.map_batches(lambda b: _with_part(b, cfg.num_partitions), batch_format="pyarrow")
         ds = ds.map_batches(lambda b: b.filter(pc.is_in(b.column("part_id"), value_set=pend)), batch_format="pyarrow")
-        ds = ds.map_batches(add_sha256, batch_format="pyarrow", batch_size=cfg.batch_size)
-        ds = ds.map_batches(lambda b: chunk_files(b, cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-        ds = ds.map_batches(extract_records, batch_format="pyarrow", batch_size=cfg.batch_size)
+        ds = extract_chain(ds, cfg)  # the same chain as records_dataset — two_pass etc. honored
         ds = ds.map_batches(lambda b: _with_part(b, cfg.num_partitions), batch_format="pyarrow")
         ds.write_parquet(rec_dir, partition_cols=["part_id"])
 
@@ -347,14 +519,21 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
                 counts[p] = counts.get(p, 0) + 1
         wall_ms = int((time.monotonic() - t0) * 1000)
         for p in pending:
-            store.mark_done("records", p, rows=counts.get(p, 0), input_fingerprint=str(input_path), wall_ms=wall_ms)
+            store.mark_done("records", p, rows=counts.get(p, 0), input_fingerprint=fp, wall_ms=wall_ms)
 
     # wide stages read the checkpointed records
     import os
     import shutil
 
-    if not pending and store.manifest("graph", 0) and os.path.isdir(f"{out_dir}/nodes") and os.path.isdir(f"{out_dir}/edges"):
-        m = store.manifest("graph", 0)
+    gm = store.manifest("graph", 0)
+    if (
+        not pending
+        and gm
+        and gm.get("input_fingerprint") == fp
+        and os.path.isdir(f"{out_dir}/nodes")
+        and os.path.isdir(f"{out_dir}/edges")
+    ):
+        m = gm
         return {
             "parts_total": len(all_parts),
             "parts_skipped": len(all_parts),
@@ -370,7 +549,7 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
 
     merged = merged_graph(keyed_records(read_records(), cfg), cfg)
     if cfg.link_aliases:
-        merged = relink_merged(merged, defs_index_from_merged(merged), cfg)
+        merged = link_merged(merged, cfg)
     nodes = nodes_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
     nodes.write_parquet(f"{out_dir}/nodes")
     edges = edges_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
@@ -378,7 +557,9 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
 
     n_nodes = rd.read_parquet(f"{out_dir}/nodes").count()
     n_edges = rd.read_parquet(f"{out_dir}/edges").count()
-    store.mark_done("graph", 0, nodes=n_nodes, edges=n_edges, wall_ms=int((time.monotonic() - t0) * 1000))
+    store.mark_done(
+        "graph", 0, nodes=n_nodes, edges=n_edges, input_fingerprint=fp, wall_ms=int((time.monotonic() - t0) * 1000)
+    )
     return {
         "parts_total": len(all_parts),
         "parts_skipped": len(all_parts) - len(pending),

@@ -29,6 +29,31 @@ def part_of(repo: str, path: str, num_partitions: int) -> int:
     return zlib.crc32(f"{repo}\x00{path}".encode("utf-8")) % num_partitions
 
 
+def input_fingerprint(input_path: str) -> str:
+    """Content-change fingerprint of an input path: digest over the sorted
+    (relative name, size, mtime_ns) of every parquet file under it. Cheap
+    (metadata only — no data read) yet catches replaced/appended/removed
+    inputs, so a resume against changed data recomputes instead of silently
+    reusing stale partitions (the reference keyed its cache on content sha —
+    my_hash.py; size+mtime is the metadata-cost analogue)."""
+    import hashlib
+    import os
+
+    entries = []
+    if os.path.isdir(input_path):
+        for root, _, names in os.walk(input_path):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    st = os.stat(p)
+                    entries.append(f"{os.path.relpath(p, input_path)}\x00{st.st_size}\x00{st.st_mtime_ns}")
+    elif os.path.exists(input_path):
+        st = os.stat(input_path)
+        entries.append(f"{os.path.basename(input_path)}\x00{st.st_size}\x00{st.st_mtime_ns}")
+    entries.sort()
+    return hashlib.sha256("\n".join(entries).encode("utf-8")).hexdigest()[:16]
+
+
 class CheckpointStore:
     def __init__(self, root: str, config_hash: str):
         self.base = os.path.join(root, config_hash)
@@ -70,3 +95,18 @@ class CheckpointStore:
 
     def counters(self, stage: str) -> dict[int, dict]:
         return {p: self.manifest(stage, p) for p in self.done_parts(stage)}
+
+    def done_parts_for_input(self, stage: str, fingerprint: str) -> set[int]:
+        """Partitions completed AGAINST THIS INPUT: a manifest row whose
+        input_fingerprint mismatches is stale (the data at input_path changed
+        since it was written) and its partition must recompute."""
+        return {p for p, m in self.counters(stage).items() if m and m.get("input_fingerprint") == fingerprint}
+
+    def clear_stage(self, stage: str) -> None:
+        """Drop a stage's data + manifests entirely (stale-input invalidation:
+        leftover data files from partitions that no longer exist in the new
+        input must not leak into reads of the stage dir)."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.base, stage), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.base, "_manifest", stage), ignore_errors=True)
