@@ -157,7 +157,9 @@ def _q_dedup_simhash(sf_dir):
     from text_to_graph_ray.functions.dedup import simhash_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=8)
+    # max_hamming=3 is the regime the 4x16-bit banding provably covers
+    # (pigeonhole); beyond 3 the banding can miss pairs silently
+    return simhash_near_dup_pairs(ds, max_hamming=3)
 
 
 def _q_dedup_embedding(sf_dir):
@@ -282,6 +284,66 @@ def _q_rel_top_orders(sf_dir):
     return top_orders(sf_dir)
 
 
+def _q_kg_fixture_triples(sf_dir):
+    """Engine vs the HAND-COMPUTED micro-fixture (fixtures.py): closes the
+    shared-code loop of the synth oracles. sf-independent."""
+    from text_to_graph_ray.fixtures import ensure_fixture
+    from text_to_graph_ray.pipelines import kg
+
+    d = ensure_fixture()
+    _, edges = kg.graph_tables(f"{d}/repo_files.parquet", PipelineConfig(), which="edges")
+    return edges.to_pandas()[["src_key", "pred", "dst_key", "repos_packed"]]
+
+
+def _q_kg_fixture_nodes(sf_dir):
+    from text_to_graph_ray.fixtures import ensure_fixture
+    from text_to_graph_ray.pipelines import kg
+
+    d = ensure_fixture()
+    nodes, _ = kg.graph_tables(f"{d}/repo_files.parquet", PipelineConfig(), which="nodes")
+    return nodes.to_pandas()[["entity_id", "entity_key", "label", "types_packed", "repos_packed"]]
+
+
+def _q_conformance_parse(sf_dir):
+    """Reference CSV-reply parser semantics over a Dataset (M6/M7/M8 made
+    driver-visible); expected outcomes are hand-written (expected.py)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.expected import ensure_conformance_expected
+    from text_to_graph_ray.stages.conformance import parse_replies
+
+    d = ensure_conformance_expected()
+    ds = rd.read_parquet(f"{d}/replies.parquet")
+    return ds.map_batches(parse_replies, batch_format="pyarrow").sort("reply_id")
+
+
+def _q_rel_order_revenue(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import order_revenue_topk
+
+    return order_revenue_topk(sf_dir)
+
+
+def _q_rel_region_balance(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import region_supplier_balance
+
+    return region_supplier_balance(sf_dir)
+
+
+def _q_kg_relabeled(sf_dir):
+    """Edge-relabel taxonomy cleanup over the linked KG edges (reference
+    edge_utils.py:29-41) + per-label counts."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.relabel import relabel_edges
+
+    _, edges = _kg_tables(sf_dir, link=True)
+    ds = rd.from_pandas(edges[["src_key", "pred", "dst_key"]])
+    out = relabel_edges(ds, {"calls": "invokes", "imports": "uses"})
+    from ray.data.aggregate import Count
+
+    return out.groupby("pred").aggregate(Count(alias_name="n")).sort("pred")
+
+
 def _q_mm_decode(sf_dir):
     import ray.data as rd
 
@@ -320,18 +382,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing": _q_rel_pricing,
         "rel_segment_revenue": _q_rel_segment_revenue,
         "rel_top_orders": _q_rel_top_orders,
+        "rel_order_revenue": _q_rel_order_revenue,
+        "rel_region_balance": _q_rel_region_balance,
         "mm_decode": _q_mm_decode,
+        "kg_fixture_triples": _q_kg_fixture_triples,
+        "kg_fixture_nodes": _q_kg_fixture_nodes,
+        "kg_relabeled": _q_kg_relabeled,
+        "conformance_parse": _q_conformance_parse,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # make sure the synth corpus + expected tables exist before DuckDB reads them
+    # make sure every oracle input exists before DuckDB reads it: the synth
+    # corpus + its generated expected tables, the naive-reference expected
+    # tables (expected.py — independent single-threaded reimplementations),
+    # the hand-written conformance corpus, and the hand-computed KG fixture
+    from text_to_graph_ray.expected import ensure_conformance_expected, ensure_doc_expected
+    from text_to_graph_ray.fixtures import ensure_fixture
+
     d = _synth(_SF01)
+    e = ensure_doc_expected(_SF01)
+    c = ensure_conformance_expected()
+    fx = ensure_fixture()
     exp_linked = f"{d}/expected_triples_linked.parquet"
     exp_raw = f"{d}/expected_triples_raw.parquet"
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        # --- naive-reference oracles (expected.py) ---
+        "dedup_minhash": f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_minhash_pairs.parquet') WHERE est_jaccard >= 0.5",
+        "dedup_simhash": f"SELECT a, b, hamming FROM read_parquet('{e}/expected_simhash_pairs.parquet')",
+        "dedup_ngram_verified": f"SELECT a, b, est_jaccard, jaccard FROM read_parquet('{e}/expected_ngram_pairs.parquet') WHERE jaccard >= 0.4",
+        "dedup_embedding_lsh": f"SELECT a, b, sim FROM read_parquet('{e}/expected_emb_lsh_pairs.parquet')",
+        "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
+        "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
+        "text_quality": f"SELECT doc_id, mean_tok_len, stop_ratio, alpha_ratio, quality FROM read_parquet('{e}/expected_text.parquet')",
+        "text_fingerprint": f"SELECT doc_id, fingerprint FROM read_parquet('{e}/expected_text.parquet')",
+        "mm_decode": f"SELECT media_id, width, height, pixel_mean, pixel_std FROM read_parquet('{e}/expected_mm.parquet')",
+        # --- generator-derived kg oracles (synth.py) ---
+        "kg_chunks": f"SELECT repo, path, n_chunks, n_tokens FROM read_parquet('{d}/expected_chunks.parquet')",
+        "kg_run_checkpointed": f"SELECT run, parts_total, parts_skipped, parts_computed, nodes, edges FROM read_parquet('{d}/expected_run.parquet')",
+        # --- hand-written oracles (fixtures.py / expected.py REPLY_CASES) ---
+        "kg_fixture_triples": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{fx}/expected_triples.parquet')",
+        "kg_fixture_nodes": f"SELECT entity_id, entity_key, label, types_packed, repos_packed FROM read_parquet('{fx}/expected_nodes.parquet')",
+        "conformance_parse": f"SELECT reply_id, status, n_nodes, n_edges, nodes_packed, edges_packed FROM read_parquet('{c}/expected_parse.parquet')",
+        # --- derived from the (already hash-verified) linked triples ---
+        "kg_relabeled": (
+            f"SELECT CASE pred WHEN 'calls' THEN 'invokes' WHEN 'imports' THEN 'uses' ELSE pred END AS pred, "
+            f"count(*)::BIGINT AS n FROM read_parquet('{exp_linked}') GROUP BY 1 ORDER BY pred"
+        ),
+        # --- distributed joins vs DuckDB joins ---
+        "rel_order_revenue": (
+            "SELECT l_orderkey AS o_orderkey, o_custkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*)::BIGINT AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_orderkey, o_custkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "rel_region_balance": (
+            "SELECT r_name, n_name, round(sum(s_acctbal), 2) AS total_bal, count(*)::BIGINT AS n_suppliers "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name ORDER BY r_name, n_name"
+        ),
         "kg_triples": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_linked}')",
         "kg_triples_raw": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_raw}')",
         "kg_nodes": f"SELECT entity_id, entity_key, label, types_packed, repos_packed FROM read_parquet('{exp_nodes}')",

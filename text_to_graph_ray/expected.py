@@ -302,6 +302,105 @@ def naive_mm_stats(doc_id: int, text: str):
 
 
 # ---------------------------------------------------------------------------
+# conformance-parser corpus: reference-formatted replies with HAND-WRITTEN
+# expected parse outcomes (response_parser.py:210-745 case classes). The
+# expected values below were derived by hand from the documented reject/prune
+# semantics — not by running the parser.
+# ---------------------------------------------------------------------------
+
+CONFORMANCE_ROOT = "/tmp/graft_conformance/v1"
+
+_WELL_FORMED = "id,entity,category\n0,Alice,Person\n1,Acme,Company\nsource,target,relationship\n0,1,works_at\n"
+
+# (reply_text, status, nodes_packed, edges_packed)
+REPLY_CASES = [
+    (_WELL_FORMED, "ok", "0:Alice:Person;1:Acme:Company", "0:1:works_at"),
+    ("```csv\n# header comment\n" + _WELL_FORMED + "```\n", "ok", "0:Alice:Person;1:Acme:Company", "0:1:works_at"),
+    ("id,entity,category\n0,A,T\n0,B,T\nsource,target,relationship\n0,0,x\n", "rejected", "", ""),  # duplicate ids
+    ("id,entity,category\n0,A,T\n1,B,T\nsource,target,relationship\n0,9,x\n", "rejected", "", ""),  # dangling edge
+    (  # wrong-arity rows skipped; orphans pruned + dense reindex
+        "id,entity,category\n0,A,T\n1,B\n2,C,T,extra\n3,D,T\nsource,target,relationship\n0,3,x\n",
+        "ok",
+        "0:A:T;1:D:T",
+        "0:1:x",
+    ),
+    (  # orphan dropped, survivors reindexed
+        "id,entity,category\n0,A,T\n1,B,T\n2,Orphan,T\nsource,target,relationship\n0,1,x\n",
+        "ok",
+        "0:A:T;1:B:T",
+        "0:1:x",
+    ),
+    (  # exact-duplicate edges keep-first; same pair new label kept
+        "id,entity,category\n0,A,T\n1,B,T\nsource,target,relationship\n0,1,x\n0,1,x\n0,1,y\n",
+        "ok",
+        "0:A:T;1:B:T",
+        "0:1:x;0:1:y",
+    ),
+    ("", "ok", "", ""),  # empty reply -> empty graph
+    ("complete garbage\nno headers", "ok", "", ""),
+    (  # csv-quoted fields survive intact
+        'id,entity,category\n0,"Smith, John",Person\n1,Acme,Company\nsource,target,relationship\n0,1,"works, at"\n',
+        "ok",
+        "0:Smith, John:Person;1:Acme:Company",
+        "0:1:works, at",
+    ),
+    ("id,entity,category\n0,A,T\n1,B,T\n", "ok", "", ""),  # no edge section: all nodes orphaned away
+    (  # edge header present but no valid edge row -> nodes kept unpruned, edges unusable
+        "id,entity,category\n0,A,T\nsource,target,relationship\nbadrow\n",
+        "partial",
+        "0:A:T",
+        "",
+    ),
+]
+
+
+def ensure_conformance_expected() -> str:
+    """Materialize the reply corpus + hand-written expected parse table."""
+    out = CONFORMANCE_ROOT
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    _write(
+        tmp,
+        "replies",
+        pa.table(
+            {
+                "reply_id": pa.array(range(len(REPLY_CASES)), type=pa.int64()),
+                "reply": pa.array([c[0] for c in REPLY_CASES], type=pa.string()),
+            }
+        ),
+    )
+    _write(
+        tmp,
+        "expected_parse",
+        pa.table(
+            {
+                "reply_id": pa.array(range(len(REPLY_CASES)), type=pa.int64()),
+                "status": pa.array([c[1] for c in REPLY_CASES], type=pa.string()),
+                "n_nodes": pa.array([len(c[2].split(";")) if c[2] else 0 for c in REPLY_CASES], type=pa.int64()),
+                "n_edges": pa.array([len(c[3].split(";")) if c[3] else 0 for c in REPLY_CASES], type=pa.int64()),
+                "nodes_packed": pa.array([c[2] for c in REPLY_CASES], type=pa.string()),
+                "edges_packed": pa.array([c[3] for c in REPLY_CASES], type=pa.string()),
+            }
+        ),
+    )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    import shutil
+
+    if not os.path.exists(done):
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # materialization
 # ---------------------------------------------------------------------------
 

@@ -240,7 +240,10 @@ def verified_near_dup_pairs(
         out = b.drop_columns(["__text_a", "__text_b"]).append_column("jaccard", pa.array(jac, type=pa.float64()))
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
-    return j.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+    verified = j.map_batches(verify, batch_format="pyarrow").materialize()  # pair-table sized
+    if verified.count() == 0:
+        return _empty_pairs("est_jaccard", "jaccard")  # all-empty blocks lose schema through sort
+    return verified.sort(["a", "b"])
 
 
 def exact_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:

@@ -31,23 +31,33 @@ def pricing_summary(sf_dir: str, cutoff: str = "1996-01-01"):
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
     cut = np.datetime64(cutoff)
 
+    # one fixed schema from BOTH partial arms: schema drift between the
+    # empty and non-empty arms makes Ray's streaming executor re-derive
+    # RefBundle schemas mid-stream (warning noise today, silent null-filled
+    # columns after an upgrade)
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("s_qty", pa.float64()),
+            ("s_price", pa.float64()),
+            ("s_disc", pa.float64()),
+            ("n", pa.float64()),
+        ]
+    )
+
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df[df["l_shipdate"] < cut]
         if df.empty:
-            return pa.table(
-                {k: pa.array([], type=pa.string() if k in ("l_returnflag", "l_linestatus") else pa.float64())
-                 for k in ["l_returnflag", "l_linestatus", "s_qty", "s_price", "s_disc", "n"]}
-            )
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            return partial_schema.empty_table()
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             s_qty=("l_quantity", "sum"),
             s_price=("l_extendedprice", "sum"),
             s_disc=("l_discount", "sum"),
             n=("l_quantity", "size"),
         )
-        g["n"] = g["n"].astype("float64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in partial_schema})
 
     from ray.data.aggregate import Sum
 
@@ -108,6 +118,88 @@ def top_orders(sf_dir: str, k: int = 10):
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def order_revenue_topk(sf_dir: str, k: int = 10):
+    """lineitem ⋈ orders as a REAL distributed hash join (both sides larger
+    than broadcast comfort at scale): lineitem pre-aggregates revenue per
+    order inside map_batches + one groupby (combiner-first — the join input
+    is one row per order, never one per lineitem), then ``Dataset.join``
+    hash-partitions both sides on the order key. Top-k by revenue with a
+    deterministic o_orderkey tie-break."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    partial_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64()), ("n", pa.float64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"), n=("rev", "size"))
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in partial_schema})
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions_for(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        partition_size_hint=32 << 20,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "revenue": df["revenue"].round(2),
+                "n_items": df["n_items"].astype("int64"),
+            }
+        )
+        return out
+
+    return j.map_batches(finish, batch_format="pandas").sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def region_supplier_balance(sf_dir: str):
+    """supplier ⋈ nation ⋈ region — a multiway distributed hash-join chain
+    over the dimension tables (exercises the non-broadcast join path even
+    where a broadcast would fit; at catalog scale these tables are sharded).
+    Returns per-(region, nation) supplier account-balance totals."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    n_parts = join_partitions_for()
+    hint = 32 << 20
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    j = sup.join(nat, join_type="inner", num_partitions=n_parts, on=("s_nationkey",), right_on=("n_nationkey",), partition_size_hint=hint)
+    j = j.join(reg, join_type="inner", num_partitions=n_parts, on=("n_regionkey",), right_on=("r_regionkey",), partition_size_hint=hint)
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = j.groupby(["r_name", "n_name"]).aggregate(
+        Sum("s_acctbal", alias_name="total_bal"), Count(alias_name="n_suppliers")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_bal"] = df["total_bal"].round(2)
+        df["n_suppliers"] = df["n_suppliers"].astype("int64")
+        return df[["r_name", "n_name", "total_bal", "n_suppliers"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort(["r_name", "n_name"])
 
 
 def events_tumbling_window(sf_dir: str, window_s: int = 300):

@@ -45,8 +45,16 @@ function fill(id, rows) {{
   const t = document.getElementById(id);
   if (!rows.length) return;
   const cols = Object.keys(rows[0]);
-  t.innerHTML = "<tr>" + cols.map(c => "<th>" + c + "</th>").join("") + "</tr>" +
-    rows.slice(0, 2000).map(r => "<tr>" + cols.map(c => "<td>" + String(r[c]) + "</td>").join("") + "</tr>").join("");
+  // cell values come from arbitrary corpus content: build cells with
+  // textContent (never innerHTML) so a crafted label can't inject script
+  const hr = document.createElement("tr");
+  for (const c of cols) {{ const th = document.createElement("th"); th.textContent = c; hr.appendChild(th); }}
+  t.appendChild(hr);
+  for (const r of rows.slice(0, 2000)) {{
+    const tr = document.createElement("tr");
+    for (const c of cols) {{ const td = document.createElement("td"); td.textContent = String(r[c]); tr.appendChild(td); }}
+    t.appendChild(tr);
+  }}
 }}
 const nodes = unpack(NODES_B64), edges = unpack(EDGES_B64);
 document.getElementById("summary").textContent = nodes.length + " nodes, " + edges.length + " edges (first 2000 shown)";

@@ -231,6 +231,43 @@ def merge_documents(doc_graphs):
     return out_nodes, out_edges
 
 
+def parse_replies(batch):
+    """Dataset surface for the reply parser: ``map_batches(parse_replies)``
+    over a (reply_id, reply) table -> one summary row per reply
+    (status ok|partial|rejected, counts, ';'-packed node/edge lists). Makes
+    the reference's CSV-reply semantics reachable from the driver contract,
+    not just from unit tests."""
+    import pyarrow as pa
+
+    ids = batch.column("reply_id").to_pylist()
+    texts = batch.column("reply").to_pylist()
+    rows = {"reply_id": [], "status": [], "n_nodes": [], "n_edges": [], "nodes_packed": [], "edges_packed": []}
+    for rid, text in zip(ids, texts):
+        nodes, edges = parse_subgraph(text)
+        if nodes is None:
+            status, nodes, edges = "rejected", [], []
+        elif edges is None:
+            status, edges = "partial", []
+        else:
+            status = "ok"
+        rows["reply_id"].append(rid)
+        rows["status"].append(status)
+        rows["n_nodes"].append(len(nodes))
+        rows["n_edges"].append(len(edges))
+        rows["nodes_packed"].append(";".join(f"{i}:{l}:{t}" for i, l, t in nodes))
+        rows["edges_packed"].append(";".join(f"{s}:{t}:{l}" for s, t, l in edges))
+    return pa.table(
+        {
+            "reply_id": pa.array(rows["reply_id"], type=pa.int64()),
+            "status": pa.array(rows["status"], type=pa.string()),
+            "n_nodes": pa.array(rows["n_nodes"], type=pa.int64()),
+            "n_edges": pa.array(rows["n_edges"], type=pa.int64()),
+            "nodes_packed": pa.array(rows["nodes_packed"], type=pa.string()),
+            "edges_packed": pa.array(rows["edges_packed"], type=pa.string()),
+        }
+    )
+
+
 def apply_edge_mappings(edges, mapping: dict):
     """Edge-relabel taxonomy cleanup (edge_utils.py:29-41): old label -> new
     label; unmapped labels pass through."""

@@ -347,7 +347,7 @@ def expected_tables(triples_by_file, link: bool):
 
 # version-tagged cache dir: bump when the generator changes so stale corpora
 # are never reused across code versions
-SYNTH_ROOT = "/tmp/graft_synth/v3"
+SYNTH_ROOT = "/tmp/graft_synth/v4"
 
 _SF_FILES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 
@@ -385,13 +385,70 @@ def ensure_synth(sf_dir: str, seed: int = 42) -> str:
     # read tasks — a single fat row group serializes the whole extract chain
     pq.write_table(tbl, os.path.join(tmp, "repo_files.parquet"), row_group_size=128)
 
+    n_nodes_linked = n_edges_linked = 0
     for link, name in [(False, "expected_triples_raw"), (True, "expected_triples_linked")]:
         trs, nds = expected_tables(tbf, link=link)
         pq.write_table(pa.Table.from_pylist(trs), os.path.join(tmp, f"{name}.parquet"))
         if link:
             pq.write_table(pa.Table.from_pylist(nds), os.path.join(tmp, "expected_nodes.parquet"))
+            n_nodes_linked, n_edges_linked = len(nds), len(trs)
         else:
             pq.write_table(pa.Table.from_pylist(nds), os.path.join(tmp, "expected_nodes_raw.parquet"))
+
+    # chunk-count oracle: the chunker is deterministic, so its per-file chunk
+    # counts ARE reproducible at generation time (single-threaded, no Ray) —
+    # the distributed read/sha/chunk/groupby plumbing is what the driver's
+    # hash compare then verifies
+    from text_to_graph_ray.config import DEFAULT_CONFIG
+    from text_to_graph_ray.stages.chunker import chunk_one_file
+
+    ch_rows = []
+    for f in files:
+        chunks = chunk_one_file(f["content"] or "", f["lang"], DEFAULT_CONFIG)
+        ch_rows.append(
+            {
+                "repo": f["repo"],
+                "path": f["path"],
+                "n_chunks": len(chunks),
+                "n_tokens": sum(c["chunk_size"] for c in chunks),
+            }
+        )
+    ch_rows.sort(key=lambda r: (r["repo"], r["path"]))
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array([r["repo"] for r in ch_rows], type=pa.string()),
+                "path": pa.array([r["path"] for r in ch_rows], type=pa.string()),
+                "n_chunks": pa.array([r["n_chunks"] for r in ch_rows], type=pa.int64()),
+                "n_tokens": pa.array([r["n_tokens"] for r in ch_rows], type=pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "expected_chunks.parquet"),
+    )
+
+    # checkpointed-run counter oracle (the kg_run_checkpointed query runs at
+    # num_partitions=16 with default linking): run 1 computes every partition,
+    # run 2 must be a pure resume no-op with identical graph counts
+    from text_to_graph_ray.state.checkpoint import part_of
+
+    n_parts = len({part_of(f["repo"], f["path"], 16) for f in files})
+    run_rows = [
+        (1, n_parts, 0, n_parts, n_nodes_linked, n_edges_linked),
+        (2, n_parts, n_parts, 0, n_nodes_linked, n_edges_linked),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "run": pa.array([r[0] for r in run_rows], type=pa.int64()),
+                "parts_total": pa.array([r[1] for r in run_rows], type=pa.int64()),
+                "parts_skipped": pa.array([r[2] for r in run_rows], type=pa.int64()),
+                "parts_computed": pa.array([r[3] for r in run_rows], type=pa.int64()),
+                "nodes": pa.array([r[4] for r in run_rows], type=pa.int64()),
+                "edges": pa.array([r[5] for r in run_rows], type=pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "expected_run.parquet"),
+    )
 
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
