@@ -180,6 +180,15 @@ def _q_dedup_embedding_lsh(sf_dir):
     return embedding_near_dup_lsh(ds, threshold=0.45, n_planes=4)
 
 
+def _q_dedup_survivors(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import near_dup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return near_dup_survivors(ds, threshold=0.5)
+
+
 def _q_text_stats(sf_dir):
     import ray.data as rd
 
@@ -367,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_stats": _q_text_stats,
@@ -414,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"SELECT a, b, hamming FROM read_parquet('{e}/expected_simhash_pairs.parquet')",
         "dedup_ngram_verified": f"SELECT a, b, est_jaccard, jaccard FROM read_parquet('{e}/expected_ngram_pairs.parquet') WHERE jaccard >= 0.4",
         "dedup_embedding_lsh": f"SELECT a, b, sim FROM read_parquet('{e}/expected_emb_lsh_pairs.parquet')",
+        "dedup_survivors": f"SELECT doc_id FROM read_parquet('{e}/expected_survivors.parquet')",
         "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
         "text_quality": f"SELECT doc_id, mean_tok_len, stop_ratio, alpha_ratio, quality FROM read_parquet('{e}/expected_text.parquet')",

@@ -89,6 +89,18 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     pricing_summary(sf_dir).count()
     times["rel_pricing"] = round(time.monotonic() - t0, 3)
 
+    from text_to_graph_ray.functions.dedup import near_dup_survivors
+    from text_to_graph_ray.pipelines.analytics import order_revenue_topk
+
+    t0 = time.monotonic()
+    order_revenue_topk(sf_dir).count()
+    times["rel_order_revenue"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    near_dup_survivors(docs, threshold=0.5).count()
+    times["dedup_survivors"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

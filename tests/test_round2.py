@@ -137,6 +137,19 @@ def test_verified_near_dup_empty_candidates(ray_session):
     assert out.count() == 0
 
 
+def test_segment_revenue_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the small-side guard to 0 routes segment_revenue through the
+    distributed hash join; result must equal the broadcast path."""
+    from text_to_graph_ray.pipelines import analytics
+
+    sf = "/root/testdata/sf0.001"
+    a = analytics.segment_revenue(sf).to_pandas()
+    monkeypatch.setattr(analytics, "BROADCAST_JOIN_MAX_ROWS", 0)
+    b = analytics.segment_revenue(sf).to_pandas()
+    cols = ["seg", "revenue", "n_orders"]
+    assert _sorted(a, cols).equals(_sorted(b, cols))
+
+
 def test_embedding_exact_blocked_matches_single_block(ray_session):
     """Blocked pairwise (tiny blocks) equals the one-block computation."""
     import numpy as np

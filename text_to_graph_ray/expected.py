@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v1"
+EXPECTED_ROOT = "/tmp/graft_expected/v2"
 
 _MERSENNE = (1 << 61) - 1
 
@@ -207,6 +207,27 @@ def naive_minhash_pairs(
                     pairs[(i, j)] = est
     out = sorted(pairs.items())
     return [p[0] for p, _ in out], [p[1] for p, _ in out], [e for _, e in out]
+
+
+def naive_survivors(ids: list[int], texts: list[str], threshold: float, bands: int = 16) -> list[int]:
+    """Union-find (min-root) over the naive minhash pair graph: one survivor
+    (the min id) per connected component; untouched docs survive."""
+    a_l, b_l, est = naive_minhash_pairs(ids, texts, bands=bands)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, e in zip(a_l, b_l, est):
+        if e >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    return sorted(i for i in ids if find(i) == i)
 
 
 def naive_word_jaccard(ta: str, tb: str, shingle: int = 3) -> float:
@@ -470,6 +491,10 @@ def ensure_doc_expected(sf_dir: str) -> str:
             }
         ),
     )
+
+    # near-dedup survivors: union-find over the 16-band pair graph at 0.5
+    surv = naive_survivors(ids, texts, threshold=0.5)
+    _write(tmp, "expected_survivors", pa.table({"doc_id": pa.array(surv, type=pa.int64())}))
 
     # ngram-verified pairs: 32-band candidates + exact word-3-shingle jaccard
     a32, b32, est32 = naive_minhash_pairs(ids, texts, bands=32)

@@ -255,6 +255,72 @@ def exact_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def near_dup_survivors(
+    ds, text_col="text", id_col="doc_id", threshold=0.7, k=64, bands=16, shingle=3, seed=42, max_rounds=16
+):
+    """End-to-end near-dedup: MinHash-LSH pairs -> DISTRIBUTED connected
+    components (iterative min-label propagation: join labels onto edges,
+    groupby-min, repeat until the label sum stops falling) -> keep the min id
+    per component. Docs outside the pair graph survive untouched.
+
+    The component graph is pair-table sized (<< corpus); each round is one
+    hash join + one groupby over it. Rounds needed = component diameter —
+    near-dup clusters are small and dense, so convergence is fast; max_rounds
+    is a safety bound (log2 of the largest chain). Exact duplicates have
+    est_jaccard 1.0 and are swept up too."""
+    import ray.data as rd  # noqa: F401  (documented dependency)
+    from ray.data.aggregate import Min
+
+    ids_only = ds.map_batches(lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow")
+    pairs = minhash_near_dup_pairs(
+        ds, text_col=text_col, id_col=id_col, k=k, bands=bands, shingle=shingle, threshold=threshold, seed=seed
+    ).materialize()
+    if pairs.count() == 0:
+        return ids_only.sort(id_col)
+
+    def undirected(b: pa.Table) -> pa.Table:
+        a, bb = b.column("a"), b.column("b")
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]),
+                "dst": pa.concat_arrays([bb.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(undirected, batch_format="pyarrow").materialize()
+    labels = (
+        edges.map_batches(lambda b: pa.table({"node": b.column("src"), "label": b.column("src")}), batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    n_parts = join_partitions_for()
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("node",), partition_size_hint=32 << 20
+        ).map_batches(lambda b: pa.table({"node": b.column("dst"), "label": b.column("label")}), batch_format="pyarrow")
+        labels = msgs.union(labels).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        s = labels.sum("label")  # labels fall monotonically; fixed sum == converged
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def removed_rows(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.invert(pc.equal(b.column("node"), b.column("label"))))
+        return pa.table({id_col: f.column("node"), "__rm": pa.array([1] * f.num_rows, type=pa.int64())})
+
+    removed = labels.map_batches(removed_rows, batch_format="pyarrow")
+    j = ids_only.join(
+        removed, join_type="left_outer", num_partitions=n_parts, on=(id_col,), partition_size_hint=32 << 20
+    )
+    surv = j.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("__rm"))).select([id_col]), batch_format="pyarrow"
+    )
+    return surv.sort(id_col)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

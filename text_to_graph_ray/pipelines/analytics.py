@@ -79,30 +79,80 @@ def pricing_summary(sf_dir: str, cutoff: str = "1996-01-01"):
     return agg.map_batches(finish, batch_format="pandas").sort(["l_returnflag", "l_linestatus"])
 
 
+BROADCAST_JOIN_MAX_ROWS = 5_000_000  # small-side guard: beyond this, broadcast ships too much per worker
+
+
 def segment_revenue(sf_dir: str):
-    """orders ⋈ customer (broadcast small side inside map_batches — no
-    shuffle join) -> revenue per market segment."""
+    """orders ⋈ customer -> revenue per market segment. The customer map is
+    broadcast (dict inside map_batches) while it is provably small
+    (row-count guard); past BROADCAST_JOIN_MAX_ROWS it falls back to a
+    distributed hash join — the "small side" assumption is checked, never
+    assumed."""
     import ray
     import ray.data as rd
-
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
-    ref = ray.put(seg_of)
-
-    def partial(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        df = b.to_pandas()
-        df["seg"] = df["o_custkey"].map(m)
-        g = df.groupby("seg", as_index=False).agg(total=("o_totalprice", "sum"), n=("o_totalprice", "size"))
-        g["n"] = g["n"].astype("float64")
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("seg").aggregate(
-        Sum("total", alias_name="revenue"), Sum("n", alias_name="n_orders")
-    )
+    cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    n_cust = cust_ds.count()  # metadata-cheap on parquet
+
+    partial_schema = pa.schema([("seg", pa.string()), ("total", pa.float64()), ("n", pa.float64())])
+
+    if n_cust <= BROADCAST_JOIN_MAX_ROWS:
+        cust = cust_ds.to_pandas()
+        seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+        ref = ray.put(seg_of)
+
+        def partial(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            df = b.to_pandas()
+            df["seg"] = df["o_custkey"].map(m)
+            g = df.groupby("seg", as_index=False).agg(total=("o_totalprice", "sum"), n=("o_totalprice", "size"))
+            return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in partial_schema})
+
+        pre = ds.map_batches(partial, batch_format="pyarrow")
+    else:
+        # fallback: pre-aggregate per customer (combiner), hash-join to the
+        # customer table, re-key to segment — no driver-side customer map
+        from text_to_graph_ray.functions.dedup import join_partitions_for
+
+        def per_cust(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            g = df.groupby("o_custkey", as_index=False).agg(total=("o_totalprice", "sum"), n=("o_totalprice", "size"))
+            return pa.table(
+                {
+                    "o_custkey": pa.array(g["o_custkey"], type=pa.int64()),
+                    "total": pa.array(g["total"], type=pa.float64()),
+                    "n": pa.array(g["n"], type=pa.float64()),
+                }
+            )
+
+        by_cust = (
+            ds.map_batches(per_cust, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("total", alias_name="total"), Sum("n", alias_name="n"))
+        )
+        j = by_cust.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=join_partitions_for(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            partition_size_hint=32 << 20,
+        )
+        pre = j.map_batches(
+            lambda b: pa.table(
+                {
+                    "seg": b.column("c_mktsegment"),
+                    "total": b.column("total"),
+                    "n": b.column("n"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    agg = pre.groupby("seg").aggregate(Sum("total", alias_name="revenue"), Sum("n", alias_name="n_orders"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["revenue"].round(2)

@@ -491,12 +491,27 @@ def _scaling_file(repo: str, path: str, gid: int, n_files: int, n_funcs: int = 6
     return "\n".join(lines) + "\n"
 
 
+# the scaling corpus generator is frozen: keep it OUTSIDE the versioned
+# synth root so correctness-oracle version bumps never force regenerating
+# this (large) corpus; pre-bump copies are adopted by rename
+SCALING_ROOT = "/tmp/graft_synth/scaling"
+
+
 def ensure_scaling_corpus(n_files: int = 100_000, n_funcs: int = 8, body_lines: int = 250, seed: int = 42, shards: int = 128) -> str:
     """A larger content-only corpus for the two-parallelism scaling
     measurement, sharded into many parquet files so the read fans out. No
     oracle tables (the scaling run measures throughput, not correctness —
     the correctness corpus is ``ensure_synth``)."""
-    out = os.path.join(SYNTH_ROOT, f"scaling3-{n_files}-{n_funcs}x{body_lines}")
+    tag = f"scaling3-{n_files}-{n_funcs}x{body_lines}"
+    out = os.path.join(SCALING_ROOT, tag)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        legacy = os.path.join("/tmp/graft_synth/v3", tag)
+        if os.path.exists(os.path.join(legacy, "_SUCCESS")):
+            os.makedirs(SCALING_ROOT, exist_ok=True)
+            try:
+                os.rename(legacy, out)
+            except OSError:
+                pass
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
