@@ -225,6 +225,33 @@ def _q_text_tokens(sf_dir):
     return ds.map_batches(bpe_ish_tokens, batch_format="pyarrow")
 
 
+def _q_text_vocab_topk(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import vocab_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_topk(ds, k=50)
+
+
+def _q_sample_stratified(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.sample import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(ds, key_col="lang", n_per_key=20)
+
+
+def _q_sample_mod(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.sample import mod_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return mod_sample(ds, rate_pct=10)
+
+
 def _q_dedup_ngram_verified(sf_dir):
     import ray.data as rd
 
@@ -261,6 +288,16 @@ def _q_ann_lsh(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
     return lsh_topk(ds, q_ids, q_vecs, k=10, n_planes=6)
+
+
+def _q_ann_ivf(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.ann import ivf_topk, queries_from_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
+    return ivf_topk(ds, q_ids, q_vecs, k=10)
 
 
 def _q_events_window(sf_dir):
@@ -353,6 +390,12 @@ def _q_kg_relabeled(sf_dir):
     return out.groupby("pred").aggregate(Count(alias_name="n")).sort("pred")
 
 
+def _q_pipeline_clean_corpus(sf_dir):
+    from text_to_graph_ray.pipelines.curation import clean_corpus_survivors
+
+    return clean_corpus_survivors(sf_dir)
+
+
 def _q_mm_decode(sf_dir):
     import ray.data as rd
 
@@ -381,12 +424,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_stats": _q_text_stats,
         "text_tokens": _q_text_tokens,
+        "text_vocab_topk": _q_text_vocab_topk,
+        "sample_stratified": _q_sample_stratified,
+        "sample_mod": _q_sample_mod,
         "dedup_ngram_verified": _q_dedup_ngram_verified,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "rel_pricing": _q_rel_pricing,
@@ -395,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
         "mm_decode": _q_mm_decode,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "kg_fixture_triples": _q_kg_fixture_triples,
         "kg_fixture_nodes": _q_kg_fixture_nodes,
         "kg_relabeled": _q_kg_relabeled,
@@ -425,7 +473,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_verified": f"SELECT a, b, est_jaccard, jaccard FROM read_parquet('{e}/expected_ngram_pairs.parquet') WHERE jaccard >= 0.4",
         "dedup_embedding_lsh": f"SELECT a, b, sim FROM read_parquet('{e}/expected_emb_lsh_pairs.parquet')",
         "dedup_survivors": f"SELECT doc_id FROM read_parquet('{e}/expected_survivors.parquet')",
+        "pipeline_clean_corpus": f"SELECT doc_id FROM read_parquet('{e}/expected_clean.parquet')",
         "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
+        "ann_ivf": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_ivf.parquet')",
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
         "text_quality": f"SELECT doc_id, mean_tok_len, stop_ratio, alpha_ratio, quality FROM read_parquet('{e}/expected_text.parquet')",
         "text_fingerprint": f"SELECT doc_id, fingerprint FROM read_parquet('{e}/expected_text.parquet')",
@@ -441,6 +491,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_relabeled": (
             f"SELECT CASE pred WHEN 'calls' THEN 'invokes' WHEN 'imports' THEN 'uses' ELSE pred END AS pred, "
             f"count(*)::BIGINT AS n FROM read_parquet('{exp_linked}') GROUP BY 1 ORDER BY pred"
+        ),
+        # --- sampling / vocab (pure-SQL oracles) ---
+        "text_vocab_topk": (
+            "SELECT token, sum(1)::BIGINT AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "FROM documents WHERE trim(text) <> '') "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 20 ORDER BY lang, doc_id"
+        ),
+        "sample_mod": (
+            "SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id"
         ),
         # --- distributed joins vs DuckDB joins ---
         "rel_order_revenue": (

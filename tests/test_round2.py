@@ -150,6 +150,22 @@ def test_segment_revenue_join_fallback_matches_broadcast(ray_session, monkeypatc
     assert _sorted(a, cols).equals(_sorted(b, cols))
 
 
+def test_survivors_distributed_matches_unionfind(ray_session):
+    """cc_collect_max=0 forces the label-propagation path; it must equal the
+    driver union-find path and the naive expected survivors."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import near_dup_survivors
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    a = near_dup_survivors(docs, threshold=0.5).to_pandas()
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    b = near_dup_survivors(docs, threshold=0.5, cc_collect_max=0).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) > 0
+
+
 def test_embedding_exact_blocked_matches_single_block(ray_session):
     """Blocked pairwise (tiny blocks) equals the one-block computation."""
     import numpy as np

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v2"
+EXPECTED_ROOT = "/tmp/graft_expected/v3"
 
 _MERSENNE = (1 << 61) - 1
 
@@ -230,6 +230,17 @@ def naive_survivors(ids: list[int], texts: list[str], threshold: float, bands: i
     return sorted(i for i in ids if find(i) == i)
 
 
+def naive_clean_corpus(ids: list[int], texts: list[str], min_quality: float = 0.45, threshold: float = 0.5) -> list[int]:
+    """Single-threaded curation composition: quality+language gate then
+    near-dedup survivors over the gated subset."""
+    kept_ids, kept_texts = [], []
+    for i, t in zip(ids, texts):
+        if naive_quality(t)[3] >= min_quality and naive_lang(t) == "en":
+            kept_ids.append(i)
+            kept_texts.append(t)
+    return naive_survivors(kept_ids, kept_texts, threshold=threshold)
+
+
 def naive_word_jaccard(ta: str, tb: str, shingle: int = 3) -> float:
     def sh(t):
         toks = (t or "").split()
@@ -284,6 +295,52 @@ def naive_embedding_lsh_pairs(ids: np.ndarray, vecs: np.ndarray, threshold: floa
                     s_out.append(round(float(sims[x, y]), 6))
     order = sorted(range(len(a_out)), key=lambda i: (a_out[i], b_out[i]))
     return [a_out[i] for i in order], [b_out[i] for i in order], [s_out[i] for i in order]
+
+
+def naive_ann_ivf(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    n_queries: int,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_rows: int = 2048,
+    iters: int = 10,
+):
+    """Single-threaded IVF: same spec as the engine (deterministic Lloyd
+    k-means on the first train_rows vectors by id, cosine assignment, probe
+    the nprobe nearest lists), re-derived here without engine imports."""
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order].astype(np.float64)
+    vn = _norm_rows(vecs)
+
+    sample = vn[:train_rows]
+    nc = min(n_centroids, len(sample))
+    cent = sample[:nc].copy()
+    for _ in range(iters):
+        cn = _norm_rows(cent)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for c in range(nc):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    cent = _norm_rows(cent)
+
+    lists = np.argmax(vn @ cent.T, axis=1)
+    rows = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
+    np_probe = min(nprobe, nc)
+    for qi in range(min(n_queries, len(ids))):
+        probed = np.argsort(-(vn[qi] @ cent.T))[:np_probe]
+        mask = np.isin(lists, probed)
+        cand_ids = ids[mask]
+        sims = np.round(vn[qi] @ vn[mask].T, 6)
+        top = np.lexsort((cand_ids, -sims))[:k]
+        for rank, j in enumerate(top, start=1):
+            rows["query_id"].append(int(ids[qi]))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(int(cand_ids[j]))
+            rows["sim"].append(float(sims[j]))
+    return rows
 
 
 def naive_ann_lsh(ids: np.ndarray, vecs: np.ndarray, n_queries: int, k: int, n_planes: int, seed: int = 42):
@@ -496,6 +553,10 @@ def ensure_doc_expected(sf_dir: str) -> str:
     surv = naive_survivors(ids, texts, threshold=0.5)
     _write(tmp, "expected_survivors", pa.table({"doc_id": pa.array(surv, type=pa.int64())}))
 
+    # curation composition: gate then dedup
+    clean = naive_clean_corpus(ids, texts)
+    _write(tmp, "expected_clean", pa.table({"doc_id": pa.array(clean, type=pa.int64())}))
+
     # ngram-verified pairs: 32-band candidates + exact word-3-shingle jaccard
     a32, b32, est32 = naive_minhash_pairs(ids, texts, bands=32)
     text_of = dict(zip(ids, texts))
@@ -529,19 +590,22 @@ def ensure_doc_expected(sf_dir: str) -> str:
             }
         ),
     )
-    ann = naive_ann_lsh(vids, vecs, n_queries=8, k=10, n_planes=6)
-    _write(
-        tmp,
-        "expected_ann_lsh",
-        pa.table(
-            {
-                "query_id": pa.array(ann["query_id"], type=pa.int64()),
-                "rank": pa.array(ann["rank"], type=pa.int64()),
-                "vec_id": pa.array(ann["vec_id"], type=pa.int64()),
-                "sim": pa.array(ann["sim"], type=pa.float64()),
-            }
-        ),
-    )
+    for name, ann in (
+        ("expected_ann_lsh", naive_ann_lsh(vids, vecs, n_queries=8, k=10, n_planes=6)),
+        ("expected_ann_ivf", naive_ann_ivf(vids, vecs, n_queries=8, k=10)),
+    ):
+        _write(
+            tmp,
+            name,
+            pa.table(
+                {
+                    "query_id": pa.array(ann["query_id"], type=pa.int64()),
+                    "rank": pa.array(ann["rank"], type=pa.int64()),
+                    "vec_id": pa.array(ann["vec_id"], type=pa.int64()),
+                    "sim": pa.array(ann["sim"], type=pa.float64()),
+                }
+            ),
+        )
 
     # fake media decode stats
     mm = [naive_mm_stats(i, t) for i, t in zip(ids, texts)]

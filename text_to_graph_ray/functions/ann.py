@@ -83,6 +83,114 @@ def queries_from_dataset(ds, n_queries=8, id_col="vec_id", vec_col="embedding"):
 
 
 # ---------------------------------------------------------------------------
+# IVF variant (coarse k-means quantizer; the list-pruned scale path)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means over a (normalized) float64 sample:
+    init = first n_centroids sample rows, cosine assignment, mean update,
+    empty clusters keep their previous centroid. No RNG anywhere — the same
+    sample always yields the same centroids (the oracle reproduces this)."""
+    sample = _normalize(sample.astype(np.float64))
+    n_centroids = min(n_centroids, len(sample))
+    cent = sample[:n_centroids].copy()
+    for _ in range(iters):
+        cn = _normalize(cent)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return _normalize(cent)
+
+
+class IvfAssigner:
+    """Actor-pool stage: centroids held once per actor; each batch gets its
+    nearest-centroid list id appended."""
+
+    def __init__(self, centroids_ref=None, centroids: np.ndarray | None = None, vec_col: str = "embedding"):
+        if centroids is None:
+            import ray
+
+            centroids = ray.get(centroids_ref)
+        self.cent = centroids
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        lists = np.argmax(vecs @ self.cent.T, axis=1).astype("int64")
+        return batch.append_column("list_id", pa.array(lists))
+
+
+def ivf_topk(
+    ds,
+    query_ids,
+    query_vecs,
+    k=10,
+    n_centroids=16,
+    nprobe=4,
+    train_rows=2048,
+    id_col="vec_id",
+    vec_col="embedding",
+):
+    """IVF approximate top-k: a coarse k-means quantizer trained on a BOUNDED
+    deterministic sample (first train_rows by id — O(train_rows) driver
+    memory regardless of corpus size), centroids broadcast once; every vector
+    is assigned to its nearest list by an actor pool, and each query scores
+    only the nprobe nearest lists. Recall rises with nprobe (= n_centroids
+    recovers brute force)."""
+    import ray
+
+    sample_rows = ds.sort(id_col).limit(train_rows).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_fit(sample, n_centroids)
+
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_sims = q_mat @ cent.T
+    nprobe = min(nprobe, cent.shape[0])
+    q_lists = np.argsort(-q_sims, axis=1)[:, :nprobe]  # (Q, nprobe) probed list ids
+    ref = ray.put((q_ids, q_mat, q_lists))
+    cent_ref = ray.put(cent)
+
+    assigned = ds.map_batches(
+        IvfAssigner,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_col": vec_col},
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, ql = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        lists = np.asarray(batch.column("list_id").to_pylist(), dtype=np.int64)
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        for q in range(len(qi)):
+            mask = np.isin(lists, ql[q])
+            if not mask.any():
+                continue
+            sims = np.round(qm[q] @ vecs[mask].T, 6)
+            cand = ids[mask]
+            take = min(k, len(cand))
+            order = np.lexsort((cand, -sims))[:take]
+            rows["query_id"].extend([int(qi[q])] * len(order))
+            rows["vec_id"].extend(int(cand[j]) for j in order)
+            rows["sim"].extend(float(sims[j]) for j in order)
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+                "sim": pa.array(rows["sim"], type=pa.float64()),
+            }
+        )
+
+    partials = assigned.map_batches(score, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas").sort(["query_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------
 

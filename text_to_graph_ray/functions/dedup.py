@@ -256,18 +256,30 @@ def exact_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
 
 
 def near_dup_survivors(
-    ds, text_col="text", id_col="doc_id", threshold=0.7, k=64, bands=16, shingle=3, seed=42, max_rounds=16
+    ds,
+    text_col="text",
+    id_col="doc_id",
+    threshold=0.7,
+    k=64,
+    bands=16,
+    shingle=3,
+    seed=42,
+    max_rounds=16,
+    cc_collect_max=2_000_000,
 ):
-    """End-to-end near-dedup: MinHash-LSH pairs -> DISTRIBUTED connected
-    components (iterative min-label propagation: join labels onto edges,
-    groupby-min, repeat until the label sum stops falling) -> keep the min id
-    per component. Docs outside the pair graph survive untouched.
+    """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
+    keep the min id per component. Docs outside the pair graph survive.
 
-    The component graph is pair-table sized (<< corpus); each round is one
-    hash join + one groupby over it. Rounds needed = component diameter —
-    near-dup clusters are small and dense, so convergence is fast; max_rounds
-    is a safety bound (log2 of the largest chain). Exact duplicates have
-    est_jaccard 1.0 and are swept up too."""
+    Component computation is guarded like every small-side path in this repo:
+    while the pair graph fits comfortably (<= cc_collect_max edges) an exact
+    union-find runs on the driver and only the (duplicate-sized) removed-id
+    set is broadcast as a filter; above the threshold it switches to
+    DISTRIBUTED min-label propagation (join labels onto edges, groupby-min,
+    repeat until the label sum stops falling — rounds = component diameter,
+    and near-dup clusters are small and dense). Both paths are value-identical
+    (tests force cc_collect_max=0). Exact duplicates have est_jaccard 1.0 and
+    are swept up too."""
+    import ray
     import ray.data as rd  # noqa: F401  (documented dependency)
     from ray.data.aggregate import Min
 
@@ -275,8 +287,36 @@ def near_dup_survivors(
     pairs = minhash_near_dup_pairs(
         ds, text_col=text_col, id_col=id_col, k=k, bands=bands, shingle=shingle, threshold=threshold, seed=seed
     ).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ids_only.sort(id_col)
+
+    if n_pairs <= cc_collect_max:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for a, bb in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
+                parent.setdefault(a, a)
+                parent.setdefault(bb, bb)
+                ra, rb = find(a), find(bb)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        removed = pa.array(sorted(x for x in parent if find(x) != x), type=pa.int64())
+        rm_ref = ray.put(removed)
+
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(b.column(id_col), value_set=ray.get(rm_ref))))
+
+        return ids_only.map_batches(keep, batch_format="pyarrow").sort(id_col)
 
     def undirected(b: pa.Table) -> pa.Table:
         a, bb = b.column("a"), b.column("b")

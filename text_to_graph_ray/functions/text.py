@@ -124,3 +124,33 @@ def fingerprint(text: str, k: int = 5, window: int = 4) -> int:
 def add_fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     fps = [fingerprint(t) for t in batch.column(text_col).to_pylist()]
     return pa.table({id_col: batch.column(id_col), "fingerprint": pa.array(fps, type=pa.int64())})
+
+
+def token_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch token-frequency partial (Counter) — the combiner half of the
+    corpus-vocabulary wordcount. One row per distinct token PER BATCH enters
+    the exchange, so a 100 TB corpus ships its vocabulary, not its tokens."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        c.update((t or "").split())
+    items = sorted(c.items())
+    return pa.table(
+        {
+            "token": pa.array([k for k, _ in items], type=pa.string()),
+            "n": pa.array([v for _, v in items], type=pa.int64()),
+        }
+    )
+
+
+def vocab_topk(ds, k: int = 50, text_col: str = "text"):
+    """Corpus vocabulary top-k: flat-map to tokens with per-batch Counter
+    partials, one groupby-sum over the (vocabulary-sized) partials, then
+    sort desc + limit. Ties break on the token string so the DuckDB oracle
+    ranks identically."""
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(lambda b: token_count_partial(b, text_col), batch_format="pyarrow")
+    agg = parts.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
