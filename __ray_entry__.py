@@ -306,6 +306,12 @@ def _q_events_window(sf_dir):
     return events_tumbling_window(sf_dir)
 
 
+def _q_events_hopping(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import events_hopping_window
+
+    return events_hopping_window(sf_dir)
+
+
 def _q_events_sessions(sf_dir):
     from text_to_graph_ray.pipelines.analytics import sessionize
 
@@ -435,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "rel_pricing": _q_rel_pricing,
         "rel_segment_revenue": _q_rel_segment_revenue,
@@ -566,6 +573,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS w, "
             "round(sum(value), 4) AS sum_value, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY event_type, w"
+        ),
+        "events_hopping": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) - r AS w, "
+            "round(sum(value), 4) AS sum_value, count(*)::BIGINT AS n_events "
+            "FROM events, (SELECT unnest(range(2)) AS r) "
+            "WHERE CAST(floor(epoch(ts) / 300) AS BIGINT) - r >= 0 "
+            "GROUP BY event_type, w"
         ),
         "rel_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -150,6 +150,23 @@ def test_segment_revenue_join_fallback_matches_broadcast(ray_session, monkeypatc
     assert _sorted(a, cols).equals(_sorted(b, cols))
 
 
+def test_minhash_signature_join_matches_ridealong(ray_session):
+    """signature_join=True (ids-only band rows + signature hash join) must be
+    value-identical to the default ride-along plan."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    a = minhash_near_dup_pairs(docs, threshold=0.3).to_pandas()
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    b = minhash_near_dup_pairs(docs, threshold=0.3, signature_join=True).to_pandas()
+    cols = ["a", "b", "est_jaccard"]
+    assert len(a) > 0
+    assert _sorted(a, cols).equals(_sorted(b, cols))
+
+
 def test_survivors_distributed_matches_unionfind(ray_session):
     """cc_collect_max=0 forces the label-propagation path; it must equal the
     driver union-find path and the naive expected survivors."""

@@ -158,15 +158,30 @@ def _bucket_pairs(group, max_bucket: int = 200):
     return pd.DataFrame({"a": np.array(a_out, dtype="int64"), "b": np.array(b_out, dtype="int64"), "est_jaccard": np.array(est, dtype="float64")})
 
 
-def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", k=64, bands=16, shingle=3, threshold=0.7, seed=42, concurrency=4):
+def minhash_near_dup_pairs(
+    ds, text_col="text", id_col="doc_id", k=64, bands=16, shingle=3, threshold=0.7, seed=42, concurrency=4,
+    signature_join=False,
+):
     """Documents -> candidate near-dup pairs (a < b, est_jaccard >= threshold),
-    deduped across bands, sorted."""
+    deduped across bands, sorted.
+
+    Two physically different plans, value-identical output (asserted in
+    tests):
+    * default (ride-along): each band row carries the k-perm signature, so
+      pair estimation happens inside the bucket merge — one exchange, but the
+      signature travels ``bands`` times (k*8 B × bands per doc);
+    * ``signature_join=True`` (the 10^12-doc shape): band rows carry ids
+      only; distinct candidate pairs come out of the bucket groupby and the
+      signatures are hash-joined back (each signature crosses the wire once).
+    """
     sigs = ds.map_batches(
         MinHasher,
         batch_format="pyarrow",
         concurrency=(1, concurrency),
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k, "shingle": shingle, "seed": seed},
     )
+    if signature_join:
+        return _minhash_pairs_signature_join(sigs, bands, threshold)
     band_rows = sigs.map_batches(lambda b: _band_rows(b, bands), batch_format="pyarrow")
     pairs = band_rows.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     pairs = pairs.map_batches(
@@ -176,6 +191,70 @@ def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", k=64, bands=16,
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard")).sort(["a", "b"])
+
+
+def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    sigs = sigs.materialize()  # consumed by banding AND by both join sides
+
+    def band_id_rows(batch: pa.Table) -> pa.Table:
+        full = _band_rows(batch, bands)
+        return full.select(["bucket", "band", "band_hash", "id"])
+
+    def bucket_id_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            members = sorted(g["id"])[:200]  # same cap as _bucket_pairs
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a_out.append(members[i])
+                    b_out.append(members[j])
+        return pd.DataFrame({"a": np.array(a_out, dtype="int64"), "b": np.array(b_out, dtype="int64")})
+
+    cand = (
+        sigs.map_batches(band_id_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_id_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Min("a", alias_name="__d"))  # distinct (a, b) across bands
+        .map_batches(lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+        .materialize()
+    )
+    if cand.count() == 0:
+        return _empty_pairs("est_jaccard")
+
+    n_parts = join_partitions_for()
+
+    def sig_side(key: str, out: str):
+        # Ray's hash join rejects list<> payload columns — pack the k-perm
+        # signature as one fixed-width binary value (k*8 B) for the ride
+        def fn(b: pa.Table) -> pa.Table:
+            packed = [np.asarray(s, dtype=np.uint64).tobytes() for s in b.column("sig").to_pylist()]
+            return pa.table({key: b.column("id"), out: pa.array(packed, type=pa.binary())})
+
+        return fn
+
+    sa = sigs.map_batches(sig_side("a", "__sig_a"), batch_format="pyarrow")
+    sb = sigs.map_batches(sig_side("b", "__sig_b"), batch_format="pyarrow")
+    j = cand.join(sa, join_type="inner", num_partitions=n_parts, on=("a",), partition_size_hint=32 << 20)
+    j = j.join(sb, join_type="inner", num_partitions=n_parts, on=("b",), partition_size_hint=32 << 20)
+
+    def estimate(b: pa.Table) -> pa.Table:
+        est = [
+            float((np.frombuffer(x, dtype=np.uint64) == np.frombuffer(y, dtype=np.uint64)).mean())
+            for x, y in zip(b.column("__sig_a").to_pylist(), b.column("__sig_b").to_pylist())
+        ]
+        out = b.select(["a", "b"]).append_column("est_jaccard", pa.array(est, type=pa.float64()))
+        return out.filter(pc.greater_equal(out.column("est_jaccard"), threshold))
+
+    est_pairs = j.map_batches(estimate, batch_format="pyarrow").materialize()
+    if est_pairs.count() == 0:
+        return _empty_pairs("est_jaccard")
+    return est_pairs.sort(["a", "b"])
 
 
 def _empty_pairs(*extra_float_cols: str):

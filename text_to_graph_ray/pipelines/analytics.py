@@ -284,6 +284,52 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300):
     return agg.map_batches(finish, batch_format="pandas").sort(["event_type", "w"])
 
 
+def events_hopping_window(sf_dir: str, window_s: int = 600, hop_s: int = 300):
+    """Hopping (overlapping) windows: each event lands in
+    ``window_s / hop_s`` windows — the per-batch transform REPLICATES rows
+    per covering window (a flat-map, still order-free and combiner-friendly),
+    then the same tiny pre-aggregated groupby as the tumbling case. Window w
+    covers [w*hop, w*hop + window)."""
+    import ray.data as rd
+
+    assert window_s % hop_s == 0
+    reps = window_s // hop_s
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        epoch = df["ts"].values.astype("datetime64[ns]").astype("int64") / 1e9
+        last = np.floor(epoch / hop_s).astype("int64")  # last (highest-index) covering hop
+        frames = []
+        for r in range(reps):
+            f = pd.DataFrame({"event_type": df["event_type"], "w": last - r, "value": df["value"]})
+            frames.append(f)
+        allf = pd.concat(frames, ignore_index=True)
+        allf = allf[allf["w"] >= 0]
+        g = allf.groupby(["event_type", "w"], as_index=False).agg(s=("value", "sum"), n=("value", "size"))
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "w": pa.array(g["w"], type=pa.int64()),
+                "s": pa.array(g["s"], type=pa.float64()),
+                "n": pa.array(g["n"].astype("float64"), type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["event_type", "w"]).aggregate(
+        Sum("s", alias_name="sum_value"), Sum("n", alias_name="n_events")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["event_type", "w", "sum_value", "n_events"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort(["event_type", "w"])
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800):
     """Session windows per user: sort within user group by ts, split on gaps >
     gap_s (groupby(user).map_groups over the sorted group — the documented
