@@ -486,7 +486,10 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
         "text_quality": f"SELECT doc_id, mean_tok_len, stop_ratio, alpha_ratio, quality FROM read_parquet('{e}/expected_text.parquet')",
         "text_fingerprint": f"SELECT doc_id, fingerprint FROM read_parquet('{e}/expected_text.parquet')",
-        "mm_decode": f"SELECT media_id, width, height, pixel_mean, pixel_std FROM read_parquet('{e}/expected_mm.parquet')",
+        "mm_decode": (
+            f"SELECT media_id, kind, width, height, sample_rate, n_frames, feat_mean, feat_std "
+            f"FROM read_parquet('{e}/expected_mm.parquet')"
+        ),
         # --- generator-derived kg oracles (synth.py) ---
         "kg_chunks": f"SELECT repo, path, n_chunks, n_tokens FROM read_parquet('{d}/expected_chunks.parquet')",
         "kg_run_checkpointed": f"SELECT run, parts_total, parts_skipped, parts_computed, nodes, edges FROM read_parquet('{d}/expected_run.parquet')",

@@ -160,16 +160,20 @@ def test_quality_score_monotonic_in_substance():
 def test_multimodal_decode_stub(ray_session):
     import ray.data as rd
 
-    from text_to_graph_ray.functions.multimodal import DecodeImage, decode_stats, media_table_from_documents
+    from text_to_graph_ray.functions.multimodal import DecodeImage, DecodeMedia, decode_stats, media_table_from_documents
 
-    docs = rd.from_items([{"doc_id": i, "text": f"payload {i}"} for i in range(5)])
+    docs = rd.from_items([{"doc_id": i, "text": f"payload {i}"} for i in range(6)])
     media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
-    out = decode_stats(media).to_pandas()
-    assert len(out) == 5
-    assert (out["pixel_mean"] > 0).all()
+    out = decode_stats(media).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 6
+    assert list(out["kind"]) == ["image", "audio", "video"] * 2  # all three branches decoded
+    assert (out.loc[out["kind"] != "audio", "feat_mean"] > 0).all()  # pixel means positive
+    assert (out["feat_std"] > 0).all()
     # deterministic across instances
-    d1, d2 = DecodeImage(), DecodeImage()
-    assert (d1._decode(b"x", 4, 4) == d2._decode(b"x", 4, 4)).all()
+    d1, d2 = DecodeMedia(), DecodeMedia()
+    assert (d1._decode_one("image", b"x", 4, 4, 0, 1) == d2._decode_one("image", b"x", 4, 4, 0, 1)).all()
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)._decode_one("image", b"x", 4, 4, 0, 1)
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)._decode(b"x", 4, 4)
 

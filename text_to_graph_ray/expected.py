@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v3"
+EXPECTED_ROOT = "/tmp/graft_expected/v4"
 
 _MERSENNE = (1 << 61) - 1
 
@@ -372,11 +372,25 @@ def naive_ann_lsh(ids: np.ndarray, vecs: np.ndarray, n_queries: int, k: int, n_p
 
 
 def naive_mm_stats(doc_id: int, text: str):
+    """(media_id, kind, width, height, sample_rate, n_frames, feat_mean,
+    feat_std) for the fake multi-kind decoder (kinds cycle by id)."""
     payload = (text or "").encode("utf-8")
     crc = zlib.crc32(payload)
-    w, h = 8 + (crc % 8), 8
-    img = np.random.RandomState(crc).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
-    return doc_id, w, h, round(float(img.mean()), 4), round(float(img.std()), 4)
+    kind = ("image", "audio", "video")[doc_id % 3]
+    w = 8 + (crc % 8) if kind != "audio" else 0
+    h = 8 if kind != "audio" else 0
+    sr = 8000 + (crc % 4) * 4000 if kind == "audio" else 0
+    nf = 1 if kind == "image" else (10 + crc % 20 if kind == "video" else 0)
+    if kind == "audio":
+        arr = np.random.RandomState(crc).standard_normal(max(sr // 100, 1)).astype(np.float32)
+    elif kind == "video":
+        frames = list(range(0, max(nf, 1), 5))[:4]
+        arr = np.stack(
+            [np.random.RandomState(crc + fi).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32) for fi in frames]
+        )
+    else:
+        arr = np.random.RandomState(crc).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
+    return doc_id, kind, w, h, sr, nf, round(float(arr.mean()), 4), round(float(arr.std()), 4)
 
 
 # ---------------------------------------------------------------------------
@@ -607,7 +621,7 @@ def ensure_doc_expected(sf_dir: str) -> str:
             ),
         )
 
-    # fake media decode stats
+    # fake multi-kind media decode stats
     mm = [naive_mm_stats(i, t) for i, t in zip(ids, texts)]
     _write(
         tmp,
@@ -615,10 +629,13 @@ def ensure_doc_expected(sf_dir: str) -> str:
         pa.table(
             {
                 "media_id": pa.array([m[0] for m in mm], type=pa.int64()),
-                "width": pa.array([m[1] for m in mm], type=pa.int64()),
-                "height": pa.array([m[2] for m in mm], type=pa.int64()),
-                "pixel_mean": pa.array([m[3] for m in mm], type=pa.float64()),
-                "pixel_std": pa.array([m[4] for m in mm], type=pa.float64()),
+                "kind": pa.array([m[1] for m in mm], type=pa.string()),
+                "width": pa.array([m[2] for m in mm], type=pa.int64()),
+                "height": pa.array([m[3] for m in mm], type=pa.int64()),
+                "sample_rate": pa.array([m[4] for m in mm], type=pa.int64()),
+                "n_frames": pa.array([m[5] for m in mm], type=pa.int64()),
+                "feat_mean": pa.array([m[6] for m in mm], type=pa.float64()),
+                "feat_std": pa.array([m[7] for m in mm], type=pa.float64()),
             }
         ),
     )

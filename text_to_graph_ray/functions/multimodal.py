@@ -35,19 +35,22 @@ MEDIA_SCHEMA = pa.schema(
 
 def media_table_from_documents(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     """Deterministic fake media rows derived from a text table — test/bench
-    harness for the multimodal path (no external data)."""
+    harness for the multimodal path (no external data). Kinds cycle
+    image/audio/video by id so every decode branch is exercised."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i, t in zip(ids, texts):
         payload = (t or "").encode("utf-8")
+        crc = zlib.crc32(payload)
+        kind = ("image", "audio", "video")[i % 3]
         rows["media_id"].append(i)
-        rows["kind"].append("image")
+        rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["width"].append(8 + (zlib.crc32(payload) % 8))
-        rows["height"].append(8)
-        rows["sample_rate"].append(0)
-        rows["n_frames"].append(1)
+        rows["width"].append(8 + (crc % 8) if kind != "audio" else 0)
+        rows["height"].append(8 if kind != "audio" else 0)
+        rows["sample_rate"].append(8000 + (crc % 4) * 4000 if kind == "audio" else 0)
+        rows["n_frames"].append(1 if kind == "image" else (10 + crc % 20 if kind == "video" else 0))
     return pa.table({f.name: pa.array(rows[f.name], type=f.type) for f in MEDIA_SCHEMA})
 
 
@@ -102,9 +105,65 @@ class FrameSampler:
         return batch.append_column("sampled_frames", pa.array(sampled, type=pa.list_(pa.int64())))
 
 
+class DecodeMedia:
+    """Actor-pool multi-kind decode stage: image -> pseudo-pixels, audio ->
+    pseudo-waveform, video -> frame-sampled pseudo-pixels — all crc-seeded
+    deterministic fakes behind the same signature a PIL/soundfile/ffmpeg
+    decoder would have (``fake=False`` raises where the real codec plugs in).
+    Emits one uniform (media_id, kind, ..., feat_mean, feat_std) row per item.
+    """
+
+    def __init__(self, fake: bool = True, video_stride: int = 5, max_frames: int = 4):
+        self.fake = fake
+        self.video_stride = video_stride
+        self.max_frames = max_frames
+
+    def _decode_one(self, kind: str, payload: bytes, w: int, h: int, sr: int, nf: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError("real media decode requires PIL/soundfile/ffmpeg — not shipped in this sandbox")
+        crc = zlib.crc32(payload or b"")
+        if kind == "audio":
+            n = max(sr // 100, 1)
+            return np.random.RandomState(crc).standard_normal(n).astype(np.float32)
+        if kind == "video":
+            frames = list(range(0, max(int(nf), 1), self.video_stride))[: self.max_frames]
+            stack = [
+                np.random.RandomState(crc + fi).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
+                for fi in frames
+            ]
+            return np.stack(stack)
+        return np.random.RandomState(crc).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds = [], []
+        for kind, p, w, h, sr, nf in zip(
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("sample_rate").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            arr = self._decode_one(kind, p, int(w), int(h), int(sr), int(nf))
+            means.append(round(float(arr.mean()), 4))
+            stds.append(round(float(arr.std()), 4))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "sample_rate": batch.column("sample_rate"),
+                "n_frames": batch.column("n_frames"),
+                "feat_mean": pa.array(means, type=pa.float64()),
+                "feat_std": pa.array(stds, type=pa.float64()),
+            }
+        )
+
+
 def decode_stats(media_ds, concurrency: int = 2, batch_size: int = 64):
-    """media table -> per-item decode feature summary (the shape a real
-    feature-extraction stage would have)."""
+    """media table -> per-item decode feature summary across all three kinds
+    (the shape a real feature-extraction stage would have)."""
     return media_ds.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency)
+        DecodeMedia, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency)
     ).sort("media_id")
