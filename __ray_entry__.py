@@ -381,6 +381,18 @@ def _q_rel_region_balance(sf_dir):
     return region_supplier_balance(sf_dir)
 
 
+def _q_kg_degree_topk(sf_dir):
+    """Top-degree entities of the linked KG — graph analytics over the edges
+    table (combiner + one groupby + sort/limit)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.pipelines.kg import degree_topk
+
+    _, edges = _kg_tables(sf_dir, link=True)
+    ds = rd.from_pandas(edges[["src_key", "pred", "dst_key"]])
+    return degree_topk(ds, k=20)
+
+
 def _q_kg_relabeled(sf_dir):
     """Edge-relabel taxonomy cleanup over the linked KG edges (reference
     edge_utils.py:29-41) + per-label counts."""
@@ -453,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fixture_triples": _q_kg_fixture_triples,
         "kg_fixture_nodes": _q_kg_fixture_nodes,
         "kg_relabeled": _q_kg_relabeled,
+        "kg_degree_topk": _q_kg_degree_topk,
         "conformance_parse": _q_conformance_parse,
     }
 
@@ -516,6 +529,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_mod": (
             "SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id"
+        ),
+        "kg_degree_topk": (
+            f"SELECT entity_key, count(*)::BIGINT AS degree FROM ("
+            f"SELECT src_key AS entity_key FROM read_parquet('{exp_linked}') "
+            f"UNION ALL SELECT dst_key FROM read_parquet('{exp_linked}')) "
+            f"GROUP BY entity_key ORDER BY degree DESC, entity_key LIMIT 20"
         ),
         # --- distributed joins vs DuckDB joins ---
         "rel_order_revenue": (

@@ -442,6 +442,40 @@ def graph_tables(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, which: s
     return nodes, edges
 
 
+def degree_topk(edges_ds, k: int = 20):
+    """Graph analytics over the edges table: total degree (in+out) per
+    entity, top-k with deterministic (degree desc, key asc) ranking.
+    Combiner-first: per-batch local degree counts, one vocabulary-sized
+    groupby-sum, sort+limit."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("src_key").to_pylist() + b.column("dst_key").to_pylist()
+        s = pd.Series(keys).value_counts()
+        return pa.table(
+            {
+                "entity_key": pa.array(s.index.tolist(), type=pa.string()),
+                "n": pa.array(s.to_numpy(dtype="int64"), type=pa.int64()),
+            }
+        )
+
+    agg = edges_ds.map_batches(partial, batch_format="pyarrow").groupby("entity_key").aggregate(
+        Sum("n", alias_name="degree")
+    )
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_key": b.column("entity_key"),
+                "degree": pc.cast(b.column("degree"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fix, batch_format="pyarrow").sort(["degree", "entity_key"], descending=[True, False]).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # checkpointed job (resume semantics)
 # ---------------------------------------------------------------------------
