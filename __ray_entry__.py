@@ -290,6 +290,52 @@ def _q_ann_lsh(sf_dir):
     return lsh_topk(ds, q_ids, q_vecs, k=10, n_planes=6)
 
 
+def _q_emb_label_centroids(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.embeddings import label_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
+def _q_docs_source_stats(sf_dir):
+    """Per-(source, lang) corpus stats — catalog-style aggregate over the
+    documents table metadata columns."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"])
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(b):
+        df = b.to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).agg(s_chars=("n_chars", "sum"), n=("n_chars", "size"))
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "s_chars": pa.array(g["s_chars"], type=pa.int64()),
+                "n": pa.array(g["n"], type=pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["source", "lang"]).aggregate(
+        Sum("s_chars", alias_name="total_chars"), Sum("n", alias_name="n_docs")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_chars"] = (df["total_chars"] / df["n_docs"]).round(4)
+        df["total_chars"] = df["total_chars"].astype("int64")
+        df["n_docs"] = df["n_docs"].astype("int64")
+        return df[["source", "lang", "n_docs", "total_chars", "avg_chars"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort(["source", "lang"])
+
+
 def _q_ann_ivf(sf_dir):
     import ray.data as rd
 
@@ -310,6 +356,18 @@ def _q_events_hopping(sf_dir):
     from text_to_graph_ray.pipelines.analytics import events_hopping_window
 
     return events_hopping_window(sf_dir)
+
+
+def _q_events_stream_window(sf_dir):
+    """Incremental micro-batch streaming accumulator (sharded stateful
+    actors + watermark); with full lateness it must reproduce the batch
+    tumbling windows exactly."""
+    import ray.data as rd
+
+    from text_to_graph_ray.state.streaming import stream_tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return stream_tumbling_window(ds)
 
 
 def _q_events_sessions(sf_dir):
@@ -452,8 +510,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "docs_source_stats": _q_docs_source_stats,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
+        "events_stream_window": _q_events_stream_window,
         "events_sessions": _q_events_sessions,
         "rel_pricing": _q_rel_pricing,
         "rel_segment_revenue": _q_rel_segment_revenue,
@@ -514,6 +575,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_relabeled": (
             f"SELECT CASE pred WHEN 'calls' THEN 'invokes' WHEN 'imports' THEN 'uses' ELSE pred END AS pred, "
             f"count(*)::BIGINT AS n FROM read_parquet('{exp_linked}') GROUP BY 1 ORDER BY pred"
+        ),
+        # --- embedding / corpus-catalog aggregates (pure-SQL oracles) ---
+        "emb_label_centroids": (
+            "SELECT label::BIGINT AS label, r AS dim, round(avg(embedding[r + 1]), 4) AS mean_val "
+            "FROM embeddings, (SELECT unnest(range(64)) AS r) "
+            "GROUP BY label, r ORDER BY label, dim"
+        ),
+        "docs_source_stats": (
+            "SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
+            "round(sum(n_chars) / count(*), 4) AS avg_chars "
+            "FROM documents GROUP BY source, lang ORDER BY source, lang"
         ),
         # --- sampling / vocab (pure-SQL oracles) ---
         "text_vocab_topk": (
@@ -592,6 +664,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, embeddings q WHERE q.vec_id < 8 QUALIFY rank <= 10"
         ),
         "events_window": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS w, "
+            "round(sum(value), 4) AS sum_value, count(*)::BIGINT AS n_events "
+            "FROM events GROUP BY event_type, w"
+        ),
+        "events_stream_window": (
             "SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS w, "
             "round(sum(value), 4) AS sum_value, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY event_type, w"
