@@ -323,7 +323,7 @@ def _q_docs_source_stats(sf_dir):
             }
         )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["source", "lang"]).aggregate(
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(["source", "lang"]).aggregate(
         Sum("s_chars", alias_name="total_chars"), Sum("n", alias_name="n_docs")
     )
 

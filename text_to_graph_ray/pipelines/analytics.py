@@ -61,7 +61,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1996-01-01"):
 
     from ray.data.aggregate import Sum
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("s_qty", alias_name="sum_qty"),
         Sum("s_price", alias_name="sum_price"),
@@ -111,7 +111,7 @@ def segment_revenue(sf_dir: str):
             g = df.groupby("seg", as_index=False).agg(total=("o_totalprice", "sum"), n=("o_totalprice", "size"))
             return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in partial_schema})
 
-        pre = ds.map_batches(partial, batch_format="pyarrow")
+        pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     else:
         # fallback: pre-aggregate per customer (combiner), hash-join to the
         # customer table, re-key to segment — no driver-side customer map
@@ -129,7 +129,7 @@ def segment_revenue(sf_dir: str):
             )
 
         by_cust = (
-            ds.map_batches(per_cust, batch_format="pyarrow")
+            ds.map_batches(per_cust, batch_format="pyarrow", batch_size=None)
             .groupby("o_custkey")
             .aggregate(Sum("total", alias_name="total"), Sum("n", alias_name="n"))
         )
@@ -193,7 +193,7 @@ def order_revenue_topk(sf_dir: str, k: int = 10):
         return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in partial_schema})
 
     rev = (
-        li.map_batches(partial, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
     )
@@ -272,7 +272,7 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300):
 
     from ray.data.aggregate import Sum
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["event_type", "w"]).aggregate(
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(["event_type", "w"]).aggregate(
         Sum("s", alias_name="sum_value"), Sum("n", alias_name="n_events")
     )
 
@@ -318,7 +318,7 @@ def events_hopping_window(sf_dir: str, window_s: int = 600, hop_s: int = 300):
 
     from ray.data.aggregate import Sum
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(["event_type", "w"]).aggregate(
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(["event_type", "w"]).aggregate(
         Sum("s", alias_name="sum_value"), Sum("n", alias_name="n_events")
     )
 
