@@ -589,10 +589,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # --- sampling / vocab (pure-SQL oracles) ---
         "text_vocab_topk": (
+            # filter '' tokens (regexp_split yields them at non-space
+            # leading/trailing whitespace; python str.split never does)
             "SELECT token, sum(1)::BIGINT AS n FROM ("
-            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
-            "FROM documents WHERE trim(text) <> '') "
-            "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+            "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
+            "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
         ),
         "sample_stratified": (
             "SELECT doc_id, lang FROM ("

@@ -16,11 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    cpus = 8
-    if "--cpus" in sys.argv:
-        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", type=int, default=8)
+    ns = ap.parse_args()
+    sf_dir, cpus = ns.sf_dir, ns.cpus
 
     import ray
     from ray.data import DataContext

@@ -23,6 +23,32 @@ def test_stream_equals_batch_windows(ray_session):
     assert a.equals(b)
 
 
+def test_ordered_stream_zero_lateness_drops_nothing(ray_session):
+    """An in-order stream with lateness 0 must not drop its own batch's
+    events (the batch applies BEFORE the watermark advances)."""
+    import ray
+
+    from text_to_graph_ray.state.streaming import WindowShard
+
+    shard = WindowShard.remote(0, 1, window_s=10, lateness_s=0)
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+                "epoch": pa.array([float(r[1]) for r in rows], type=pa.float64()),
+                "value": pa.array([float(r[2]) for r in rows], type=pa.float64()),
+            }
+        )
+
+    fired = ray.get(shard.feed.remote(tbl([("a", t, 1.0) for t in range(0, 25)])))  # [0,25) in order
+    fired += ray.get(shard.feed.remote(tbl([("a", t, 1.0) for t in range(25, 45)])))
+    fired += ray.get(shard.flush.remote())
+    stats = ray.get(shard.stats.remote())
+    assert stats["dropped"] == 0
+    assert sum(f["n_events"] for f in fired) == 45
+
+
 def test_watermark_fires_and_drops_late_events(ray_session):
     import ray
 

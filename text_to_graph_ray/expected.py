@@ -386,7 +386,12 @@ def naive_mm_stats(doc_id: int, text: str):
     elif kind == "video":
         frames = list(range(0, max(nf, 1), 5))[:4]
         arr = np.stack(
-            [np.random.RandomState(crc + fi).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32) for fi in frames]
+            [
+                np.random.RandomState((crc + fi) & 0xFFFFFFFF)
+                .randint(0, 256, size=(h, max(w, 1), 3))
+                .astype(np.float32)
+                for fi in frames
+            ]
         )
     else:
         arr = np.random.RandomState(crc).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
@@ -448,12 +453,12 @@ REPLY_CASES = [
 
 def ensure_conformance_expected() -> str:
     """Materialize the reply corpus + hand-written expected parse table."""
-    out = CONFORMANCE_ROOT
-    done = os.path.join(out, "_SUCCESS")
-    if os.path.exists(done):
-        return out
-    tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    from text_to_graph_ray.util import ensure_dir_once
+
+    return ensure_dir_once(CONFORMANCE_ROOT, _build_conformance)
+
+
+def _build_conformance(tmp: str) -> None:
     _write(
         tmp,
         "replies",
@@ -478,18 +483,6 @@ def ensure_conformance_expected() -> str:
             }
         ),
     )
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    import shutil
-
-    if not os.path.exists(done):
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -504,13 +497,12 @@ def _write(tmp: str, name: str, table: pa.Table) -> None:
 def ensure_doc_expected(sf_dir: str) -> str:
     """Idempotently build every documents/embeddings-derived expected table for
     one sf dir. Atomic (tmp dir + rename); returns the directory."""
-    out = expected_dir_for(sf_dir)
-    done = os.path.join(out, "_SUCCESS")
-    if os.path.exists(done):
-        return out
-    tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    from text_to_graph_ray.util import ensure_dir_once
 
+    return ensure_dir_once(expected_dir_for(sf_dir), lambda tmp: _build_doc_expected(sf_dir, tmp))
+
+
+def _build_doc_expected(sf_dir: str, tmp: str) -> None:
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     ids = docs.column("doc_id").to_pylist()
     texts = [t or "" for t in docs.column("text").to_pylist()]
@@ -639,16 +631,3 @@ def ensure_doc_expected(sf_dir: str) -> str:
             }
         ),
     )
-
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    import shutil
-
-    if not os.path.exists(done):
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out

@@ -114,13 +114,12 @@ EXPECTED_NODES_LINKED = [
 
 def ensure_fixture() -> str:
     """Idempotently materialize repo_files + hand-written expected tables."""
-    out = FIXTURE_ROOT
-    done = os.path.join(out, "_SUCCESS")
-    if os.path.exists(done):
-        return out
-    tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    from text_to_graph_ray.util import ensure_dir_once
 
+    return ensure_dir_once(FIXTURE_ROOT, _build_fixture)
+
+
+def _build_fixture(tmp: str) -> None:
     cols = ["repo", "path", "commit", "lang", "content"]
     pq.write_table(
         pa.table({c: [f[c] for f in FIXTURE_FILES] for c in cols}),
@@ -151,16 +150,3 @@ def ensure_fixture() -> str:
         ),
         os.path.join(tmp, "expected_nodes.parquet"),
     )
-
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    import shutil
-
-    if not os.path.exists(done):
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out

@@ -108,11 +108,13 @@ class MinHasher:
         )
 
 
-def _band_rows(batch: pa.Table, bands: int, shuffle_buckets: int = 64) -> pa.Table:
-    """signature rows -> (bucket, band, band_hash, id, sig). ``bucket`` is a
+def _band_rows(batch: pa.Table, bands: int, shuffle_buckets: int = 64, include_sig: bool = True) -> pa.Table:
+    """signature rows -> (bucket, band, band_hash, id[, sig]). ``bucket`` is a
     stable hash of (band, band_hash) so the exchange groups by ~64 coarse
     buckets (one vectorized merge task each) instead of one task per LSH
-    bucket — same output, none of the per-tiny-group scheduling overhead."""
+    bucket — same output, none of the per-tiny-group scheduling overhead.
+    ``include_sig=False`` (the signature-join plan) never materializes the
+    per-band signature copies at all."""
     ids = batch.column("id").to_pylist()
     sigs = batch.column("sig").to_pylist()
     out_bucket, out_band, out_hash, out_id, out_sig = [], [], [], [], []
@@ -125,16 +127,17 @@ def _band_rows(batch: pa.Table, bands: int, shuffle_buckets: int = 64) -> pa.Tab
             out_band.append(band)
             out_hash.append(h)
             out_id.append(i)
-            out_sig.append(sig)
-    return pa.table(
-        {
-            "bucket": pa.array(out_bucket, type=pa.int64()),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-            "id": pa.array(out_id, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.list_(pa.uint64())),
-        }
-    )
+            if include_sig:
+                out_sig.append(sig)
+    cols = {
+        "bucket": pa.array(out_bucket, type=pa.int64()),
+        "band": pa.array(out_band, type=pa.int32()),
+        "band_hash": pa.array(out_hash, type=pa.int64()),
+        "id": pa.array(out_id, type=pa.int64()),
+    }
+    if include_sig:
+        cols["sig"] = pa.array(out_sig, type=pa.list_(pa.uint64()))
+    return pa.table(cols)
 
 
 def _bucket_pairs(group, max_bucket: int = 200):
@@ -200,8 +203,7 @@ def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
     sigs = sigs.materialize()  # consumed by banding AND by both join sides
 
     def band_id_rows(batch: pa.Table) -> pa.Table:
-        full = _band_rows(batch, bands)
-        return full.select(["bucket", "band", "band_hash", "id"])
+        return _band_rows(batch, bands, include_sig=False)
 
     def bucket_id_pairs(group: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out = [], []
@@ -343,7 +345,7 @@ def near_dup_survivors(
     bands=16,
     shingle=3,
     seed=42,
-    max_rounds=16,
+    max_rounds=64,
     cc_collect_max=2_000_000,
 ):
     """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
@@ -416,6 +418,7 @@ def near_dup_survivors(
 
     n_parts = join_partitions_for()
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         msgs = edges.join(
             labels, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("node",), partition_size_hint=32 << 20
@@ -423,8 +426,17 @@ def near_dup_survivors(
         labels = msgs.union(labels).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
         s = labels.sum("label")  # labels fall monotonically; fixed sum == converged
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # a component's diameter exceeded max_rounds: the labels are NOT final
+        # and emitting them would return multiple survivors per component.
+        # Loudly wrong beats silently wrong (raise max_rounds for deep chains).
+        raise RuntimeError(
+            f"near_dup_survivors label propagation did not converge in {max_rounds} rounds — "
+            "a near-dup chain is longer than max_rounds; increase max_rounds"
+        )
 
     def removed_rows(b: pa.Table) -> pa.Table:
         f = b.filter(pc.invert(pc.equal(b.column("node"), b.column("label"))))

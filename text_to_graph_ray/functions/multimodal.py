@@ -128,7 +128,9 @@ class DecodeMedia:
         if kind == "video":
             frames = list(range(0, max(int(nf), 1), self.video_stride))[: self.max_frames]
             stack = [
-                np.random.RandomState(crc + fi).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
+                np.random.RandomState((crc + fi) & 0xFFFFFFFF)
+                .randint(0, 256, size=(h, max(w, 1), 3))
+                .astype(np.float32)
                 for fi in frames
             ]
             return np.stack(stack)

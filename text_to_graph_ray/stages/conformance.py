@@ -129,8 +129,9 @@ def _prune_orphans(nodes, edges):
     """Orphan removal + dense reindex; edge endpoint not in the node table
     rejects the chunk (mirrors NaN -> astype(int) raise -> outer except)."""
     referenced = {e[0] for e in edges} | {e[1] for e in edges}
+    node_ids = {n[0] for n in nodes}
     for s, t, _ in edges:
-        if s not in {n[0] for n in nodes} or t not in {n[0] for n in nodes}:
+        if s not in node_ids or t not in node_ids:
             return None, None
     kept = [n for n in nodes if n[0] in referenced]
     remap = {n[0]: i for i, n in enumerate(kept)}

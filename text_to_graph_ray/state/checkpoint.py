@@ -96,12 +96,6 @@ class CheckpointStore:
     def counters(self, stage: str) -> dict[int, dict]:
         return {p: self.manifest(stage, p) for p in self.done_parts(stage)}
 
-    def done_parts_for_input(self, stage: str, fingerprint: str) -> set[int]:
-        """Partitions completed AGAINST THIS INPUT: a manifest row whose
-        input_fingerprint mismatches is stale (the data at input_path changed
-        since it was written) and its partition must recompute."""
-        return {p for p, m in self.counters(stage).items() if m and m.get("input_fingerprint") == fingerprint}
-
     def clear_stage(self, stage: str) -> None:
         """Drop a stage's data + manifests entirely (stale-input invalidation:
         leftover data files from partitions that no longer exist in the new

@@ -48,12 +48,15 @@ class WindowShard:
 
     def feed(self, batch: pa.Table) -> list[dict]:
         """Apply one micro-batch; returns windows finalized by the advanced
-        watermark (rows: key, w, sum_value, n_events)."""
+        watermark (rows: key, w, sum_value, n_events).
+
+        The batch is applied against the PRE-batch watermark and the
+        watermark advances only afterwards — otherwise a perfectly ordered
+        stream would retroactively drop a batch's own earlier events the
+        moment its max timestamp arrived."""
         keys = batch.column("event_type").to_pylist()
         epochs = np.asarray(batch.column("epoch").to_pylist(), dtype=np.float64)
         values = np.asarray(batch.column("value").to_pylist(), dtype=np.float64)
-        if len(epochs):
-            self.watermark = max(self.watermark, float(epochs.max()) - self.lateness_s)
         for k, e, v in zip(keys, epochs, values):
             if not self._mine(k):
                 continue
@@ -67,6 +70,8 @@ class WindowShard:
             else:
                 st[0] += float(v)
                 st[1] += 1
+        if len(epochs):
+            self.watermark = max(self.watermark, float(epochs.max()) - self.lateness_s)
         return self._fire()
 
     def _fire(self) -> list[dict]:

@@ -369,15 +369,14 @@ def ensure_synth(sf_dir: str, seed: int = 42) -> str:
       expected_triples_linked.parquet, expected_nodes.parquet
     Returns the directory path.
     """
-    out = synth_dir_for(sf_dir)
-    done = os.path.join(out, "_SUCCESS")
-    if os.path.exists(done):
-        return out
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    files, tbf = build_corpus(n_files_for(tag), seed=seed)
+    from text_to_graph_ray.util import ensure_dir_once
 
-    tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return ensure_dir_once(synth_dir_for(sf_dir), lambda tmp: _build_synth(tag, seed, tmp))
+
+
+def _build_synth(tag: str, seed: int, tmp: str) -> None:
+    files, tbf = build_corpus(n_files_for(tag), seed=seed)
 
     cols = ["repo", "path", "commit", "lang", "content"]
     tbl = pa.table({c: [f[c] for f in files] for c in cols})
@@ -450,19 +449,6 @@ def ensure_synth(sf_dir: str, seed: int = 42) -> str:
         os.path.join(tmp, "expected_run.parquet"),
     )
 
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    import shutil
-
-    if not os.path.exists(done):
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
-
 
 def _scaling_file(repo: str, path: str, gid: int, n_files: int, n_funcs: int = 6, body_lines: int = 30) -> str:
     """Call-heavy, definition-light python file (~4 KB): realistic shape for
@@ -502,6 +488,8 @@ def ensure_scaling_corpus(n_files: int = 100_000, n_funcs: int = 8, body_lines: 
     measurement, sharded into many parquet files so the read fans out. No
     oracle tables (the scaling run measures throughput, not correctness —
     the correctness corpus is ``ensure_synth``)."""
+    from text_to_graph_ray.util import ensure_dir_once
+
     tag = f"scaling3-{n_files}-{n_funcs}x{body_lines}"
     out = os.path.join(SCALING_ROOT, tag)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -512,36 +500,23 @@ def ensure_scaling_corpus(n_files: int = 100_000, n_funcs: int = 8, body_lines: 
                 os.rename(legacy, out)
             except OSError:
                 pass
-    done = os.path.join(out, "_SUCCESS")
-    if os.path.exists(done):
-        return out
-    tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-    per_shard = (n_files + shards - 1) // shards
-    gid = 0
-    for s in range(shards):
-        rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
-        for _ in range(per_shard):
-            if gid >= n_files:
-                break
-            repo = f"org{gid % 40}/repo{gid % 400}"
-            path = f"src/pkg{gid % 7}/mod_{gid}.py"
-            rows["repo"].append(repo)
-            rows["path"].append(path)
-            rows["commit"].append(_commit_for(repo))
-            rows["lang"].append("python")
-            rows["content"].append(_scaling_file(repo, path, gid, n_files, n_funcs, body_lines))
-            gid += 1
-        pq.write_table(pa.table(rows), os.path.join(tmp, f"shard-{s:04d}.parquet"), row_group_size=256)
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    import shutil
 
-    if not os.path.exists(done):
-        try:
-            os.rename(tmp, out)
-        except OSError:  # lost a race with a concurrent generator
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    def build(tmp: str) -> None:
+        per_shard = (n_files + shards - 1) // shards
+        gid = 0
+        for s in range(shards):
+            rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+            for _ in range(per_shard):
+                if gid >= n_files:
+                    break
+                repo = f"org{gid % 40}/repo{gid % 400}"
+                path = f"src/pkg{gid % 7}/mod_{gid}.py"
+                rows["repo"].append(repo)
+                rows["path"].append(path)
+                rows["commit"].append(_commit_for(repo))
+                rows["lang"].append("python")
+                rows["content"].append(_scaling_file(repo, path, gid, n_files, n_funcs, body_lines))
+                gid += 1
+            pq.write_table(pa.table(rows), os.path.join(tmp, f"shard-{s:04d}.parquet"), row_group_size=256)
+
+    return ensure_dir_once(out, build)
