@@ -14,7 +14,8 @@ alias link (``util.clean`` -> ``clean``, ``app.util.parse`` -> ``parse``
 via the unique-defining-module rule), type-set union across linked mentions
 (``parse`` ends up Function|Module), javascript (require / function / call),
 prose concept triples, repo-path containment, cross-file canonicalization,
-and deterministic dense ids over sorted entity keys.
+go (import / func / method-on-type / struct / call), and deterministic dense
+ids over sorted entity keys.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_ROOT = "/tmp/graft_fixture/v1"
+FIXTURE_ROOT = "/tmp/graft_fixture/v2"
 
 _REPO = "fx/demo"
 _COMMIT = "f" * 40
@@ -58,13 +59,36 @@ FIXTURE_FILES = [
         "lang": "javascript",
         "content": "// x\nconst helper = require('mylib');\n\nfunction go(x) {\n  return helper(x);\n}\n",
     },
+    {
+        "repo": _REPO,
+        "path": "go/svc.go",
+        "commit": _COMMIT,
+        "lang": "go",
+        "content": (
+            '// synthetic\npackage app\n\nimport "fmt"\n\n'
+            "func Fetch(x int) int {\n\ty := fmt.Println(x)\n\treturn y\n}\n\n"
+            "func main() {\n\tz := Fetch(3)\n\tprint(z)\n}\n\n"
+            "type Store struct {\n}\n\n"
+            "func (s *Store) Load(x int) int {\n\treturn Fetch(x)\n}\n"
+        ),
+    },
 ]
 
 # hand-derived: (src_key, pred, dst_key); repos_packed is "fx/demo" throughout
 EXPECTED_TRIPLES_LINKED = [
     ("fx/demo", "contains", "fx/demo/docs"),
+    ("fx/demo", "contains", "fx/demo/go"),
     ("fx/demo", "contains", "fx/demo/lib"),
     ("fx/demo", "contains", "fx/demo/src"),
+    ("fx/demo/go", "contains", "fx/demo/go/svc.go"),
+    ("fx/demo/go/svc.go", "defines", "fetch"),
+    ("fx/demo/go/svc.go", "defines", "main"),
+    ("fx/demo/go/svc.go", "defines", "store"),
+    ("fx/demo/go/svc.go", "imports", "fmt"),
+    ("fetch", "calls", "fmt.println"),
+    ("load", "calls", "fetch"),
+    ("main", "calls", "fetch"),
+    ("store", "defines", "load"),
     ("fx/demo/docs", "contains", "fx/demo/docs/note.md"),
     ("fx/demo/lib", "contains", "fx/demo/lib/a.js"),
     ("fx/demo/lib/a.js", "defines", "go"),
@@ -93,6 +117,14 @@ EXPECTED_NODES_LINKED = [
     ("app.util", "app.util", "Module"),
     ("beta", "Beta", "Concept"),
     ("clean", "clean", "Function"),
+    ("fetch", "Fetch", "Function"),
+    ("fmt", "fmt", "Module"),
+    ("fmt.println", "fmt.Println", "Function"),
+    ("load", "Load", "Function"),
+    ("main", "main", "Function"),
+    ("store", "Store", "Class"),
+    ("fx/demo/go", "fx/demo/go", "Directory"),
+    ("fx/demo/go/svc.go", "fx/demo/go/svc.go", "File"),
     ("fx/demo", "fx/demo", "Repository"),
     ("fx/demo/docs", "fx/demo/docs", "Directory"),
     ("fx/demo/docs/note.md", "fx/demo/docs/note.md", "File"),

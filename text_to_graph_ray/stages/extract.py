@@ -55,6 +55,16 @@ _JAVA_CLASS = re.compile(r"^(?:public |final |abstract )*class (\w+)")
 _JAVA_METHOD = re.compile(r"^\s{4}[\w<>\[\]]+ (\w+)\s*\([^)]*\)\s*\{$")
 _JAVA_KEYWORDS = {"if", "for", "while", "return", "new", "switch", "catch"}
 
+_GO_IMPORT = re.compile(r'^import "([\w./-]+)"')
+_GO_FUNC = re.compile(r"^func (\w+)\s*\(")
+_GO_METHOD = re.compile(r"^func \(\w+ \*?(\w+)\) (\w+)\s*\(")
+_GO_TYPE = re.compile(r"^type (\w+) struct")
+_GO_KEYWORDS = {
+    "if", "for", "return", "len", "make", "append", "switch", "range", "go", "defer",
+    "panic", "recover", "print", "println", "new", "cap", "copy", "delete",
+    "string", "int", "int64", "float64", "byte",
+}
+
 _TEXT_REL = re.compile(r"^([A-Z]\w*) (uses|contains|relates to) ([A-Z]\w*)\.$", re.UNICODE)
 
 
@@ -145,6 +155,32 @@ def _extract_java(file_ent, lines, node, edge):
                     edge(scope, T_FN, "calls", tgt, T_FN)
 
 
+def _extract_go(file_ent, lines, node, edge):
+    scope = None
+    for line in lines:
+        if m := _GO_IMPORT.match(line):
+            edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
+        elif m := _GO_METHOD.match(line):  # before _GO_FUNC: both start with "func"
+            typ, meth = m.group(1), m.group(2)
+            edge(typ, T_CLS, "defines", meth, T_FN)
+            scope = meth
+        elif m := _GO_FUNC.match(line):
+            fn = m.group(1)
+            edge(file_ent, T_FILE, "defines", fn, T_FN)
+            scope = fn
+        elif m := _GO_TYPE.match(line):
+            edge(file_ent, T_FILE, "defines", m.group(1), T_CLS)
+            scope = None
+        elif line[:1].isspace():
+            if scope:
+                for m in _CALL.finditer(line):
+                    tgt = m.group(1)
+                    if tgt not in _GO_KEYWORDS:
+                        edge(scope, T_FN, "calls", tgt, T_FN)
+        elif line.strip():
+            scope = None  # '}', package clause, comments — top-level reset
+
+
 def _extract_text(file_ent, lines, node, edge):
     for line in lines:
         if m := _TEXT_REL.match(line.strip()):
@@ -159,6 +195,7 @@ _EXTRACTORS = {
     "python": _extract_python,
     "javascript": _extract_js,
     "java": _extract_java,
+    "go": _extract_go,
     "text": _extract_text,
 }
 
