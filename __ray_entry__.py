@@ -87,6 +87,17 @@ def _q_kg_edge_labels(sf_dir):
     return g.sort_values("pred").reset_index(drop=True)
 
 
+def _q_kg_triples_hires(sf_dir):
+    """High-resolution preset (300-token chunks, ±1-chunk padding, two-pass):
+    must produce the SAME linked graph — chunking is graph-invariant by
+    construction and the oracle proves it."""
+    from text_to_graph_ray.pipelines import kg
+
+    d = _synth(sf_dir)
+    _, edges = kg.graph_tables(f"{d}/repo_files.parquet", PipelineConfig.high_resolution(), which="edges")
+    return edges.to_pandas()[["src_key", "pred", "dst_key", "repos_packed"]]
+
+
 def _q_kg_sha256(sf_dir):
     import ray.data as rd
 
@@ -490,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_containment": _q_kg_containment,
         "kg_edge_labels": _q_kg_edge_labels,
         "kg_sha256": _q_kg_sha256,
+        "kg_triples_hires": _q_kg_triples_hires,
         "kg_chunks": _q_kg_chunks,
         "kg_run_checkpointed": _q_kg_run_checkpointed,
         "dedup_exact": _q_dedup_exact,
@@ -623,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_triples": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_linked}')",
         "kg_triples_raw": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_raw}')",
+        "kg_triples_hires": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_linked}')",
         "kg_nodes": f"SELECT entity_id, entity_key, label, types_packed, repos_packed FROM read_parquet('{exp_nodes}')",
         "kg_containment": f"SELECT src_key, dst_key FROM read_parquet('{exp_linked}') WHERE pred = 'contains'",
         "kg_edge_labels": f"SELECT pred, count(*)::BIGINT AS n FROM read_parquet('{exp_linked}') GROUP BY pred ORDER BY pred",

@@ -63,5 +63,16 @@ class PipelineConfig:
         payload = json.dumps(asdict(self), sort_keys=True, default=list)
         return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
 
+    @classmethod
+    def high_resolution(cls, **overrides) -> "PipelineConfig":
+        """The reference's "high" resolution preset (config.py:191-208):
+        300-token chunks, ±1-chunk context padding, two-pass extraction.
+        With the deterministic extractors the GRAPH is invariant to the
+        preset (blocks never split a definition; the mention gate is exact) —
+        asserted by the kg_triples_hires driver oracle."""
+        kw = {"chunk_size": 300, "padding_mode": "chunks", "two_pass": True}
+        kw.update(overrides)
+        return cls(**kw)
+
 
 DEFAULT_CONFIG = PipelineConfig()
