@@ -462,6 +462,18 @@ def _q_kg_degree_topk(sf_dir):
     return degree_topk(ds, k=20)
 
 
+def _q_kg_components(sf_dir):
+    """Top weakly-connected components of the linked KG (shared
+    connected-components operator over string entity keys)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.pipelines.kg import component_sizes_topk
+
+    _, edges = _kg_tables(sf_dir, link=True)
+    ds = rd.from_pandas(edges[["src_key", "pred", "dst_key"]])
+    return component_sizes_topk(ds, k=20)
+
+
 def _q_kg_relabeled(sf_dir):
     """Edge-relabel taxonomy cleanup over the linked KG edges (reference
     edge_utils.py:29-41) + per-label counts."""
@@ -475,6 +487,18 @@ def _q_kg_relabeled(sf_dir):
     from ray.data.aggregate import Count
 
     return out.groupby("pred").aggregate(Count(alias_name="n")).sort("pred")
+
+
+def _q_mm_resize(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.multimodal import ResizeImage, media_table_from_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+    return media.map_batches(
+        ResizeImage, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    ).sort("media_id")
 
 
 def _q_pipeline_clean_corpus(sf_dir):
@@ -534,11 +558,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
         "mm_decode": _q_mm_decode,
+        "mm_resize": _q_mm_resize,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "kg_fixture_triples": _q_kg_fixture_triples,
         "kg_fixture_nodes": _q_kg_fixture_nodes,
         "kg_relabeled": _q_kg_relabeled,
         "kg_degree_topk": _q_kg_degree_topk,
+        "kg_components": _q_kg_components,
         "conformance_parse": _q_conformance_parse,
     }
 
@@ -577,6 +603,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{e}/expected_mm.parquet')"
         ),
         # --- generator-derived kg oracles (synth.py) ---
+        "mm_resize": (
+            f"SELECT media_id, kind, out_w, out_h, resized_mean "
+            f"FROM read_parquet('{e}/expected_mm_resize.parquet')"
+        ),
         "kg_chunks": f"SELECT repo, path, n_chunks, n_tokens FROM read_parquet('{d}/expected_chunks.parquet')",
         "kg_run_checkpointed": f"SELECT run, parts_total, parts_skipped, parts_computed, nodes, edges FROM read_parquet('{d}/expected_run.parquet')",
         # --- hand-written oracles (fixtures.py / expected.py REPLY_CASES) ---
@@ -615,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mod": (
             "SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id"
         ),
+        "kg_components": f"SELECT component, size FROM read_parquet('{d}/expected_components.parquet')",
         "kg_degree_topk": (
             f"SELECT entity_key, count(*)::BIGINT AS degree FROM ("
             f"SELECT src_key AS entity_key FROM read_parquet('{exp_linked}') "

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v4"
+EXPECTED_ROOT = "/tmp/graft_expected/v5"
 
 _MERSENNE = (1 << 61) - 1
 
@@ -398,6 +398,25 @@ def naive_mm_stats(doc_id: int, text: str):
     return doc_id, kind, w, h, sr, nf, round(float(arr.mean()), 4), round(float(arr.std()), 4)
 
 
+def naive_mm_resize(doc_id: int, text: str, tw: int = 4, th: int = 4):
+    """(media_id, kind, out_w, out_h, resized_mean) for the nearest-neighbor
+    resize stage (image rows only; others pass through with null mean)."""
+    payload = (text or "").encode("utf-8")
+    crc = zlib.crc32(payload)
+    kind = ("image", "audio", "video")[doc_id % 3]
+    if kind != "audio":
+        w, h = 8 + (crc % 8), 8
+    else:
+        w, h = 0, 0
+    if kind != "image":
+        return doc_id, kind, w, h, None
+    img = np.random.RandomState(crc).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
+    rows = (np.arange(th) * h // th).astype(np.int64)
+    cols = (np.arange(tw) * w // tw).astype(np.int64)
+    small = img[rows][:, cols]
+    return doc_id, kind, tw, th, round(float(small.mean()), 4)
+
+
 # ---------------------------------------------------------------------------
 # conformance-parser corpus: reference-formatted replies with HAND-WRITTEN
 # expected parse outcomes (response_parser.py:210-745 case classes). The
@@ -628,6 +647,21 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "n_frames": pa.array([m[5] for m in mm], type=pa.int64()),
                 "feat_mean": pa.array([m[6] for m in mm], type=pa.float64()),
                 "feat_std": pa.array([m[7] for m in mm], type=pa.float64()),
+            }
+        ),
+    )
+
+    rz = [naive_mm_resize(i, t) for i, t in zip(ids, texts)]
+    _write(
+        tmp,
+        "expected_mm_resize",
+        pa.table(
+            {
+                "media_id": pa.array([m[0] for m in rz], type=pa.int64()),
+                "kind": pa.array([m[1] for m in rz], type=pa.string()),
+                "out_w": pa.array([m[2] for m in rz], type=pa.int64()),
+                "out_h": pa.array([m[3] for m in rz], type=pa.int64()),
+                "resized_mean": pa.array([m[4] for m in rz], type=pa.float64()),
             }
         ),
     )

@@ -351,47 +351,38 @@ def near_dup_survivors(
     """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
     keep the min id per component. Docs outside the pair graph survive.
 
-    Component computation is guarded like every small-side path in this repo:
-    while the pair graph fits comfortably (<= cc_collect_max edges) an exact
-    union-find runs on the driver and only the (duplicate-sized) removed-id
-    set is broadcast as a filter; above the threshold it switches to
-    DISTRIBUTED min-label propagation (join labels onto edges, groupby-min,
-    repeat until the label sum stops falling — rounds = component diameter,
-    and near-dup clusters are small and dense). Both paths are value-identical
-    (tests force cc_collect_max=0). Exact duplicates have est_jaccard 1.0 and
-    are swept up too."""
+    Components come from the shared guarded operator
+    (``functions.graph.connected_components``: driver union-find while the
+    pair graph fits cc_collect_max, distributed min-label propagation above
+    it — both value-identical, tests force cc_collect_max=0). The removed-id
+    set is broadcast as a filter while small, else anti-joined. Exact
+    duplicates have est_jaccard 1.0 and are swept up too."""
     import ray
     import ray.data as rd  # noqa: F401  (documented dependency)
     from ray.data.aggregate import Min
+
+    import ray
 
     ids_only = ds.map_batches(lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow")
     pairs = minhash_near_dup_pairs(
         ds, text_col=text_col, id_col=id_col, k=k, bands=bands, shingle=shingle, threshold=threshold, seed=seed
     ).materialize()
-    n_pairs = pairs.count()
-    if n_pairs == 0:
+    if pairs.count() == 0:
         return ids_only.sort(id_col)
 
-    if n_pairs <= cc_collect_max:
-        parent: dict = {}
+    from text_to_graph_ray.functions.graph import connected_components
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
+    comp = connected_components(pairs, a_col="a", b_col="b", max_rounds=max_rounds, collect_max=cc_collect_max)
+    removed_ds = comp.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("node"), b.column("component")))).select(["node"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_removed = removed_ds.count()
+    if n_removed == 0:
+        return ids_only.sort(id_col)
 
-        for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for a, bb in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
-                parent.setdefault(a, a)
-                parent.setdefault(bb, bb)
-                ra, rb = find(a), find(bb)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-        removed = pa.array(sorted(x for x in parent if find(x) != x), type=pa.int64())
+    if n_removed <= cc_collect_max:
+        removed = pa.array(sorted(r["node"] for r in removed_ds.take_all()), type=pa.int64())
         rm_ref = ray.put(removed)
 
         def keep(b: pa.Table) -> pa.Table:
@@ -399,56 +390,14 @@ def near_dup_survivors(
 
         return ids_only.map_batches(keep, batch_format="pyarrow").sort(id_col)
 
-    def undirected(b: pa.Table) -> pa.Table:
-        a, bb = b.column("a"), b.column("b")
-        return pa.table(
-            {
-                "src": pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]),
-                "dst": pa.concat_arrays([bb.combine_chunks(), a.combine_chunks()]),
-            }
-        )
-
-    edges = pairs.map_batches(undirected, batch_format="pyarrow").materialize()
-    labels = (
-        edges.map_batches(lambda b: pa.table({"node": b.column("src"), "label": b.column("src")}), batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
+    rm = removed_ds.map_batches(
+        lambda b: pa.table({id_col: b.column("node"), "__rm": pa.array([1] * b.num_rows, type=pa.int64())}),
+        batch_format="pyarrow",
     )
-
-    n_parts = join_partitions_for()
-    prev_sum = None
-    converged = False
-    for _ in range(max_rounds):
-        msgs = edges.join(
-            labels, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("node",), partition_size_hint=32 << 20
-        ).map_batches(lambda b: pa.table({"node": b.column("dst"), "label": b.column("label")}), batch_format="pyarrow")
-        labels = msgs.union(labels).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
-        s = labels.sum("label")  # labels fall monotonically; fixed sum == converged
-        if s == prev_sum:
-            converged = True
-            break
-        prev_sum = s
-    if not converged:
-        # a component's diameter exceeded max_rounds: the labels are NOT final
-        # and emitting them would return multiple survivors per component.
-        # Loudly wrong beats silently wrong (raise max_rounds for deep chains).
-        raise RuntimeError(
-            f"near_dup_survivors label propagation did not converge in {max_rounds} rounds — "
-            "a near-dup chain is longer than max_rounds; increase max_rounds"
-        )
-
-    def removed_rows(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.invert(pc.equal(b.column("node"), b.column("label"))))
-        return pa.table({id_col: f.column("node"), "__rm": pa.array([1] * f.num_rows, type=pa.int64())})
-
-    removed = labels.map_batches(removed_rows, batch_format="pyarrow")
     j = ids_only.join(
-        removed, join_type="left_outer", num_partitions=n_parts, on=(id_col,), partition_size_hint=32 << 20
+        rm, join_type="left_outer", num_partitions=join_partitions_for(), on=(id_col,), partition_size_hint=32 << 20
     )
-    surv = j.map_batches(
-        lambda b: b.filter(pc.is_null(b.column("__rm"))).select([id_col]), batch_format="pyarrow"
-    )
+    surv = j.map_batches(lambda b: b.filter(pc.is_null(b.column("__rm"))).select([id_col]), batch_format="pyarrow")
     return surv.sort(id_col)
 
 

@@ -92,6 +92,51 @@ class DecodeImage:
         )
 
 
+class ResizeImage:
+    """Actor-pool resize stage: decode (fake) pixels -> nearest-neighbor
+    resample to (target_w, target_h) -> per-item stats. The resample math is
+    real (index mapping is exactly what a nearest-neighbor kernel does); only
+    the pixel source is the deterministic fake decoder. Non-image rows pass
+    through unresized with null stats."""
+
+    def __init__(self, target_w: int = 4, target_h: int = 4, fake: bool = True):
+        self.tw, self.th = target_w, target_h
+        self.decoder = DecodeImage(fake=fake)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[0], img.shape[1]
+        rows = (np.arange(self.th) * h // self.th).astype(np.int64)
+        cols = (np.arange(self.tw) * w // self.tw).astype(np.int64)
+        return img[rows][:, cols]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, out_w, out_h = [], [], []
+        for kind, p, w, h in zip(
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if kind != "image":
+                means.append(None)
+                out_w.append(int(w))
+                out_h.append(int(h))
+                continue
+            small = self._resize(self.decoder._decode(p, int(w), int(h)))
+            means.append(round(float(small.mean()), 4))
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "out_w": pa.array(out_w, type=pa.int64()),
+                "out_h": pa.array(out_h, type=pa.int64()),
+                "resized_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+
 class FrameSampler:
     """Video frame-sample stub: picks every ``stride``-th frame index without
     decoding. Real frame extraction would live behind the same signature."""

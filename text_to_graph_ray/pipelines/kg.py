@@ -476,6 +476,27 @@ def degree_topk(edges_ds, k: int = 20):
     return agg.map_batches(fix, batch_format="pyarrow").sort(["degree", "entity_key"], descending=[True, False]).limit(k)
 
 
+def component_sizes_topk(edges_ds, k: int = 20):
+    """Weakly-connected components of the entity graph (shared
+    functions.graph.connected_components operator over string keys) ->
+    top-k component sizes with deterministic (size desc, representative asc)
+    ranking."""
+    from ray.data.aggregate import Count
+
+    from text_to_graph_ray.functions.graph import connected_components
+
+    pairs = edges_ds.map_batches(
+        lambda b: pa.table({"a": b.column("src_key"), "b": b.column("dst_key")}), batch_format="pyarrow"
+    )
+    comp = connected_components(pairs)
+    agg = comp.groupby("component").aggregate(Count(alias_name="size"))
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({"component": b.column("component"), "size": pc.cast(b.column("size"), pa.int64())})
+
+    return agg.map_batches(fix, batch_format="pyarrow").sort(["size", "component"], descending=[True, False]).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # checkpointed job (resume semantics)
 # ---------------------------------------------------------------------------

@@ -347,7 +347,7 @@ def expected_tables(triples_by_file, link: bool):
 
 # version-tagged cache dir: bump when the generator changes so stale corpora
 # are never reused across code versions
-SYNTH_ROOT = "/tmp/graft_synth/v4"
+SYNTH_ROOT = "/tmp/graft_synth/v5"
 
 _SF_FILES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 
@@ -385,14 +385,50 @@ def _build_synth(tag: str, seed: int, tmp: str) -> None:
     pq.write_table(tbl, os.path.join(tmp, "repo_files.parquet"), row_group_size=128)
 
     n_nodes_linked = n_edges_linked = 0
+    linked_triples = []
     for link, name in [(False, "expected_triples_raw"), (True, "expected_triples_linked")]:
         trs, nds = expected_tables(tbf, link=link)
         pq.write_table(pa.Table.from_pylist(trs), os.path.join(tmp, f"{name}.parquet"))
         if link:
             pq.write_table(pa.Table.from_pylist(nds), os.path.join(tmp, "expected_nodes.parquet"))
             n_nodes_linked, n_edges_linked = len(nds), len(trs)
+            linked_triples = trs
         else:
             pq.write_table(pa.Table.from_pylist(nds), os.path.join(tmp, "expected_nodes_raw.parquet"))
+
+    # weakly-connected components of the linked graph: union-find over the
+    # expected triples, top-20 component sizes (the kg_components oracle)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for t in linked_triples:
+        a, b = t["src_key"], t["dst_key"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    from collections import Counter
+
+    sizes = Counter(find(x) for x in parent)
+    top = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    pq.write_table(
+        pa.table(
+            {
+                "component": pa.array([c for c, _ in top], type=pa.string()),
+                "size": pa.array([n for _, n in top], type=pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "expected_components.parquet"),
+    )
 
     # chunk-count oracle: the chunker is deterministic, so its per-file chunk
     # counts ARE reproducible at generation time (single-threaded, no Ray) —
