@@ -444,6 +444,12 @@ def _q_rel_order_revenue(sf_dir):
     return order_revenue_topk(sf_dir)
 
 
+def _q_rel_shipping_priority(sf_dir):
+    from text_to_graph_ray.pipelines.analytics import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
 def _q_rel_region_balance(sf_dir):
     from text_to_graph_ray.pipelines.analytics import region_supplier_balance
 
@@ -557,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": _q_rel_top_orders,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
+        "rel_shipping_priority": _q_rel_shipping_priority,
         "mm_decode": _q_mm_decode,
         "mm_resize": _q_mm_resize,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
@@ -658,6 +665,15 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*)::BIGINT AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY l_orderkey, o_custkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "rel_shipping_priority": (
+            "SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "any_value(o_orderpriority) AS o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
         ),
         "rel_region_balance": (
             "SELECT r_name, n_name, round(sum(s_acctbal), 2) AS total_bal, count(*)::BIGINT AS n_suppliers "

@@ -52,6 +52,44 @@ def test_input_change_invalidates_checkpoint(ray_session, small_corpus, tmp_path
     assert (r3["nodes"], r3["edges"]) == (r1["nodes"], r1["edges"])
 
 
+def test_merged_checkpoint_resumes_final_sink(ray_session, small_corpus, tmp_path_factory):
+    """A run that died between the canonicalization shuffle and the final
+    sink resumes from the merged-graph checkpoint (no re-shuffle): the merged
+    manifest survives and the rebuilt outputs are identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.config import PipelineConfig
+    from text_to_graph_ray.pipelines import kg
+    from text_to_graph_ray.state.checkpoint import CheckpointStore
+
+    cfg = PipelineConfig(num_partitions=8)
+    out = str(tmp_path_factory.mktemp("mergedck"))
+    r1 = kg.run(small_corpus["path"], out, cfg)
+
+    def read_edges():
+        parts = [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{out}/edges/**/*.parquet", recursive=True))]
+        df = pd.concat(parts, ignore_index=True)
+        cols = ["src_key", "pred", "dst_key"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    edges1 = read_edges()
+    store = CheckpointStore(f"{out}/checkpoints", cfg.config_hash())
+    # simulate dying after the merge but before the sink: graph manifest +
+    # outputs gone, merged checkpoint intact
+    os.remove(os.path.join(store.base, "_manifest", "graph", "part-0.json"))
+    shutil.rmtree(f"{out}/nodes")
+    shutil.rmtree(f"{out}/edges")
+    merged_files_before = sorted(os.listdir(store.stage_dir("merged")))
+
+    r2 = kg.run(small_corpus["path"], out, cfg)
+    assert (r2["nodes"], r2["edges"]) == (r1["nodes"], r1["edges"])
+    assert r2["parts_computed"] == 0  # extraction untouched
+    assert sorted(os.listdir(store.stage_dir("merged"))) == merged_files_before  # merged NOT recomputed
+    assert read_edges().equals(edges1)
+
+
 def test_worker_crash_mid_extraction_recovers(ray_session, small_corpus, tmp_path_factory, monkeypatch):
     """A4: a worker dying mid-task (os._exit — a real process crash, not a
     python exception) is retried by Ray and the checkpointed run completes

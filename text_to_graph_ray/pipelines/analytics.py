@@ -221,6 +221,66 @@ def order_revenue_topk(sf_dir: str, k: int = 10):
     return j.map_batches(finish, batch_format="pandas").sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10):
+    """TPC-H-Q3-shaped: customer(segment) ⋈ orders(before cutoff) ⋈
+    lineitem(shipped after cutoff) -> top-k orders by discounted revenue.
+    Physical plan: prune + filter at every read; lineitem pre-aggregates
+    revenue per order (combiner) BEFORE its join; two chained distributed
+    hash joins; deterministic (revenue desc, orderkey asc) ranking."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    cut = np.datetime64(cutoff)
+    n_parts = join_partitions_for()
+    hint = 32 << 20
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    cut_ts = pa.scalar(cut.astype("datetime64[us]"))  # match the parquet timestamp unit, not date32
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cut_ts)), batch_format="pyarrow"
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    rev_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["l_shipdate"].values.astype("datetime64[ns]") > cut]
+        if df.empty:
+            return rev_schema.empty_table()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in rev_schema})
+
+    rev = (
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    j = orders.join(cust, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",), partition_size_hint=hint)
+    j = j.join(rev, join_type="inner", num_partitions=n_parts, on=("o_orderkey",), right_on=("l_orderkey",), partition_size_hint=hint)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "revenue": df["revenue"].round(2),
+                "o_orderpriority": df["o_orderpriority"],
+            }
+        )
+        return out
+
+    return j.map_batches(finish, batch_format="pandas").sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+
 def region_supplier_balance(sf_dir: str):
     """supplier ⋈ nation ⋈ region — a multiway distributed hash-join chain
     over the dimension tables (exercises the non-broadcast join path even

@@ -602,9 +602,21 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
     def read_records():
         return rd.read_parquet(rec_dir)
 
-    merged = merged_graph(keyed_records(read_records(), cfg), cfg)
-    if cfg.link_aliases:
-        merged = link_merged(merged, cfg)
+    # second checkpoint level: the (vocabulary-sized) merged+linked graph.
+    # A run that died between canonicalization and the final sink resumes
+    # here without re-reading the records or re-running the shuffle.
+    merged_dir = store.stage_dir("merged")
+    mm = store.manifest("merged", 0)
+    if not pending and mm and mm.get("input_fingerprint") == fp and any(os.scandir(merged_dir)):
+        merged = rd.read_parquet(merged_dir)
+    else:
+        store.clear_stage("merged")
+        merged = merged_graph(keyed_records(read_records(), cfg), cfg)
+        if cfg.link_aliases:
+            merged = link_merged(merged, cfg)
+        merged.write_parquet(store.stage_dir("merged"))
+        merged = rd.read_parquet(store.stage_dir("merged"))
+        store.mark_done("merged", 0, rows=merged.count(), input_fingerprint=fp)
     nodes = nodes_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
     nodes.write_parquet(f"{out_dir}/nodes")
     edges = edges_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
