@@ -153,11 +153,11 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
-    # shared-host noise penalizes the full-width (32-cpu) runs most (they
-    # need every core quiet): that leg always gets one extra sample, and the
-    # min per level estimates uncontended capability. All observations are
-    # reported for honesty.
-    runs_lo = [child(lo) for _ in range(repeats)]
+    # shared-host noise corrupts individual samples: BOTH legs get the same
+    # repeats+1 sample count (asymmetric counts would bias min-of-more-draws
+    # downward on one side), and the min per level estimates uncontended
+    # capability. All observations are reported for honesty.
+    runs_lo = [child(lo) for _ in range(repeats + 1)]
     runs_hi = [child(hi) for _ in range(repeats + 1)]
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])

@@ -25,7 +25,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_ROOT = "/tmp/graft_fixture/v2"
+FIXTURE_ROOT = "/tmp/graft_fixture/v3"
 
 _REPO = "fx/demo"
 _COMMIT = "f" * 40
@@ -72,6 +72,16 @@ FIXTURE_FILES = [
             "func (s *Store) Load(x int) int {\n\treturn Fetch(x)\n}\n"
         ),
     },
+    {
+        "repo": _REPO,
+        "path": "go/multi.go",
+        "commit": _COMMIT,
+        "lang": "go",
+        "content": (
+            '// synthetic\npackage app\n\nimport (\n\t"os"\n\t"strings"\n)\n\n'
+            'func Walk(x int) int {\n\treturn strings.Count("a", "a")\n}\n'
+        ),
+    },
 ]
 
 # hand-derived: (src_key, pred, dst_key); repos_packed is "fx/demo" throughout
@@ -80,7 +90,12 @@ EXPECTED_TRIPLES_LINKED = [
     ("fx/demo", "contains", "fx/demo/go"),
     ("fx/demo", "contains", "fx/demo/lib"),
     ("fx/demo", "contains", "fx/demo/src"),
+    ("fx/demo/go", "contains", "fx/demo/go/multi.go"),
     ("fx/demo/go", "contains", "fx/demo/go/svc.go"),
+    ("fx/demo/go/multi.go", "defines", "walk"),
+    ("fx/demo/go/multi.go", "imports", "os"),
+    ("fx/demo/go/multi.go", "imports", "strings"),
+    ("walk", "calls", "strings.count"),
     ("fx/demo/go/svc.go", "defines", "fetch"),
     ("fx/demo/go/svc.go", "defines", "main"),
     ("fx/demo/go/svc.go", "defines", "store"),
@@ -124,7 +139,11 @@ EXPECTED_NODES_LINKED = [
     ("main", "main", "Function"),
     ("store", "Store", "Class"),
     ("fx/demo/go", "fx/demo/go", "Directory"),
+    ("fx/demo/go/multi.go", "fx/demo/go/multi.go", "File"),
     ("fx/demo/go/svc.go", "fx/demo/go/svc.go", "File"),
+    ("strings", "strings", "Module"),
+    ("strings.count", "strings.Count", "Function"),
+    ("walk", "Walk", "Function"),
     ("fx/demo", "fx/demo", "Repository"),
     ("fx/demo/docs", "fx/demo/docs", "Directory"),
     ("fx/demo/docs/note.md", "fx/demo/docs/note.md", "File"),

@@ -358,10 +358,6 @@ def near_dup_survivors(
     set is broadcast as a filter while small, else anti-joined. Exact
     duplicates have est_jaccard 1.0 and are swept up too."""
     import ray
-    import ray.data as rd  # noqa: F401  (documented dependency)
-    from ray.data.aggregate import Min
-
-    import ray
 
     ids_only = ds.map_batches(lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow")
     pairs = minhash_near_dup_pairs(

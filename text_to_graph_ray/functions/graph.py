@@ -27,7 +27,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b", max_round
     n_pairs = pairs.count()
     if n_pairs == 0:
         sch = pairs.schema()
-        t = sch.types[sch.names.index(a_col)] if a_col in sch.names else pa.int64()
+        t = sch.types[sch.names.index(a_col)] if sch is not None and a_col in sch.names else pa.int64()
         return rd.from_arrow(pa.table({"node": pa.array([], type=t), "component": pa.array([], type=t)}))
 
     if n_pairs <= collect_max:
@@ -81,13 +81,13 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b", max_round
             labels, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("node",), partition_size_hint=32 << 20
         ).map_batches(lambda b: pa.table({"node": b.column("dst"), "label": b.column("label")}), batch_format="pyarrow")
         labels = msgs.union(labels).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
-        # labels fall monotonically under min-propagation; a fixed point of the
-        # (label-count per label) histogram hash means converged. min() on the
-        # label column is type-agnostic; for the convergence check we hash a
-        # distributed aggregate instead of sum() so string ids work too.
-        sig = labels.map_batches(
-            lambda b: pa.table({"h": pa.array([_batch_sig(b)], type=pa.int64())}), batch_format="pyarrow"
-        ).sum("h")
+        # labels fall monotonically under min-propagation: any change alters
+        # the (node,label) content, so a fixed content signature means
+        # converged. The signature is a 128-bit md5-sum (order-insensitive,
+        # per-block partials combined on the driver — #blocks rows only):
+        # collision probability ~2^-128, i.e. not a realistic failure mode,
+        # and it works for string ids where an exact label-sum does not.
+        sig = _labels_signature(labels)
         if sig == prev:
             converged = True
             break
@@ -101,13 +101,21 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b", max_round
     )
 
 
-def _batch_sig(b: pa.Table) -> int:
-    """Order-insensitive content signature of a (node, label) batch: sum of
-    crc32(node=label) per row, wrapped to int64. Used for convergence
-    detection that works for string ids too."""
-    import zlib
+def _batch_sig(b: pa.Table) -> str:
+    """Order-insensitive 128-bit content partial of a (node, label) batch:
+    sum of md5(row) as a big int, returned as a decimal string (Arrow batches
+    can't carry >64-bit ints)."""
+    import hashlib
 
     tot = 0
     for n, l in zip(b.column("node").to_pylist(), b.column("label").to_pylist()):
-        tot = (tot + zlib.crc32(f"{n}\x00{l}".encode("utf-8"))) & 0x7FFFFFFFFFFF
-    return tot
+        tot += int.from_bytes(hashlib.md5(f"{n}\x00{l}".encode("utf-8")).digest(), "little")
+    return str(tot)
+
+
+def _labels_signature(labels) -> int:
+    """Combine per-block partials on the driver (#blocks rows, tiny)."""
+    parts = labels.map_batches(
+        lambda b: pa.table({"h": pa.array([_batch_sig(b)], type=pa.string())}), batch_format="pyarrow"
+    ).take_all()
+    return sum(int(r["h"]) for r in parts)

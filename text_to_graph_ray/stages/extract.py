@@ -56,6 +56,7 @@ _JAVA_METHOD = re.compile(r"^\s{4}[\w<>\[\]]+ (\w+)\s*\([^)]*\)\s*\{$")
 _JAVA_KEYWORDS = {"if", "for", "while", "return", "new", "switch", "catch"}
 
 _GO_IMPORT = re.compile(r'^import "([\w./-]+)"')
+_GO_BLOCK_IMPORT = re.compile(r'^(?:\w+ |\. |_ )?"([\w./-]+)"$')  # optional alias / dot / blank import
 _GO_FUNC = re.compile(r"^func (\w+)\s*\(")
 _GO_METHOD = re.compile(r"^func \(\w+ \*?(\w+)\) (\w+)\s*\(")
 _GO_TYPE = re.compile(r"^type (\w+) struct")
@@ -157,8 +158,19 @@ def _extract_java(file_ent, lines, node, edge):
 
 def _extract_go(file_ent, lines, node, edge):
     scope = None
+    in_import_block = False
     for line in lines:
-        if m := _GO_IMPORT.match(line):
+        if in_import_block:  # grouped form: import ( "a" \n alias "b" ... )
+            stripped = line.strip()
+            if stripped == ")":
+                in_import_block = False
+            elif m := _GO_BLOCK_IMPORT.match(stripped):
+                edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
+            continue
+        if line.strip() == "import (":
+            in_import_block = True
+            scope = None
+        elif m := _GO_IMPORT.match(line):
             edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
         elif m := _GO_METHOD.match(line):  # before _GO_FUNC: both start with "func"
             typ, meth = m.group(1), m.group(2)

@@ -8,13 +8,16 @@ import shutil
 
 def ensure_dir_once(out: str, build) -> str:
     """Idempotent atomic directory materialization: if ``out/_SUCCESS`` exists
-    return immediately; otherwise run ``build(tmp_dir)`` against ``out + '.tmp'``
-    and atomically rename into place. Concurrent callers race safely — the
-    loser's tmp dir is discarded."""
+    return immediately; otherwise run ``build(tmp_dir)`` against a
+    CALLER-UNIQUE tmp dir and atomically rename into place. Concurrent
+    callers each build in their own tmp (pid+random suffix) so they never
+    write into each other's directory; the rename loser discards its copy."""
+    import uuid
+
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
-    tmp = out + ".tmp"
+    tmp = f"{out}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     build(tmp)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
