@@ -72,7 +72,34 @@ _TEXT_REL = re.compile(r"^([A-Z]\w*) (uses|contains|relates to) ([A-Z]\w*)\.$", 
 def _extract_python(file_ent, lines, node, edge):
     scope = None        # enclosing def/method name for call attribution
     class_ctx = None
+    # Call-scan batching (the measured hot path): consecutive body lines of
+    # one scope are scanned with a SINGLE finditer over a "\x00"-joined
+    # buffer. "\x00" is neither \w nor \s, so the identifier lookbehind and
+    # the `\s*\(` tail can never match across the join — per-line semantics
+    # are preserved bit-for-bit while the per-line regex overhead disappears.
+    buf: list[str] = []
+
+    def flush():
+        if buf and scope:
+            for m in _CALL.finditer("\x00".join(buf)):
+                tgt = m.group(1)
+                if tgt not in _PY_KEYWORDS and not tgt.startswith("self."):
+                    edge(scope, T_FN, "calls", tgt, T_FN)
+        buf.clear()
+
     for line in lines:
+        # indented lines match nothing below (all anchored at col 0) except
+        # the class-method rule — fast-path them into the call buffer
+        if line[:1].isspace():
+            if class_ctx and (m := _PY_METHOD.match(line)):
+                flush()
+                meth = m.group(1)
+                edge(class_ctx, T_CLS, "defines", meth, T_FN)
+                scope = meth
+            elif scope:
+                buf.append(line)
+            continue
+        flush()
         if m := _PY_IMPORT.match(line):
             edge(file_ent, T_FILE, "imports", m.group(1), T_MOD)
         elif m := _PY_FROM.match(line):
@@ -90,18 +117,9 @@ def _extract_python(file_ent, lines, node, edge):
             cls = m.group(1)
             edge(file_ent, T_FILE, "defines", cls, T_CLS)
             class_ctx, scope = cls, None
-        elif class_ctx and (m := _PY_METHOD.match(line)):
-            meth = m.group(1)
-            edge(class_ctx, T_CLS, "defines", meth, T_FN)
-            scope = meth
-        elif line[:1].isspace():
-            if scope:
-                for m in _CALL.finditer(line):
-                    tgt = m.group(1)
-                    if tgt not in _PY_KEYWORDS and not tgt.startswith("self."):
-                        edge(scope, T_FN, "calls", tgt, T_FN)
         elif line.strip():
             scope, class_ctx = None, None  # other top-level statement
+    flush()
 
 
 def _extract_js(file_ent, lines, node, edge):
