@@ -66,6 +66,88 @@ def test_langid_and_quality_match_naive(t):
     assert got == naive_quality(t)
 
 
+_PY_LINES = st.lists(
+    st.one_of(
+        st.just("import os"),
+        st.just("from a.b import c, d as e"),
+        st.builds("def {}(x):".format, st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)),
+        st.builds("class {}:".format, st.from_regex(r"[A-Z][a-zA-Z0-9_]{0,8}", fullmatch=True)),
+        st.builds("    def {}(self):".format, st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)),
+        st.builds("    y = {}(x)".format, st.from_regex(r"[a-z_][a-z0-9_.]{0,10}", fullmatch=True)),
+        st.builds("    z = {}({}( x ))".format, st.from_regex(r"[a-z_]{1,6}", fullmatch=True), st.from_regex(r"[a-z_.]{1,8}", fullmatch=True)),
+        st.just("    return y"),
+        st.just(""),
+        st.just("x = 1"),
+        st.just("    foo ("),  # paren on same line after space
+        st.just("bar"),
+        st.just("    ("),  # lone paren line: must NOT join with a prior identifier
+    ),
+    max_size=40,
+)
+
+
+def _reference_extract_python(file_ent, lines, edge):
+    """The pre-optimization PER-LINE reference semantics, kept verbatim as the
+    spec for the batched call-scan (scanning each body line separately)."""
+    import re
+
+    from text_to_graph_ray.stages.extract import (
+        _CALL,
+        _PY_CLASS,
+        _PY_DEF,
+        _PY_FROM,
+        _PY_IMPORT,
+        _PY_KEYWORDS,
+        _PY_METHOD,
+    )
+
+    scope = None
+    class_ctx = None
+    for line in lines:
+        if m := _PY_IMPORT.match(line):
+            edge(file_ent, "F", "imports", m.group(1), "M")
+        elif m := _PY_FROM.match(line):
+            mod = m.group(1)
+            edge(file_ent, "F", "imports", mod, "M")
+            for name in m.group(2).split(","):
+                name = name.strip().split(" as ")[0]
+                if name:
+                    edge(file_ent, "F", "imports", f"{mod}.{name}", "M")
+        elif m := _PY_DEF.match(line):
+            fn = m.group(1)
+            edge(file_ent, "F", "defines", fn, "Fn")
+            scope, class_ctx = fn, None
+        elif m := _PY_CLASS.match(line):
+            cls = m.group(1)
+            edge(file_ent, "F", "defines", cls, "C")
+            class_ctx, scope = cls, None
+        elif class_ctx and (m := _PY_METHOD.match(line)):
+            meth = m.group(1)
+            edge(class_ctx, "C", "defines", meth, "Fn")
+            scope = meth
+        elif line[:1].isspace():
+            if scope:
+                for m in _CALL.finditer(line):
+                    tgt = m.group(1)
+                    if tgt not in _PY_KEYWORDS and not tgt.startswith("self."):
+                        edge(scope, "Fn", "calls", tgt, "Fn")
+        elif line.strip():
+            scope, class_ctx = None, None
+
+
+@settings(max_examples=200, deadline=None)
+@given(_PY_LINES)
+def test_batched_call_scan_matches_per_line_reference(lines):
+    """The NUL-join batched scan must emit the exact same edge sequence as
+    the per-line reference on arbitrary python-shaped inputs."""
+    from text_to_graph_ray.stages.extract import _extract_python
+
+    got, want = [], []
+    _extract_python("f", lines, lambda *a: None, lambda s, st_, p, d, dt: got.append((s, p, d)))
+    _reference_extract_python("f", lines, lambda s, st_, p, d, dt: want.append((s, p, d)))
+    assert got == want
+
+
 @settings(max_examples=80, deadline=None)
 @given(st.lists(word_texts, min_size=2, max_size=12))
 def test_pairwise_jaccard_matches_naive(docs):
