@@ -81,6 +81,45 @@ def test_degree_topk(ray_session):
     assert list(out["degree"]) == [2, 2]
 
 
+def test_connected_components_string_ids_distributed(ray_session):
+    """The distributed label-propagation path must handle STRING node ids
+    (min = lexicographic) and match the driver union-find path exactly."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.graph import connected_components
+
+    edges = [
+        {"a": "beta", "b": "alpha"},
+        {"a": "beta", "b": "gamma"},   # {alpha,beta,gamma} -> alpha
+        {"a": "zeta", "b": "eta"},     # {eta,zeta} -> eta
+        {"a": "mu", "b": "mu"},        # self-loop singleton
+    ]
+    got_collect = connected_components(rd.from_items(edges)).to_pandas()
+    got_dist = connected_components(rd.from_items(edges), collect_max=0).to_pandas()
+    cols = ["node", "component"]
+    a = got_collect[cols].sort_values(cols).reset_index(drop=True)
+    b = got_dist[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    comp = dict(zip(a["node"], a["component"]))
+    assert comp == {"alpha": "alpha", "beta": "alpha", "gamma": "alpha", "eta": "eta", "zeta": "eta", "mu": "mu"}
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """A long chain with non-monotone ids needs many propagation rounds —
+    the distributed path must converge (not bail early on the signature)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.graph import connected_components
+
+    # chain 10-9-...-1-0: the min (0) sits at one end, so full propagation
+    # needs ~10 rounds (each round = one distributed join — keep the chain
+    # short enough that the test stays ~a minute)
+    edges = [{"a": i, "b": i + 1} for i in range(10)]
+    out = connected_components(rd.from_items(edges), collect_max=0, max_rounds=32).to_pandas()
+    assert set(out["component"]) == {0}
+    assert len(out) == 11
+
+
 def test_ivf_topk_recall_vs_brute_force(ray_session):
     import ray.data as rd
 
