@@ -89,8 +89,6 @@ _PY_LINES = st.lists(
 def _reference_extract_python(file_ent, lines, edge):
     """The pre-optimization PER-LINE reference semantics, kept verbatim as the
     spec for the batched call-scan (scanning each body line separately)."""
-    import re
-
     from text_to_graph_ray.stages.extract import (
         _CALL,
         _PY_CLASS,

@@ -88,6 +88,8 @@ def _extract_python(file_ent, lines, node, edge):
         buf.clear()
 
     for line in lines:
+        if not line:
+            continue  # blank line: scope-preserving no-op; keep the buffer intact
         # indented lines match nothing below (all anchored at col 0) except
         # the class-method rule — fast-path them into the call buffer
         if line[:1].isspace():
