@@ -263,6 +263,17 @@ def _q_sample_mod(sf_dir):
     return mod_sample(ds, rate_pct=10)
 
 
+def _q_text_pack_offsets(sf_dir):
+    """Deterministic sequence packing placement (distributed weighted
+    prefix-sum via the block-offset pattern)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.pack import sequence_pack_offsets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sequence_pack_offsets(ds, seq_len=1024)
+
+
 def _q_dedup_ngram_verified(sf_dir):
     import ray.data as rd
 
@@ -543,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "text_tokens": _q_text_tokens,
         "text_vocab_topk": _q_text_vocab_topk,
+        "text_pack_offsets": _q_text_pack_offsets,
         "sample_stratified": _q_sample_stratified,
         "sample_mod": _q_sample_mod,
         "dedup_ngram_verified": _q_dedup_ngram_verified,
@@ -643,6 +655,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, sum(1)::BIGINT AS n FROM ("
             "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
             "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "text_pack_offsets": (
+            "SELECT doc_id, n_tokens, o AS offset, o // 1024 AS seq_id, o % 1024 AS seq_pos FROM ("
+            "SELECT doc_id, n_tokens, COALESCE(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM ("
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens FROM documents))"
         ),
         "sample_stratified": (
             "SELECT doc_id, lang FROM ("

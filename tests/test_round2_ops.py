@@ -81,6 +81,30 @@ def test_degree_topk(ray_session):
     assert list(out["degree"]) == [2, 2]
 
 
+def test_sequence_pack_offsets_invariants(ray_session):
+    """offset = exclusive prefix-sum of token counts in id order; seq math
+    consistent; invariant under a different input block split."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.pack import sequence_pack_offsets
+
+    rows = [{"doc_id": i, "text": " ".join(["w"] * (3 + i % 7))} for i in range(200)]
+    out = sequence_pack_offsets(rd.from_items(rows), seq_len=16).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "offset"] == 0
+    expect = out["n_tokens"].cumsum().shift(fill_value=0)
+    assert (out["offset"] == expect).all()
+    assert (out["seq_id"] == out["offset"] // 16).all()
+    assert (out["seq_pos"] == out["offset"] % 16).all()
+    # different physical blocking, same placement
+    out2 = (
+        sequence_pack_offsets(rd.from_items(rows).repartition(7), seq_len=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
 def test_connected_components_string_ids_distributed(ray_session):
     """The distributed label-propagation path must handle STRING node ids
     (min = lexicographic) and match the driver union-find path exactly."""

@@ -1,0 +1,66 @@
+"""Sequence packing for LM training: lay the corpus end-to-end in id order
+and cut it into fixed-length training sequences.
+
+The hard part at scale is the GLOBAL weighted prefix-sum (every document
+needs the total token count of everything before it). The Dataset API has no
+cumsum, so this drops to the same raw-Ray block-offset pattern as
+``canonicalize.add_dense_index``: per-block token sums are collected as
+metadata (#blocks numbers — not data), prefix-summed on the driver, and each
+block adds its base offset to an intra-block cumulative sum. No data leaves
+the object store; driver work is O(#blocks).
+
+Output is per-document placement — (doc_id, n_tokens, offset, seq_id,
+seq_pos) — which a downstream tokenizing writer can consume independently per
+block; the exploded token stream is never materialized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def sequence_pack_offsets(ds, seq_len: int = 1024, id_col: str = "doc_id", text_col: str = "text"):
+    """-> (doc_id, n_tokens, offset, seq_id, seq_pos) sorted by id.
+    offset = tokens before this doc; seq_id/seq_pos = where the doc's first
+    token lands in the packed fixed-length sequence stream."""
+    import ray
+    import ray.data as rd
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in b.column(text_col).to_pylist()]
+        return pa.table({id_col: b.column(id_col), "n_tokens": pa.array(n, type=pa.int64())})
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow").sort(id_col).materialize()
+    refs = counted.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        return int(pc.sum(t.column("n_tokens")).as_py() or 0)
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    bases = []
+    total = 0
+    for s in sums:
+        bases.append(total)
+        total += s
+
+    @ray.remote
+    def with_offsets(t: pa.Table, base: int, sl: int) -> pa.Table:
+        n = np.asarray(t.column("n_tokens").to_pylist(), dtype=np.int64)
+        intra = np.concatenate(([0], np.cumsum(n)[:-1])) if len(n) else np.array([], dtype=np.int64)
+        off = base + intra
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": t.column("n_tokens"),
+                "offset": pa.array(off, type=pa.int64()),
+                "seq_id": pa.array(off // sl, type=pa.int64()),
+                "seq_pos": pa.array(off % sl, type=pa.int64()),
+            }
+        )
+
+    out_refs = [with_offsets.remote(r, b, seq_len) for r, b in zip(refs, bases)]
+    return rd.from_arrow_refs(out_refs)
