@@ -38,6 +38,8 @@ def sequence_pack_offsets(ds, seq_len: int = 1024, id_col: str = "doc_id", text_
     def block_sum(t: pa.Table) -> int:
         import pyarrow.compute as pc
 
+        if t.num_rows == 0 or "n_tokens" not in t.schema.names:  # empty sort outputs lose their schema
+            return 0
         return int(pc.sum(t.column("n_tokens")).as_py() or 0)
 
     sums = ray.get([block_sum.remote(r) for r in refs])
@@ -49,6 +51,16 @@ def sequence_pack_offsets(ds, seq_len: int = 1024, id_col: str = "doc_id", text_
 
     @ray.remote
     def with_offsets(t: pa.Table, base: int, sl: int) -> pa.Table:
+        if t.num_rows == 0 or "n_tokens" not in t.schema.names:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "offset": pa.array([], type=pa.int64()),
+                    "seq_id": pa.array([], type=pa.int64()),
+                    "seq_pos": pa.array([], type=pa.int64()),
+                }
+            )
         n = np.asarray(t.column("n_tokens").to_pylist(), dtype=np.int64)
         intra = np.concatenate(([0], np.cumsum(n)[:-1])) if len(n) else np.array([], dtype=np.int64)
         off = base + intra
