@@ -274,6 +274,15 @@ def _q_text_pack_offsets(sf_dir):
     return sequence_pack_offsets(ds, seq_len=1024)
 
 
+def _q_text_packed_seqs(sf_dir):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.pack import packed_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return packed_sequences(ds, seq_len=1024)
+
+
 def _q_dedup_ngram_verified(sf_dir):
     import ray.data as rd
 
@@ -555,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens": _q_text_tokens,
         "text_vocab_topk": _q_text_vocab_topk,
         "text_pack_offsets": _q_text_pack_offsets,
+        "text_packed_seqs": _q_text_packed_seqs,
         "sample_stratified": _q_sample_stratified,
         "sample_mod": _q_sample_mod,
         "dedup_ngram_verified": _q_dedup_ngram_verified,
@@ -611,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_verified": f"SELECT a, b, est_jaccard, jaccard FROM read_parquet('{e}/expected_ngram_pairs.parquet') WHERE jaccard >= 0.4",
         "dedup_embedding_lsh": f"SELECT a, b, sim FROM read_parquet('{e}/expected_emb_lsh_pairs.parquet')",
         "dedup_survivors": f"SELECT doc_id FROM read_parquet('{e}/expected_survivors.parquet')",
+        "text_packed_seqs": f"SELECT seq_id, n_filled, tok_sum FROM read_parquet('{e}/expected_packed.parquet')",
         "pipeline_clean_corpus": f"SELECT doc_id FROM read_parquet('{e}/expected_clean.parquet')",
         "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
         "ann_ivf": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_ivf.parquet')",

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v5"
+EXPECTED_ROOT = "/tmp/graft_expected/v6"
 
 _MERSENNE = (1 << 61) - 1
 
@@ -239,6 +239,22 @@ def naive_clean_corpus(ids: list[int], texts: list[str], min_quality: float = 0.
             kept_ids.append(i)
             kept_texts.append(t)
     return naive_survivors(kept_ids, kept_texts, threshold=threshold)
+
+
+def naive_packed_sequences(ids: list[int], texts: list[str], seq_len: int = 1024, vocab: int = 32768):
+    """Build the whole packed token stream directly (id order, one flat
+    list), then chunk — the straightforward spec the distributed
+    span/assembly plan must reproduce. Returns (seq_id, n_filled, tok_sum)
+    rows."""
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    stream: list[int] = []
+    for i in order:
+        stream.extend(zlib.crc32(t.encode("utf-8")) % vocab for t in (texts[i] or "").split())
+    rows = []
+    for s0 in range(0, len(stream), seq_len):
+        chunk = stream[s0 : s0 + seq_len]
+        rows.append((s0 // seq_len, len(chunk), sum(chunk)))
+    return rows
 
 
 def naive_word_jaccard(ta: str, tb: str, shingle: int = 3) -> float:
@@ -577,6 +593,20 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
     # near-dedup survivors: union-find over the 16-band pair graph at 0.5
     surv = naive_survivors(ids, texts, threshold=0.5)
     _write(tmp, "expected_survivors", pa.table({"doc_id": pa.array(surv, type=pa.int64())}))
+
+    # packed-sequence stream summary
+    ps = naive_packed_sequences(ids, texts)
+    _write(
+        tmp,
+        "expected_packed",
+        pa.table(
+            {
+                "seq_id": pa.array([r[0] for r in ps], type=pa.int64()),
+                "n_filled": pa.array([r[1] for r in ps], type=pa.int64()),
+                "tok_sum": pa.array([r[2] for r in ps], type=pa.int64()),
+            }
+        ),
+    )
 
     # curation composition: gate then dedup
     clean = naive_clean_corpus(ids, texts)

@@ -76,3 +76,64 @@ def sequence_pack_offsets(ds, seq_len: int = 1024, id_col: str = "doc_id", text_
 
     out_refs = [with_offsets.remote(r, b, seq_len) for r, b in zip(refs, bases)]
     return rd.from_arrow_refs(out_refs)
+
+
+def packed_sequences(ds, seq_len: int = 1024, vocab: int = 32768, id_col: str = "doc_id", text_col: str = "text"):
+    """Materialize the packed training stream: every token (hash id =
+    crc32(token) %% vocab) lands at its global position; documents crossing a
+    sequence boundary split into per-sequence SPANS inside ``map_batches``;
+    one ``groupby(seq_id)`` assembles fixed-length sequences. Returns a
+    compact per-sequence summary (seq_id, n_filled, tok_sum) — enough for an
+    exact oracle without shipping the exploded stream to the driver."""
+    import pandas as pd
+    import zlib
+
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    offs = sequence_pack_offsets(ds, seq_len=seq_len, id_col=id_col, text_col=text_col)
+    texts = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col), "__text": b.column(text_col)}), batch_format="pyarrow"
+    )
+    j = offs.join(
+        texts, join_type="inner", num_partitions=join_partitions_for(), on=(id_col,), partition_size_hint=32 << 20
+    )
+
+    def spans(b: pa.Table) -> pa.Table:
+        rows = {"seq_id": [], "pos": [], "ids": []}
+        for off, text in zip(b.column("offset").to_pylist(), b.column("__text").to_pylist()):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            ids = [zlib.crc32(t.encode("utf-8")) % vocab for t in toks]
+            i = 0
+            while i < len(ids):
+                pos = (off + i) % seq_len
+                take = min(seq_len - pos, len(ids) - i)
+                rows["seq_id"].append((off + i) // seq_len)
+                rows["pos"].append(pos)
+                rows["ids"].append(ids[i : i + take])
+                i += take
+        return pa.table(
+            {
+                "seq_id": pa.array(rows["seq_id"], type=pa.int64()),
+                "pos": pa.array(rows["pos"], type=pa.int64()),
+                "ids": pa.array(rows["ids"], type=pa.list_(pa.int64())),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        n = 0
+        tot = 0
+        for ids in g["ids"]:
+            n += len(ids)
+            tot += int(np.sum(np.asarray(ids, dtype=np.int64)))
+        return pd.DataFrame(
+            {"seq_id": [int(g["seq_id"].iloc[0])], "n_filled": [n], "tok_sum": [tot]}
+        )
+
+    return (
+        j.map_batches(spans, batch_format="pyarrow")
+        .groupby("seq_id")
+        .map_groups(assemble, batch_format="pandas")
+        .sort("seq_id")
+    )
