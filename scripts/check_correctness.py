@@ -32,8 +32,9 @@ def value_hash(df):
     import pandas as pd
 
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes: ints -> int64, floats -> rounded strings
-    rows = []
+    # dtype-sensitive like the driver's hasher: an int64 column and a float64
+    # column with equal values must NOT collide (100000 vs 100000.0)
+    rows = ["\x1f".join(df[c].dtype.kind for c in df.columns)]
     for t in df.itertuples(index=False):
         parts = []
         for v in t:
@@ -63,6 +64,9 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = e.queries()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -52,11 +52,30 @@ def _topk_partials_fn(ref, id_col, vec_col, k):
     return fn
 
 
+def _merge_partials(partials, q_ids, k):
+    """Final per-query merge of the (tiny: #blocks × Q × k rows) top-k
+    partials. Coalescing to ~Q blocks first keeps the groupby's shuffle from
+    emitting schema-less empty partitions (Ray warns on those) and cuts
+    per-tiny-group scheduling overhead; the query set is broadcast-bounded,
+    so Q is small by construction."""
+    # ~Q/2 partitions: with >= 2 keys per sampled boundary range every shuffle
+    # partition is (near-)guaranteed non-empty
+    n_parts = max(1, min((len(q_ids) + 1) // 2, 16))
+    return partials.repartition(n_parts).groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+
+
 def _merge_topk(k):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).copy()
-        g["rank"] = range(1, len(g) + 1)
-        return g
+    def fn(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        # fixed metadata-free Arrow schema (schema-stable through sort/union)
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"].to_numpy(dtype="int64"), type=pa.int64()),
+                "vec_id": pa.array(g["vec_id"].to_numpy(dtype="int64"), type=pa.int64()),
+                "sim": pa.array(g["sim"].to_numpy(dtype="float64"), type=pa.float64()),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype="int64"), type=pa.int64()),
+            }
+        )
 
     return fn
 
@@ -70,7 +89,7 @@ def brute_force_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id", vec_col="
     q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     ref = ray.put((q_ids, q_mat))
     partials = ds.map_batches(_topk_partials_fn(ref, id_col, vec_col, k), batch_format="pyarrow")
-    merged = partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+    merged = _merge_partials(partials, q_ids, k)
     return merged.sort(["query_id", "rank"])
 
 
@@ -143,6 +162,19 @@ def ivf_topk(
     import ray
 
     sample_rows = ds.sort(id_col).limit(train_rows).take_all()
+    if not sample_rows:  # zero-row corpus: nothing to index, schema-stable empty result
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
     cent = kmeans_fit(sample, n_centroids)
 
@@ -187,7 +219,7 @@ def ivf_topk(
         )
 
     partials = assigned.map_batches(score, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas").sort(["query_id", "rank"])
+    return _merge_partials(partials, q_ids, k).sort(["query_id", "rank"])
 
 
 # ---------------------------------------------------------------------------
@@ -256,4 +288,4 @@ def lsh_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id", vec_col="embeddin
         )
 
     partials = bucketed.map_batches(score, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas").sort(["query_id", "rank"])
+    return _merge_partials(partials, q_ids, k).sort(["query_id", "rank"])

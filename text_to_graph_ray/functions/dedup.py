@@ -27,9 +27,15 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+
+from text_to_graph_ray.util import pa_from_pandas
 import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
+
+# above this corpus size the ride-along minhash plan ships each signature
+# `bands` times; the signature-join plan ships it once — switch automatically
+SIGJOIN_AUTO_ROWS = 2_000_000
 
 
 def _stable_hash_array(strings: list[str]) -> np.ndarray:
@@ -69,7 +75,7 @@ def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id"):
         import pandas as pd
 
         df = t.to_pandas().groupby("h", as_index=False)[id_col].min()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("h").aggregate(Min(id_col, alias_name=id_col)).select_columns([id_col]).sort(id_col)
@@ -140,12 +146,18 @@ def _band_rows(batch: pa.Table, bands: int, shuffle_buckets: int = 64, include_s
     return pa.table(cols)
 
 
-def _bucket_pairs(group, max_bucket: int = 200):
+_PAIR_EST_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("est_jaccard", pa.float64())])
+_PAIR_ID_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+_PAIR_HAM_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
+_PAIR_SIM_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("sim", pa.float64())])
+
+
+def _bucket_pairs(group, max_bucket: int = 200) -> pa.Table:
     """All pairs within each (band, band_hash) LSH bucket of one coarse shuffle
     bucket, with signature-estimated Jaccard. LSH buckets above max_bucket are
-    truncated — a hot bucket at real scale means a degenerate shingle."""
-    import pandas as pd
-
+    truncated — a hot bucket at real scale means a degenerate shingle.
+    Returns Arrow with a FIXED schema so all-empty buckets can't destabilize
+    the downstream sort/union schema (same discipline as pricing_summary)."""
     a_out, b_out, est = [], [], []
     for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
         if len(g) < 2:
@@ -158,7 +170,10 @@ def _bucket_pairs(group, max_bucket: int = 200):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
                 est.append(float((sigs[i] == sigs[j]).mean()))
-    return pd.DataFrame({"a": np.array(a_out, dtype="int64"), "b": np.array(b_out, dtype="int64"), "est_jaccard": np.array(est, dtype="float64")})
+    return pa.table(
+        {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64()), "est_jaccard": pa.array(est, type=pa.float64())},
+        schema=_PAIR_EST_SCHEMA,
+    )
 
 
 def minhash_near_dup_pairs(
@@ -176,7 +191,13 @@ def minhash_near_dup_pairs(
     * ``signature_join=True`` (the 10^12-doc shape): band rows carry ids
       only; distinct candidate pairs come out of the bucket groupby and the
       signatures are hash-joined back (each signature crosses the wire once).
+
+    ``signature_join="auto"`` picks the join plan when the corpus exceeds
+    SIGJOIN_AUTO_ROWS (parquet-metadata count — no execution), mirroring the
+    other guarded small-side decisions.
     """
+    if signature_join == "auto":
+        signature_join = ds.count() >= SIGJOIN_AUTO_ROWS
     sigs = ds.map_batches(
         MinHasher,
         batch_format="pyarrow",
@@ -205,7 +226,7 @@ def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
     def band_id_rows(batch: pa.Table) -> pa.Table:
         return _band_rows(batch, bands, include_sig=False)
 
-    def bucket_id_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_id_pairs(group: pd.DataFrame) -> pa.Table:
         a_out, b_out = [], []
         for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
             if len(g) < 2:
@@ -215,7 +236,9 @@ def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
                 for j in range(i + 1, len(members)):
                     a_out.append(members[i])
                     b_out.append(members[j])
-        return pd.DataFrame({"a": np.array(a_out, dtype="int64"), "b": np.array(b_out, dtype="int64")})
+        return pa.table(
+            {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}, schema=_PAIR_ID_SCHEMA
+        )
 
     cand = (
         sigs.map_batches(band_id_rows, batch_format="pyarrow")
@@ -447,7 +470,7 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
         a, b, h = [], [], []
         for (_, _), g in group.groupby(["band", "band_val"], sort=False):
             if len(g) < 2:
@@ -461,7 +484,10 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
                         a.append(ids[i])
                         b.append(ids[j])
                         h.append(d)
-        return pd.DataFrame({"a": np.array(a, dtype="int64"), "b": np.array(b, dtype="int64"), "hamming": np.array(h, dtype="int64")})
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64()), "hamming": pa.array(h, type=pa.int64())},
+            schema=_PAIR_HAM_SCHEMA,
+        )
 
     from ray.data.aggregate import Min
 
@@ -511,7 +537,10 @@ def embedding_near_dup_lsh(ds, threshold=0.95, id_col="vec_id", vec_col="embeddi
                 a.append(int(ids[i]))
                 b.append(int(ids[i + 1 + j]))
                 s.append(round(float(sims[i, i + 1 + j]), 6))
-        return pd.DataFrame({"a": np.array(a, dtype="int64"), "b": np.array(b, dtype="int64"), "sim": np.array(s, dtype="float64")})
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64()), "sim": pa.array(s, type=pa.float64())},
+            schema=_PAIR_SIM_SCHEMA,
+        )
 
     from ray.data.aggregate import Max
 

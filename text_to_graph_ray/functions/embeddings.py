@@ -36,16 +36,17 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding", nd
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         lab = int(g["label"].iloc[0])
         total = np.sum([np.asarray(v, dtype=np.float64) for v in g["vsum"]], axis=0)
         n = int(g["n"].sum())
         mean = np.round(total / n, ndigits)
-        return pd.DataFrame(
+        # metadata-free Arrow: keeps schemas hashable for Ray's reduce dedup
+        return pa.table(
             {
-                "label": np.full(len(mean), lab, dtype="int64"),
-                "dim": np.arange(len(mean), dtype="int64"),
-                "mean_val": mean.astype("float64"),
+                "label": pa.array(np.full(len(mean), lab, dtype="int64"), type=pa.int64()),
+                "dim": pa.array(np.arange(len(mean), dtype="int64"), type=pa.int64()),
+                "mean_val": pa.array(mean.astype("float64"), type=pa.float64()),
             }
         )
 

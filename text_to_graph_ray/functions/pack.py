@@ -61,7 +61,7 @@ def sequence_pack_offsets(ds, seq_len: int = 1024, id_col: str = "doc_id", text_
                     "seq_pos": pa.array([], type=pa.int64()),
                 }
             )
-        n = np.asarray(t.column("n_tokens").to_pylist(), dtype=np.int64)
+        n = np.asarray(t.column("n_tokens"), dtype=np.int64)
         intra = np.concatenate(([0], np.cumsum(n)[:-1])) if len(n) else np.array([], dtype=np.int64)
         off = base + intra
         return pa.table(
@@ -99,36 +99,55 @@ def packed_sequences(ds, seq_len: int = 1024, vocab: int = 32768, id_col: str = 
     )
 
     def spans(b: pa.Table) -> pa.Table:
-        rows = {"seq_id": [], "pos": [], "ids": []}
-        for off, text in zip(b.column("offset").to_pylist(), b.column("__text").to_pylist()):
-            toks = (text or "").split()
-            if not toks:
-                continue
-            ids = [zlib.crc32(t.encode("utf-8")) % vocab for t in toks]
+        # token-id kernel, vectorized: split stays C-level (str.split), then
+        # the batch's tokens are dictionary-encoded so crc32 runs ONCE per
+        # DISTINCT token (vocabulary-sized, not corpus-sized) and the
+        # corpus-sized id stream is a single numpy gather
+        tok_lists = [(t or "").split() for t in b.column("__text").to_pylist()]
+        flat = [tok for toks in tok_lists for tok in toks]
+        if flat:
+            enc = pa.array(flat, type=pa.string()).dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            uhash = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniq), dtype=np.int64, count=len(uniq)) % vocab
+            flat_ids = uhash[np.asarray(enc.indices)]
+        else:
+            flat_ids = np.array([], dtype=np.int64)
+        seq_ids, poss, id_chunks = [], [], []
+        start = 0
+        for off, toks in zip(b.column("offset").to_pylist(), tok_lists):
+            n = len(toks)
+            ids = flat_ids[start : start + n]
+            start += n
             i = 0
-            while i < len(ids):
+            while i < n:  # O(#spans) = O(n/seq_len + 1), not O(tokens)
                 pos = (off + i) % seq_len
-                take = min(seq_len - pos, len(ids) - i)
-                rows["seq_id"].append((off + i) // seq_len)
-                rows["pos"].append(pos)
-                rows["ids"].append(ids[i : i + take])
+                take = min(seq_len - pos, n - i)
+                seq_ids.append((off + i) // seq_len)
+                poss.append(pos)
+                id_chunks.append(ids[i : i + take])
                 i += take
+        values = np.concatenate(id_chunks) if id_chunks else np.array([], dtype=np.int64)
+        offsets = np.zeros(len(id_chunks) + 1, dtype=np.int32)
+        if id_chunks:
+            np.cumsum([len(c) for c in id_chunks], out=offsets[1:])
+        ids_col = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int64()))
         return pa.table(
             {
-                "seq_id": pa.array(rows["seq_id"], type=pa.int64()),
-                "pos": pa.array(rows["pos"], type=pa.int64()),
-                "ids": pa.array(rows["ids"], type=pa.list_(pa.int64())),
+                "seq_id": pa.array(seq_ids, type=pa.int64()),
+                "pos": pa.array(poss, type=pa.int64()),
+                "ids": ids_col,
             }
         )
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        n = 0
-        tot = 0
-        for ids in g["ids"]:
-            n += len(ids)
-            tot += int(np.sum(np.asarray(ids, dtype=np.int64)))
-        return pd.DataFrame(
-            {"seq_id": [int(g["seq_id"].iloc[0])], "n_filled": [n], "tok_sum": [tot]}
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        chunks = [np.asarray(ids, dtype=np.int64) for ids in g["ids"]]
+        flat = np.concatenate(chunks) if chunks else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "seq_id": pa.array([int(g["seq_id"].iloc[0])], type=pa.int64()),
+                "n_filled": pa.array([int(flat.size)], type=pa.int64()),
+                "tok_sum": pa.array([int(flat.sum())], type=pa.int64()),
+            }
         )
 
     return (

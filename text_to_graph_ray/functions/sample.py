@@ -36,7 +36,9 @@ def stratified_sample(ds, key_col: str, n_per_key: int, id_col: str = "doc_id"):
     (per-language / per-source quotas in corpus building). One groupby
     exchange; a hyper-skewed stratum still only emits n rows."""
 
-    def take_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(n_per_key)
+    def take_first(g: pd.DataFrame) -> pa.Table:
+        from text_to_graph_ray.util import pa_from_pandas
+
+        return pa_from_pandas(g.sort_values(id_col).head(n_per_key))
 
     return ds.groupby(key_col).map_groups(take_first, batch_format="pandas").sort([key_col, id_col])

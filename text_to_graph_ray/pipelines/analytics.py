@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from text_to_graph_ray.util import pa_from_pandas, read_parquet_clean
 import pyarrow.compute as pc
 
 
@@ -28,7 +30,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1996-01-01"):
     import ray.data as rd
 
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
     cut = np.datetime64(cutoff)
 
     # one fixed schema from BOTH partial arms: schema drift between the
@@ -61,7 +63,9 @@ def pricing_summary(sf_dir: str, cutoff: str = "1996-01-01"):
 
     from ray.data.aggregate import Sum
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # coalesce the (tiny: #blocks × #groups rows) partials so the final
+    # groupby's shuffle has no schema-less empty partitions
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(4)
     agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("s_qty", alias_name="sum_qty"),
         Sum("s_price", alias_name="sum_price"),
@@ -69,12 +73,26 @@ def pricing_summary(sf_dir: str, cutoff: str = "1996-01-01"):
         Sum("n", alias_name="n_rows"),
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty", pa.float64()),
+            ("sum_price", pa.float64()),
+            ("avg_qty", pa.float64()),
+            ("avg_disc", pa.float64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "sum_qty" not in df.columns:  # empty aggregate partition
+            return out_schema.empty_table()
         df["avg_qty"] = df["sum_qty"] / df["n_rows"]
         df["avg_disc"] = df["sum_disc"] / df["n_rows"]
         df["n_rows"] = df["n_rows"].astype("int64")
         df = _round_cols(df, {"sum_qty": 2, "sum_price": 2, "avg_qty": 4, "avg_disc": 4})
-        return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "avg_qty", "avg_disc", "n_rows"]]
+        return pa.table({f.name: pa.array(df[f.name], type=f.type) for f in out_schema})
 
     return agg.map_batches(finish, batch_format="pandas").sort(["l_returnflag", "l_linestatus"])
 
@@ -93,8 +111,8 @@ def segment_revenue(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust_ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     n_cust = cust_ds.count()  # metadata-cheap on parquet
 
     partial_schema = pa.schema([("seg", pa.string()), ("total", pa.float64()), ("n", pa.float64())])
@@ -152,12 +170,16 @@ def segment_revenue(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    agg = pre.groupby("seg").aggregate(Sum("total", alias_name="revenue"), Sum("n", alias_name="n_orders"))
+    agg = pre.repartition(4).groupby("seg").aggregate(Sum("total", alias_name="revenue"), Sum("n", alias_name="n_orders"))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([("seg", pa.string()), ("revenue", pa.float64()), ("n_orders", pa.int64())])
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "revenue" not in df.columns:
+            return out_schema.empty_table()
         df["revenue"] = df["revenue"].round(2)
         df["n_orders"] = df["n_orders"].astype("int64")
-        return df[["seg", "revenue", "n_orders"]]
+        return pa.table({f.name: pa.array(df[f.name], type=f.type) for f in out_schema})
 
     return agg.map_batches(finish, batch_format="pandas").sort("seg")
 
@@ -166,7 +188,7 @@ def top_orders(sf_dir: str, k: int = 10):
     """sort desc + limit; deterministic tie-break on o_orderkey."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
@@ -182,7 +204,7 @@ def order_revenue_topk(sf_dir: str, k: int = 10):
     from text_to_graph_ray.functions.dedup import join_partitions_for
     from ray.data.aggregate import Sum
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     partial_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64()), ("n", pa.float64())])
 
@@ -197,7 +219,7 @@ def order_revenue_topk(sf_dir: str, k: int = 10):
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
     )
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     j = rev.join(
         orders,
         join_type="inner",
@@ -207,16 +229,15 @@ def order_revenue_topk(sf_dir: str, k: int = 10):
         partition_size_hint=32 << 20,
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
             {
-                "o_orderkey": df["l_orderkey"].astype("int64"),
-                "o_custkey": df["o_custkey"].astype("int64"),
-                "revenue": df["revenue"].round(2),
-                "n_items": df["n_items"].astype("int64"),
+                "o_orderkey": pa.array(df["l_orderkey"].to_numpy(dtype="int64"), type=pa.int64()),
+                "o_custkey": pa.array(df["o_custkey"].to_numpy(dtype="int64"), type=pa.int64()),
+                "revenue": pa.array(df["revenue"].round(2).to_numpy(dtype="float64"), type=pa.float64()),
+                "n_items": pa.array(df["n_items"].to_numpy(dtype="int64"), type=pa.int64()),
             }
         )
-        return out
 
     return j.map_batches(finish, batch_format="pandas").sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
 
@@ -236,17 +257,17 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "199
     n_parts = join_partitions_for()
     hint = 32 << 20
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment)).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
     cut_ts = pa.scalar(cut.astype("datetime64[us]"))  # match the parquet timestamp unit, not date32
     orders = orders.map_batches(
         lambda b: b.filter(pc.less(b.column("o_orderdate"), cut_ts)), batch_format="pyarrow"
     )
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     rev_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())])
 
@@ -268,15 +289,14 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "199
     j = orders.join(cust, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",), partition_size_hint=hint)
     j = j.join(rev, join_type="inner", num_partitions=n_parts, on=("o_orderkey",), right_on=("l_orderkey",), partition_size_hint=hint)
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
             {
-                "o_orderkey": df["o_orderkey"].astype("int64"),
-                "revenue": df["revenue"].round(2),
-                "o_orderpriority": df["o_orderpriority"],
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(dtype="int64"), type=pa.int64()),
+                "revenue": pa.array(df["revenue"].round(2).to_numpy(dtype="float64"), type=pa.float64()),
+                "o_orderpriority": pa.array(df["o_orderpriority"], type=pa.string()),
             }
         )
-        return out
 
     return j.map_batches(finish, batch_format="pandas").sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
 
@@ -292,9 +312,9 @@ def region_supplier_balance(sf_dir: str):
 
     n_parts = join_partitions_for()
     hint = 32 << 20
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
-    nat = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
-    reg = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    sup = read_parquet_clean(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = read_parquet_clean(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_parquet_clean(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
     j = sup.join(nat, join_type="inner", num_partitions=n_parts, on=("s_nationkey",), right_on=("n_nationkey",), partition_size_hint=hint)
     j = j.join(reg, join_type="inner", num_partitions=n_parts, on=("n_regionkey",), right_on=("r_regionkey",), partition_size_hint=hint)
 
@@ -304,10 +324,10 @@ def region_supplier_balance(sf_dir: str):
         Sum("s_acctbal", alias_name="total_bal"), Count(alias_name="n_suppliers")
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame) -> pa.Table:
         df["total_bal"] = df["total_bal"].round(2)
         df["n_suppliers"] = df["n_suppliers"].astype("int64")
-        return df[["r_name", "n_name", "total_bal", "n_suppliers"]]
+        return pa_from_pandas(df[["r_name", "n_name", "total_bal", "n_suppliers"]])
 
     return agg.map_batches(finish, batch_format="pandas").sort(["r_name", "n_name"])
 
@@ -319,7 +339,7 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300):
     tiny final groupby — no ordering assumption at all."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -328,7 +348,7 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300):
         df["w"] = np.floor(epoch / window_s).astype("int64")
         g = df.groupby(["event_type", "w"], as_index=False).agg(s=("value", "sum"), n=("value", "size"))
         g["n"] = g["n"].astype("float64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -336,10 +356,10 @@ def events_tumbling_window(sf_dir: str, window_s: int = 300):
         Sum("s", alias_name="sum_value"), Sum("n", alias_name="n_events")
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame) -> pa.Table:
         df["sum_value"] = df["sum_value"].round(4)
         df["n_events"] = df["n_events"].astype("int64")
-        return df[["event_type", "w", "sum_value", "n_events"]]
+        return pa_from_pandas(df[["event_type", "w", "sum_value", "n_events"]])
 
     return agg.map_batches(finish, batch_format="pandas").sort(["event_type", "w"])
 
@@ -354,7 +374,7 @@ def events_hopping_window(sf_dir: str, window_s: int = 600, hop_s: int = 300):
 
     assert window_s % hop_s == 0
     reps = window_s // hop_s
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -382,10 +402,10 @@ def events_hopping_window(sf_dir: str, window_s: int = 600, hop_s: int = 300):
         Sum("s", alias_name="sum_value"), Sum("n", alias_name="n_events")
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame) -> pa.Table:
         df["sum_value"] = df["sum_value"].round(4)
         df["n_events"] = df["n_events"].astype("int64")
-        return df[["event_type", "w", "sum_value", "n_events"]]
+        return pa_from_pandas(df[["event_type", "w", "sum_value", "n_events"]])
 
     return agg.map_batches(finish, batch_format="pandas").sort(["event_type", "w"])
 
@@ -396,7 +416,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
     pattern for stream-shaped work in Ray Data). Returns per-session rows."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -411,6 +431,6 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
         out["start_epoch"] = out["start_epoch"].round(6)
         out["sum_value"] = out["sum_value"].round(4)
         out["n_events"] = out["n_events"].astype("int64")
-        return out.reset_index(drop=True)
+        return pa_from_pandas(out.reset_index(drop=True))
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").sort(["user_id", "start_epoch"])

@@ -16,6 +16,8 @@ single-threaded reimplementation (expected.naive_clean_corpus).
 
 from __future__ import annotations
 
+from text_to_graph_ray.util import read_parquet_clean
+
 import pyarrow as pa
 
 
@@ -39,6 +41,6 @@ def clean_corpus_survivors(sf_dir: str, min_quality: float = 0.45, threshold: fl
 
     from text_to_graph_ray.functions.dedup import near_dup_survivors
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     gated = docs.map_batches(lambda b: quality_lang_gate(b, min_quality), batch_format="pyarrow")
     return near_dup_survivors(gated, threshold=threshold)

@@ -30,6 +30,8 @@ from __future__ import annotations
 import time
 
 import pyarrow as pa
+
+from text_to_graph_ray.util import pa_from_pandas, read_parquet_clean
 import pyarrow.compute as pc
 
 from text_to_graph_ray.config import DEFAULT_CONFIG, PipelineConfig
@@ -92,7 +94,7 @@ def records_dataset(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, with_
     """read -> sha -> chunk -> extract. Column-pruned at the read."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         input_path, columns=["repo", "path", "lang", "content"], override_num_blocks=_input_blocks(input_path)
     )
     ds = extract_chain(ds, cfg)
@@ -121,7 +123,7 @@ def _defines_pairs(batch: pa.Table) -> pa.Table:
             "module": sel.column("path").to_pandas().str.rsplit(".", n=1).str[0].str.replace("/", ".", regex=False),
         }
     ).drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa_from_pandas(df)
 
 
 def build_defs_index(records_ds) -> dict:
@@ -178,7 +180,7 @@ def _rebucket_fn(cfg: PipelineConfig):
         is_n = df["kind"] == "n"
         key = df["k1"].where(is_n, df["k1"] + SEP + df["k2"] + SEP + df["k3"])
         df["bucket"] = _stable_bucket(key, cfg.num_partitions)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     return rebucket
 
@@ -353,7 +355,7 @@ def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
 
     queries = merged_nd.map_batches(dotted_rows, batch_format="pyarrow")
 
-    def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+    def resolve_group(g: pd.DataFrame) -> pa.Table:
         mods = set(g.loc[g["src"] == "d", "module"])
         out_old, out_new = [], []
         if mods:
@@ -363,7 +365,8 @@ def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
                 if len(matches) == 1:
                     out_old.append(key)
                     out_new.append(name)
-        return pd.DataFrame({"old_key": pd.Series(out_old, dtype="object"), "new_key": pd.Series(out_new, dtype="object")})
+        # fixed Arrow schema so all-empty groups can't destabilize downstream blocks
+        return pa.table({"old_key": pa.array(out_old, type=pa.string()), "new_key": pa.array(out_new, type=pa.string())})
 
     rewrites = defs.union(queries).groupby("name").map_groups(resolve_group, batch_format="pandas").materialize()
     if rewrites.count() == 0:
@@ -541,12 +544,17 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
     else:
         done = set()
 
-    # which partitions exist in the input (pruned read of just the key columns)
-    key_ds = rd.read_parquet(input_path, columns=["repo", "path"])
-    all_parts: set[int] = set()
-    for b in key_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for r, p in zip(b.column("repo").to_pylist(), b.column("path").to_pylist()):
-            all_parts.add(part_of(r, p, cfg.num_partitions))
+    # which partitions exist in the input: distributed — per-batch distinct
+    # part_ids, then one tiny groupby; only <= num_partitions rows ever reach
+    # the driver (at 10^12 input rows the old iter_batches loop was the first
+    # thing to die)
+    key_ds = read_parquet_clean(input_path, columns=["repo", "path"])
+
+    def batch_parts(b: pa.Table, n=cfg.num_partitions) -> pa.Table:
+        seen = {part_of(r, p, n) for r, p in zip(b.column("repo").to_pylist(), b.column("path").to_pylist())}
+        return pa.table({"part_id": pa.array(sorted(seen), type=pa.int64())})
+
+    all_parts: set[int] = set(key_ds.map_batches(batch_parts, batch_format="pyarrow").unique("part_id"))
     pending = sorted(all_parts - done)
 
     rec_dir = store.stage_dir("records")
@@ -559,19 +567,21 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
         for p in pending:
             shutil.rmtree(f"{rec_dir}/part_id={p}", ignore_errors=True)
         pend = pa.array(pending, type=pa.int64())
-        ds = rd.read_parquet(input_path, columns=["repo", "path", "lang", "content"])
+        ds = read_parquet_clean(input_path, columns=["repo", "path", "lang", "content"])
         ds = ds.map_batches(lambda b: _with_part(b, cfg.num_partitions), batch_format="pyarrow")
         ds = ds.map_batches(lambda b: b.filter(pc.is_in(b.column("part_id"), value_set=pend)), batch_format="pyarrow")
         ds = extract_chain(ds, cfg)  # the same chain as records_dataset — two_pass etc. honored
         ds = ds.map_batches(lambda b: _with_part(b, cfg.num_partitions), batch_format="pyarrow")
         ds.write_parquet(rec_dir, partition_cols=["part_id"])
 
-        # lineage + counters per freshly-computed partition (cheap pruned re-read)
-        cnt_ds = rd.read_parquet(rec_dir, columns=["part_id"])
-        counts: dict[int, int] = {}
-        for b in cnt_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for p in b.column("part_id").to_pylist():
-                counts[p] = counts.get(p, 0) + 1
+        # lineage + counters per freshly-computed partition: distributed
+        # groupby-count over the pruned re-read; <= num_partitions rows collected
+        from ray.data.aggregate import Count
+
+        cnt_tbl = (
+            read_parquet_clean(rec_dir, columns=["part_id"]).groupby("part_id").aggregate(Count(alias_name="n")).take_all()
+        )
+        counts: dict[int, int] = {int(r["part_id"]): int(r["n"]) for r in cnt_tbl}
         wall_ms = int((time.monotonic() - t0) * 1000)
         for p in pending:
             store.mark_done("records", p, rows=counts.get(p, 0), input_fingerprint=fp, wall_ms=wall_ms)
@@ -600,7 +610,7 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
         shutil.rmtree(d, ignore_errors=True)
 
     def read_records():
-        return rd.read_parquet(rec_dir)
+        return read_parquet_clean(rec_dir)
 
     # second checkpoint level: the (vocabulary-sized) merged+linked graph.
     # A run that died between canonicalization and the final sink resumes
@@ -608,22 +618,22 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
     merged_dir = store.stage_dir("merged")
     mm = store.manifest("merged", 0)
     if not pending and mm and mm.get("input_fingerprint") == fp and any(os.scandir(merged_dir)):
-        merged = rd.read_parquet(merged_dir)
+        merged = read_parquet_clean(merged_dir)
     else:
         store.clear_stage("merged")
         merged = merged_graph(keyed_records(read_records(), cfg), cfg)
         if cfg.link_aliases:
             merged = link_merged(merged, cfg)
         merged.write_parquet(store.stage_dir("merged"))
-        merged = rd.read_parquet(store.stage_dir("merged"))
+        merged = read_parquet_clean(store.stage_dir("merged"))
         store.mark_done("merged", 0, rows=merged.count(), input_fingerprint=fp)
     nodes = nodes_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
     nodes.write_parquet(f"{out_dir}/nodes")
     edges = edges_from_merged(merged).map_batches(_unpack_lists, batch_format="pyarrow")
     edges.write_parquet(f"{out_dir}/edges")
 
-    n_nodes = rd.read_parquet(f"{out_dir}/nodes").count()
-    n_edges = rd.read_parquet(f"{out_dir}/edges").count()
+    n_nodes = read_parquet_clean(f"{out_dir}/nodes").count()
+    n_edges = read_parquet_clean(f"{out_dir}/edges").count()
     store.mark_done(
         "graph", 0, nodes=n_nodes, edges=n_edges, input_fingerprint=fp, wall_ms=int((time.monotonic() - t0) * 1000)
     )

@@ -8,6 +8,8 @@ exists — e.g. under the job driver)."""
 
 from __future__ import annotations
 
+from text_to_graph_ray.util import read_parquet_clean
+
 import argparse
 import json
 import sys
@@ -53,8 +55,8 @@ def main(argv=None) -> int:
 
         from text_to_graph_ray.pipelines.viewer import write_graph_html
 
-        nodes = rd.read_parquet(f"{args.out}/nodes").to_pandas()
-        edges = rd.read_parquet(f"{args.out}/edges").to_pandas()
+        nodes = read_parquet_clean(f"{args.out}/nodes").to_pandas()
+        edges = read_parquet_clean(f"{args.out}/edges").to_pandas()
         write_graph_html(nodes, edges, args.html)
 
     ray.shutdown()

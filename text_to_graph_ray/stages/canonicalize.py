@@ -31,6 +31,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from text_to_graph_ray.util import pa_from_pandas
+
 from text_to_graph_ray.keys import entity_key
 
 SEP = "\x1f"
@@ -68,7 +70,7 @@ def combined_partials(batch: pa.Table, buckets: int) -> pa.Table:
     defs["bucket"] = _stable_bucket(defs["k1"], buckets)
 
     out = pd.concat([nodes, edges, defs], ignore_index=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa_from_pandas(out)
 
 
 def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:

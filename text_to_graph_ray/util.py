@@ -6,6 +6,51 @@ import os
 import shutil
 
 
+def pa_from_pandas(df):
+    """``pa.Table.from_pandas`` WITHOUT the b'pandas' schema metadata: that
+    metadata dict makes the schema unhashable, which defeats Ray's
+    schema-deduplication in every reduce task ("Failed to hash the schemas")
+    and destabilizes block-schema comparisons."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def _strip_schema_meta(b):
+    return b.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, **kwargs):
+    """``ray.data.read_parquet`` + strip file-level schema metadata.
+
+    Parquet written by pandas embeds a b'pandas' metadata dict in the file
+    schema; blocks read from such files carry it, which makes their schemas
+    UNHASHABLE — every downstream sort/groupby reduce task then logs "Failed
+    to hash the schemas (for deduplication)" and loses schema-dedup. The
+    strip is zero-copy (new schema object, same buffers) and fuses with the
+    read."""
+    import ray.data as rd
+
+    # single-file read: hand the reader a metadata-free (column-pruned) schema
+    # so even the read tasks' own blocks are clean — no warning from inside
+    # ReadParquet->SplitBlocks. Directory reads (hive-partitioned checkpoints)
+    # keep the zero-copy strip stage instead: a file-schema override would
+    # silently drop partition columns like part_id.
+    if "schema" not in kwargs and isinstance(path, str) and os.path.isfile(path):
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            full = pq.read_schema(path).remove_metadata()
+            cols = kwargs.get("columns")
+            kwargs = dict(kwargs, schema=pa.schema([full.field(c) for c in cols]) if cols else full)
+            return rd.read_parquet(path, **kwargs)
+        except (KeyError, OSError):
+            pass
+    ds = rd.read_parquet(path, **kwargs)
+    return ds.map_batches(_strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def ensure_dir_once(out: str, build) -> str:
     """Idempotent atomic directory materialization: if ``out/_SUCCESS`` exists
     return immediately; otherwise run ``build(tmp_dir)`` against a
@@ -25,8 +70,12 @@ def ensure_dir_once(out: str, build) -> str:
     if not os.path.exists(done):
         try:
             os.rename(tmp, out)
-        except OSError:  # lost a race with a concurrent builder
+        except OSError:  # lost a race with a concurrent builder — verify it
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(done):
+                # not a race: permissions / cross-device / other rename
+                # failure would otherwise hand callers a missing directory
+                raise
     else:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
