@@ -490,6 +490,22 @@ def _q_rel_region_balance(sf_dir):
     return region_supplier_balance(sf_dir)
 
 
+def _q_kg_scored_links(sf_dir):
+    """Near-miss mention fallback (NgramScorer actor pool, SURVEY A1 "scorer
+    + cache") over the linked KG: unresolved module-qualified mentions scored
+    against the undotted canonical vocabulary; oracle = independent naive
+    trigram-cosine reimplementation over the synth GROUND-TRUTH tables."""
+    import ray.data as rd
+
+    from text_to_graph_ray.pipelines.kg import scored_fallback_links
+    from text_to_graph_ray.util import pa_from_pandas
+
+    nodes, edges = _kg_tables(sf_dir, link=True)
+    ds_e = rd.from_arrow(pa_from_pandas(edges[["src_key", "dst_key"]]))
+    ds_n = rd.from_arrow(pa_from_pandas(nodes[["entity_key"]]))
+    return scored_fallback_links(ds_e, ds_n, threshold=0.35, dim=1024)
+
+
 def _q_kg_degree_topk(sf_dir):
     """Top-degree entities of the linked KG — graph analytics over the edges
     table (combiner + one groupby + sort/limit)."""
@@ -607,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fixture_triples": _q_kg_fixture_triples,
         "kg_fixture_nodes": _q_kg_fixture_nodes,
         "kg_relabeled": _q_kg_relabeled,
+        "kg_scored_links": _q_kg_scored_links,
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_components": _q_kg_components,
         "conformance_parse": _q_conformance_parse,
@@ -618,10 +635,11 @@ def oracle_sql() -> dict[str, str]:
     # corpus + its generated expected tables, the naive-reference expected
     # tables (expected.py — independent single-threaded reimplementations),
     # the hand-written conformance corpus, and the hand-computed KG fixture
-    from text_to_graph_ray.expected import ensure_conformance_expected, ensure_doc_expected
+    from text_to_graph_ray.expected import ensure_conformance_expected, ensure_doc_expected, ensure_kg_scored_expected
     from text_to_graph_ray.fixtures import ensure_fixture
 
     d = _synth(_SF01)
+    ks = ensure_kg_scored_expected(_SF01)
     e = ensure_doc_expected(_SF01)
     c = ensure_conformance_expected()
     fx = ensure_fixture()
@@ -705,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id"
         ),
         "kg_components": f"SELECT component, size FROM read_parquet('{d}/expected_components.parquet')",
+        "kg_scored_links": f"SELECT mention, matched, score FROM read_parquet('{ks}/expected_scored_links.parquet')",
         "kg_degree_topk": (
             f"SELECT entity_key, count(*)::BIGINT AS degree FROM ("
             f"SELECT src_key AS entity_key FROM read_parquet('{exp_linked}') "

@@ -695,3 +695,72 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
             }
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KG scored-fallback-link oracle (naive trigram-cosine reimplementation)
+# ---------------------------------------------------------------------------
+
+KG_SCORED_ROOT = "/tmp/graft_expected/kg_scored_v1"
+
+
+def _naive_trigram_vec(text: str, dim: int) -> np.ndarray:
+    """Char-trigram count vector over '^text$', crc32-bucketed, L2-normalized
+    — written against the documented ScoredLinkStage semantics, float64."""
+    v = np.zeros(dim, dtype=np.float64)
+    t = f"^{text}$"
+    for j in range(len(t) - 2):
+        v[zlib.crc32(t[j : j + 3].encode("utf-8")) % dim] += 1.0
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def ensure_kg_scored_expected(sf_dir: str, threshold: float = 0.35, dim: int = 1024) -> str:
+    """Naive scored near-miss links over the synth GROUND-TRUTH tables
+    (expected_nodes / expected_triples_linked — generator outputs, not engine
+    outputs): vocabulary = undotted entity keys, mentions = module-qualified
+    dotted endpoint keys, best trigram-cosine match per mention."""
+    from text_to_graph_ray.synth import ensure_synth
+    from text_to_graph_ray.util import ensure_dir_once
+
+    synth_dir = ensure_synth(sf_dir)
+    out = os.path.join(KG_SCORED_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    return ensure_dir_once(out, lambda tmp: _build_kg_scored(synth_dir, tmp, threshold, dim))
+
+
+def _build_kg_scored(synth_dir: str, tmp: str, threshold: float, dim: int) -> None:
+    nodes = pq.read_table(os.path.join(synth_dir, "expected_nodes.parquet"), columns=["entity_key"])
+    edges = pq.read_table(
+        os.path.join(synth_dir, "expected_triples_linked.parquet"), columns=["src_key", "dst_key"]
+    )
+    vocab = sorted({k for k in nodes.column("entity_key").to_pylist() if "." not in k})
+    mset: set[str] = set()
+    for col in ("src_key", "dst_key"):
+        for k in edges.column(col).to_pylist():
+            if "." in k and "/" not in k:
+                mset.add(k)
+    mentions = sorted(mset)
+
+    out_m, out_t, out_s = [], [], []
+    if vocab and mentions:
+        mat = np.stack([_naive_trigram_vec(w, dim) for w in vocab])
+        q = np.stack([_naive_trigram_vec(m, dim) for m in mentions])
+        sims = q @ mat.T
+        idx = sims.argmax(axis=1)
+        for r, m in enumerate(mentions):
+            s = float(sims[r, idx[r]])
+            if s >= threshold:
+                out_m.append(m)
+                out_t.append(vocab[idx[r]])
+                out_s.append(round(s, 6))
+    _write(
+        tmp,
+        "expected_scored_links",
+        pa.table(
+            {
+                "mention": pa.array(out_m, type=pa.string()),
+                "matched": pa.array(out_t, type=pa.string()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        ),
+    )

@@ -20,6 +20,19 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+try:  # real image codec when the environment ships one; stubs otherwise
+    from PIL import Image as _PILImage  # noqa: N812
+except ImportError:
+    _PILImage = None
+
+
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Decode encoded image bytes to (H, W, 3) float32 via PIL."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.float32)
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -67,7 +80,9 @@ class DecodeImage:
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError("real image decode requires PIL/libjpeg — not shipped in this sandbox")
+            if _PILImage is not None:
+                return _pil_decode(payload)
+            raise NotImplementedError("real image decode requires PIL/libjpeg — not available in this environment")
         seed = zlib.crc32(payload or b"")
         rng = np.random.RandomState(seed)
         return rng.randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
@@ -165,7 +180,11 @@ class DecodeMedia:
 
     def _decode_one(self, kind: str, payload: bytes, w: int, h: int, sr: int, nf: int) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError("real media decode requires PIL/soundfile/ffmpeg — not shipped in this sandbox")
+            if kind == "image" and _PILImage is not None:
+                return _pil_decode(payload)
+            raise NotImplementedError(
+                "real media decode requires PIL (images) / soundfile / ffmpeg — not available in this environment"
+            )
         crc = zlib.crc32(payload or b"")
         if kind == "audio":
             n = max(sr // 100, 1)

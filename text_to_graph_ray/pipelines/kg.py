@@ -445,6 +445,57 @@ def graph_tables(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, which: s
     return nodes, edges
 
 
+def scored_fallback_links(edges_ds, nodes_ds, threshold: float = 0.35, dim: int = 1024, concurrency: int = 4):
+    """Near-miss entity-link candidates via the NgramScorer actor pool
+    (reference analogue: the LLM re-query for unresolved mentions,
+    /root/reference/graph_extractor/src/graph_generator.py:378-382 — here a
+    deterministic char-trigram cosine instead of a model call).
+
+    * vocabulary = plain (undotted) canonical entity keys — vocabulary-sized,
+      collected + broadcast exactly like the defs index;
+    * mentions = DISTINCT module-qualified dotted endpoint keys that alias
+      linking left unresolved ('.' in key, no '/': files keep their extension
+      dot but are paths);
+    * one actor-pool ``map_batches`` scores every mention against the whole
+      vocabulary (float64 matmul, built once per actor in ``__init__``).
+
+    Returns (mention, matched, score >= threshold) sorted by mention."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from text_to_graph_ray.stages.linker import ScoredLinkStage
+
+    def plain_keys(b: pa.Table) -> pa.Table:
+        keys = {k for k in b.column("entity_key").to_pylist() if "." not in k}
+        return pa.table({"k": pa.array(sorted(keys), type=pa.string())})
+
+    vocab = sorted(nodes_ds.map_batches(plain_keys, batch_format="pyarrow").unique("k"))
+    vocab_ref = ray.put(vocab)
+
+    def dotted_mentions(b: pa.Table) -> pa.Table:
+        seen = set()
+        for col in ("src_key", "dst_key"):
+            for k in b.column(col).to_pylist():
+                if "." in k and "/" not in k:
+                    seen.add(k)
+        return pa.table({"mention": pa.array(sorted(seen), type=pa.string())})
+
+    mentions = (
+        edges_ds.map_batches(dotted_mentions, batch_format="pyarrow")
+        .groupby("mention")
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda b: b.select(["mention"]), batch_format="pyarrow")
+    )
+    scored = mentions.map_batches(
+        ScoredLinkStage,
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"vocab_ref": vocab_ref, "threshold": threshold, "dim": dim},
+    )
+    return scored.sort("mention")
+
+
 def degree_topk(edges_ds, k: int = 20):
     """Graph analytics over the edges table: total degree (in+out) per
     entity, top-k with deterministic (degree desc, key asc) ranking.

@@ -133,14 +133,16 @@ class NgramScorer:
     def __init__(self, vocab: list[str], dim: int = 4096):
         self.dim = dim
         self.vocab = list(vocab)
-        self.mat = np.zeros((len(vocab), dim), dtype=np.float32)
+        # float64 end-to-end: identical IEEE ops on both the actor pool and
+        # the naive oracle make the rounded scores bit-reproducible
+        self.mat = np.zeros((len(vocab), dim), dtype=np.float64)
         for i, w in enumerate(vocab):
             self.mat[i] = self._vec(w)
 
     def _vec(self, text: str) -> np.ndarray:
         import zlib
 
-        v = np.zeros(self.dim, dtype=np.float32)
+        v = np.zeros(self.dim, dtype=np.float64)
         t = f"^{text}$"
         for j in range(len(t) - 2):
             # crc32, not hash(): python str hashing is salted per process and
@@ -161,3 +163,36 @@ class NgramScorer:
             s = float(sims[r, i])
             out.append((self.vocab[i], s) if s >= threshold else (None, s))
         return out
+
+
+class ScoredLinkStage:
+    """Actor-pool near-miss fallback over unresolved mentions (SURVEY A1's
+    "scorer + cache", wired end-to-end): the char-trigram vocabulary matrix is
+    built ONCE per actor from the broadcast canonical vocabulary; each batch
+    of mentions is one float64 matmul. Emits (mention, matched, score) rows for
+    scores >= threshold, score rounded to 6 dp for oracle stability."""
+
+    def __init__(self, vocab_ref=None, vocab: list[str] | None = None, threshold: float = 0.35, dim: int = 1024):
+        if vocab is None:
+            import ray
+
+            vocab = ray.get(vocab_ref) if vocab_ref is not None else []
+        self.scorer = NgramScorer(sorted(vocab), dim=dim)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mentions = batch.column("mention").to_pylist()
+        scored = self.scorer.best(mentions, threshold=self.threshold)
+        out_m, out_t, out_s = [], [], []
+        for m, (tgt, s) in zip(mentions, scored):
+            if tgt is not None:
+                out_m.append(m)
+                out_t.append(tgt)
+                out_s.append(round(s, 6))
+        return pa.table(
+            {
+                "mention": pa.array(out_m, type=pa.string()),
+                "matched": pa.array(out_t, type=pa.string()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )

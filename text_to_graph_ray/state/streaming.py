@@ -95,15 +95,49 @@ class WindowShard:
         return {"shard": self.shard_id, "open_windows": len(self.state), "watermark": self.watermark, "dropped": self.dropped}
 
 
-def stream_tumbling_window(
-    ds, window_s: int = 300, lateness_s: int = 10**12, num_shards: int = 2, micro_batch_rows: int = 4096
-):
-    """Drive a Dataset through the sharded accumulators as a simulated
-    micro-batch stream; returns the concatenated finalized windows as pandas
-    (sorted). With lateness covering the full disorder of the input, the
-    result equals the batch pipeline's tumbling windows exactly."""
-    shards = [WindowShard.remote(i, num_shards, window_s, lateness_s) for i in range(num_shards)]
+@ray.remote
+def _feed_split(it, shard_actors, num_shards: int, micro_batch_rows: int) -> list[dict]:
+    """One parallel feeder: consumes its streaming_split iterator, partitions
+    each micro-batch by owning shard (crc32(key) % num_shards — the shard's
+    own ownership rule) and ships each shard ONLY its rows. Collects the
+    windows its feeds fired."""
     rows: list[dict] = []
+    for b in it.iter_batches(batch_size=micro_batch_rows, batch_format="pyarrow"):
+        keys = b.column("event_type").to_pylist()
+        owners = np.fromiter(
+            (zlib.crc32(k.encode("utf-8")) % num_shards for k in keys), dtype=np.int64, count=len(keys)
+        )
+        futs = []
+        for s in range(num_shards):
+            mask = owners == s
+            if mask.any():
+                futs.append(shard_actors[s].feed.remote(b.filter(pa.array(mask))))
+        for fired in ray.get(futs):
+            rows.extend(fired)
+    return rows
+
+
+def stream_tumbling_window(
+    ds,
+    window_s: int = 300,
+    lateness_s: int = 10**12,
+    num_shards: int = 2,
+    micro_batch_rows: int = 4096,
+    num_feeders: int | None = None,
+):
+    """Drive a Dataset through the sharded accumulators as a micro-batch
+    stream fed by PARALLEL Ray tasks: ``Dataset.streaming_split(num_feeders)``
+    hands each feeder task its own iterator, so ingestion scales with feeders
+    × shards and the driver never touches a micro-batch (it only launches the
+    feeders and collects their fired-window lists — no per-batch ``ray.get``
+    loop). Returns the concatenated finalized windows as pandas (sorted).
+
+    With lateness covering the full disorder of the input, the result equals
+    the batch pipeline's tumbling windows exactly (driver oracle + tests).
+    With FINITE lateness, drop behavior depends on arrival order, which
+    parallel feeding makes nondeterministic — order-sensitive lateness tests
+    drive ``WindowShard.feed`` directly instead."""
+    shards = [WindowShard.remote(i, num_shards, window_s, lateness_s) for i in range(num_shards)]
 
     def prep(b: pa.Table) -> pa.Table:
         epochs = b.column("ts").to_pandas().values.astype("datetime64[ns]").astype("int64") / 1e9
@@ -115,11 +149,11 @@ def stream_tumbling_window(
             }
         )
 
-    for batch in ds.map_batches(prep, batch_format="pyarrow").iter_batches(
-        batch_size=micro_batch_rows, batch_format="pyarrow"
-    ):
-        for fired in ray.get([s.feed.remote(batch) for s in shards]):
-            rows.extend(fired)
+    n_feed = num_feeders or num_shards
+    splits = ds.map_batches(prep, batch_format="pyarrow").streaming_split(n_feed, equal=False)
+    rows: list[dict] = []
+    for part in ray.get([_feed_split.remote(it, shards, num_shards, micro_batch_rows) for it in splits]):
+        rows.extend(part)
     for flushed in ray.get([s.flush.remote() for s in shards]):
         rows.extend(flushed)
 
