@@ -134,3 +134,178 @@ def test_decode_image_real_branch_import_guarded():
         img = d._decode(buf.getvalue(), 4, 4)
         assert img.shape == (4, 4, 3)
         assert img[0, 0, 0] == 10.0
+
+
+# ---- functions/agg.py: high-cardinality bucketed aggregation ----------------
+
+
+def test_bucketed_aggregate_matches_pandas(ray_session):
+    """bucketed_aggregate == a single-process pandas groupby, including a
+    NON-decomposable op (median) — exact because every fine key lands wholly
+    in one bucket."""
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({"k": rng.integers(0, 800, n), "v": rng.normal(size=n)})
+    out_schema = pa.schema([("k", pa.int64()), ("total", pa.float64()), ("med", pa.float64()), ("cnt", pa.int64())])
+    got = (
+        bucketed_aggregate(
+            rd.from_pandas(df).repartition(7),
+            "k",
+            {"total": ("v", "sum"), "med": ("v", "median"), "cnt": ("v", "size")},
+            out_schema=out_schema,
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(total=("v", "sum"), med=("v", "median"), cnt=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert np.allclose(got["total"], want["total"])  # summation-order fp tolerance
+    assert np.allclose(got["med"], want["med"])
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_bucketed_aggregate_string_multikey(ray_session):
+    """Multi-column (string, int) key: deterministic SipHash bucketing must
+    keep every fine key in one bucket regardless of block splits."""
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "s": [f"key_{i}" for i in rng.integers(0, 150, n)],
+            "g": rng.integers(0, 3, n),
+            "v": rng.uniform(0, 10, n),
+        }
+    )
+    out_schema = pa.schema([("s", pa.string()), ("g", pa.int64()), ("total", pa.float64())])
+    got = (
+        bucketed_aggregate(
+            rd.from_pandas(df).repartition(5),
+            ["s", "g"],
+            {"total": ("v", "sum")},
+            out_schema=out_schema,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["s", "g"])
+        .reset_index(drop=True)
+    )
+    want = df.groupby(["s", "g"], as_index=False).agg(total=("v", "sum")).sort_values(["s", "g"]).reset_index(drop=True)
+    assert list(got["s"]) == list(want["s"]) and list(got["g"]) == list(want["g"])
+    assert np.allclose(got["total"], want["total"])
+
+
+def test_bucketed_aggregate_empty_input(ray_session):
+    """Zero-row input with in_schema pinned -> zero-row out_schema table (no
+    schema-less blocks, no crash)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+
+    in_schema = pa.schema([("k", pa.int64()), ("v", pa.float64())])
+    out_schema = pa.schema([("k", pa.int64()), ("total", pa.float64())])
+    got = bucketed_aggregate(
+        rd.from_arrow(in_schema.empty_table()),
+        "k",
+        {"total": ("v", "sum")},
+        out_schema=out_schema,
+        in_schema=in_schema,
+    )
+    # NOTE: Dataset.to_pandas() drops columns for ANY zero-row dataset, so the
+    # schema pin is asserted on the Dataset itself
+    assert got.count() == 0 and got.schema().names == ["k", "total"]
+
+
+def test_bucketed_map_groups_per_key(ray_session):
+    """bucketed_map_groups dispatches fn once per FINE key (bucket column
+    already dropped) and concatenates under out_schema."""
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_map_groups
+
+    rng = np.random.default_rng(9)
+    n = 1000
+    df = pd.DataFrame({"k": rng.integers(0, 60, n), "v": rng.uniform(0, 1, n)})
+    out_schema = pa.schema([("k", pa.int64()), ("vmax", pa.float64())])
+
+    def per_group(g: pd.DataFrame) -> pa.Table:
+        assert g["k"].nunique() == 1 and "__agg_bucket" not in g.columns
+        return pa.table({"k": [int(g["k"].iloc[0])], "vmax": [float(g["v"].max())]}, schema=out_schema)
+
+    got = (
+        bucketed_map_groups(rd.from_pandas(df).repartition(4), "k", per_group, out_schema, num_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("k", as_index=False).agg(vmax=("v", "max")).sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == list(want["k"])
+    assert np.allclose(got["vmax"], want["vmax"])
+
+
+def test_order_revenue_fk_violation_fallback(ray_session, tmp_path):
+    """A lineitem orderkey ABSENT from orders (and guaranteed into the raw
+    top-k by a huge price) must trip the pushdown guard: the result follows
+    inner-join semantics (violating key dropped), matching a pandas merge."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import order_revenue_topk
+
+    rng = np.random.default_rng(3)
+    n = 200
+    lok = rng.integers(2, 40, n).astype("int64")  # keys 2..39, all present in orders
+    lok[:5] = 1  # key 1: missing from orders, forced into raw top-k below
+    price = rng.uniform(10, 1000, n)
+    price[:5] = 1e6
+    disc = rng.uniform(0, 0.1, n)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(lok, type=pa.int64()),
+            "l_extendedprice": pa.array(price, type=pa.float64()),
+            "l_discount": pa.array(disc, type=pa.float64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(2, 40), type=pa.int64()),
+            "o_custkey": pa.array(np.arange(2, 40) * 7, type=pa.int64()),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    got = order_revenue_topk(str(tmp_path), k=5).to_pandas().reset_index(drop=True)
+
+    ldf = li.to_pandas()
+    ldf["rev"] = ldf["l_extendedprice"] * (1 - ldf["l_discount"])
+    agg = ldf.groupby("l_orderkey", as_index=False).agg(revenue=("rev", "sum"), n_items=("rev", "size"))
+    agg["revenue"] = agg["revenue"].round(2)
+    want = (
+        agg.merge(orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey")
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+        .head(5)[["o_orderkey", "o_custkey", "revenue", "n_items"]]
+        .reset_index(drop=True)
+    )
+    assert 1 not in set(got["o_orderkey"])  # the violating key was dropped
+    assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+    assert list(got["o_custkey"]) == list(want["o_custkey"])
+    assert np.allclose(got["revenue"], want["revenue"])
+    assert list(got["n_items"]) == list(want["n_items"])

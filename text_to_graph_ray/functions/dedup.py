@@ -206,15 +206,34 @@ def minhash_near_dup_pairs(
     )
     if signature_join:
         return _minhash_pairs_signature_join(sigs, bands, threshold)
-    band_rows = sigs.map_batches(lambda b: _band_rows(b, bands), batch_format="pyarrow")
+    # coalesce to <= cardinality/2 blocks so the bucket groupby's sort-shuffle
+    # (partition count = input block count) emits no schema-less empty
+    # partitions; the merge stage is 64-way by construction anyway
+    band_rows = sigs.map_batches(lambda b: _band_rows(b, bands), batch_format="pyarrow").repartition(32)
     pairs = band_rows.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"), threshold)), batch_format="pyarrow"
     )
-    # dedup across bands: keep max estimate per pair
+    # dedup across bands: keep max estimate per pair.  The candidate stream is
+    # about to be shuffled (materialized) by the groupby anyway; materializing
+    # it first buys an exact count to size the shuffle with: at most
+    # distinct/2 partitions (distinct >= cnt/bands), so every sampled sort
+    # range holds >= 2 keys and the groupby/sort emit no schema-less empty
+    # partitions, while ~1M-row partitions keep the count cluster-sized at
+    # real scale.
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard")).sort(["a", "b"])
+    pairs = pairs.materialize()
+    cnt = pairs.count()
+    if cnt == 0:
+        return _empty_pairs("est_jaccard")
+    n = max(1, min(cnt // (2 * bands), cnt // 1_000_000 + 1))
+    return (
+        pairs.repartition(n)
+        .groupby(["a", "b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+        .sort(["a", "b"])
+    )
 
 
 def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
@@ -242,6 +261,7 @@ def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
 
     cand = (
         sigs.map_batches(band_id_rows, batch_format="pyarrow")
+        .repartition(32)  # see the default plan: bucket cardinality is 64
         .groupby("bucket")
         .map_groups(bucket_id_pairs, batch_format="pandas")
         .groupby(["a", "b"])
@@ -277,9 +297,12 @@ def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
         return out.filter(pc.greater_equal(out.column("est_jaccard"), threshold))
 
     est_pairs = j.map_batches(estimate, batch_format="pyarrow").materialize()
-    if est_pairs.count() == 0:
+    cnt = est_pairs.count()
+    if cnt == 0:
         return _empty_pairs("est_jaccard")
-    return est_pairs.sort(["a", "b"])
+    # (a, b) already distinct here — size the sort like the default plan
+    n = max(1, min(cnt // 2, cnt // 1_000_000 + 1))
+    return est_pairs.repartition(n).sort(["a", "b"])
 
 
 def _empty_pairs(*extra_float_cols: str):

@@ -193,33 +193,93 @@ def top_orders(sf_dir: str, k: int = 10):
 
 
 def order_revenue_topk(sf_dir: str, k: int = 10):
-    """lineitem ⋈ orders as a REAL distributed hash join (both sides larger
-    than broadcast comfort at scale): lineitem pre-aggregates revenue per
-    order inside map_batches + one groupby (combiner-first — the join input
-    is one row per order, never one per lineitem), then ``Dataset.join``
-    hash-partitions both sides on the order key. Top-k by revenue with a
-    deterministic o_orderkey tie-break."""
+    """Top-k orders by lineitem revenue, joined to order metadata.
+
+    Plan (rewritten from a full hash join after profiling showed Ray's
+    sort-aggregate per-group Python combine dominating at ~200 µs/group over
+    147k orderkeys):
+
+    1. arrow-native per-block combiner (``Table.group_by`` — no pandas);
+    2. ``bucketed_aggregate`` — coarse-bucket shuffle + vectorized in-bucket
+       groupby (exact; see functions/agg.py);
+    3. top-k pushdown THROUGH the FK join: ``revenue desc`` sort+limit runs
+       before touching orders, because rev⋈orders is 1:1 on the FK — each
+       aggregated rev row matches at most one order.  Only the k winners'
+       metadata is then fetched with an ``is_in`` semijoin scan of orders
+       (no join aggregator actors at all).  GUARDED: if any winner has no
+       matching order row (FK violation — the inner join would have dropped
+       it, changing the top-k), fall back to the full distributed hash join.
+    """
+    import ray
     import ray.data as rd
 
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
     from text_to_graph_ray.functions.dedup import join_partitions_for
-    from ray.data.aggregate import Sum
 
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     partial_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64()), ("n", pa.float64())])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"), n=("rev", "size"))
-        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in partial_schema})
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        g = pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev}).group_by("l_orderkey").aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "rev": g.column("rev_sum"),
+                "n": pc.cast(g.column("rev_count"), pa.float64()),
+            },
+            schema=partial_schema,
+        )
 
-    rev = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_items"))
+    rev_schema = pa.schema([("l_orderkey", pa.int64()), ("revenue", pa.float64()), ("n_items", pa.float64())])
+    rev = bucketed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "l_orderkey",
+        {"revenue": ("rev", "sum"), "n_items": ("n", "sum")},
+        out_schema=rev_schema,
+        in_schema=partial_schema,
     )
+    # round BEFORE ranking — the oracle orders by the rounded value, so the
+    # k-boundary tie-break must see the same numbers.  Top-k runs as a
+    # per-block partial (k rows survive each block) + a bounded driver merge
+    # of <= #blocks * k rows — no distributed sort shuffle needed.
+    def block_topk(b: pa.Table) -> pa.Table:
+        b = b.set_column(1, "revenue", pc.round(b.column("revenue"), ndigits=2))
+        return b.sort_by([("revenue", "descending"), ("l_orderkey", "ascending")]).slice(0, k)
+
+    partials = rev.map_batches(block_topk, batch_format="pyarrow", batch_size=None).take_all()
+    topk = sorted(partials, key=lambda r: (-r["revenue"], r["l_orderkey"]))[:k]
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("revenue", pa.float64()), ("n_items", pa.int64())]
+    )
+    if not topk:
+        return rd.from_arrow(out_schema.empty_table())
+
+    keys = pa.array(sorted(r["l_orderkey"] for r in topk), type=pa.int64())
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    matched = orders.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("o_orderkey"), value_set=keys)), batch_format="pyarrow"
+    ).take_all()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in matched}
+
+    if all(r["l_orderkey"] in cust_of for r in topk):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([r["l_orderkey"] for r in topk], type=pa.int64()),
+                    "o_custkey": pa.array([cust_of[r["l_orderkey"]] for r in topk], type=pa.int64()),
+                    "revenue": pa.array([round(r["revenue"], 2) for r in topk], type=pa.float64()),
+                    "n_items": pa.array([int(r["n_items"]) for r in topk], type=pa.int64()),
+                },
+                schema=out_schema,
+            )
+        )
+
+    # FK violation: an aggregated order is absent from orders — the pushdown
+    # is unsound, run the full distributed hash join instead
     j = rev.join(
         orders,
         join_type="inner",
