@@ -421,6 +421,22 @@ def _q_events_sessions(sf_dir):
     return sessionize(sf_dir)
 
 
+def _q_events_asof(sf_dir):
+    """Distributed as-of join (latest click at-or-before each purchase per
+    user) vs DuckDB's native ASOF JOIN."""
+    from text_to_graph_ray.pipelines.analytics import purchase_click_asof
+
+    return purchase_click_asof(sf_dir)
+
+
+def _q_events_range_join(sf_dir):
+    """Distributed range (interval) join: purchases within 30 min strictly
+    after each view, per user, vs a DuckDB inequality join."""
+    from text_to_graph_ray.pipelines.analytics import view_purchase_window
+
+    return view_purchase_window(sf_dir)
+
+
 def _q_rel_pricing(sf_dir):
     from text_to_graph_ray.pipelines.analytics import pricing_summary
 
@@ -611,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_stream_window": _q_events_stream_window,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "rel_pricing": _q_rel_pricing,
         "rel_segment_revenue": _q_rel_segment_revenue,
         "rel_top_orders": _q_rel_top_orders,
@@ -811,6 +829,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, (SELECT unnest(range(2)) AS r) "
             "WHERE CAST(floor(epoch(ts) / 300) AS BIGINT) - r >= 0 "
             "GROUP BY event_type, w"
+        ),
+        "events_asof": (
+            "SELECT l.user_id, epoch_us(l.ts) AS ts, l.event_id, l.value, "
+            "epoch_us(r.ts) AS click_ts, r.value AS click_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_range_join": (
+            "SELECT l.user_id, epoch_us(l.ts) AS l_ts, epoch_us(r.ts) AS r_ts, "
+            "l.event_id AS view_id, r.event_id AS purchase_id, r.value AS purchase_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'view') l "
+            "JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"
         ),
         "rel_pricing": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -103,6 +103,18 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     near_dup_survivors(docs, threshold=0.5).count()
     times["dedup_survivors"] = round(time.monotonic() - t0, 3)
 
+    from text_to_graph_ray.functions.pack import packed_sequences
+    from text_to_graph_ray.pipelines.analytics import purchase_click_asof
+
+    t0 = time.monotonic()
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    packed_sequences(docs).count()
+    times["text_packed_seqs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    purchase_click_asof(sf_dir).count()
+    times["events_asof"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

@@ -309,3 +309,231 @@ def test_order_revenue_fk_violation_fallback(ray_session, tmp_path):
     assert list(got["o_custkey"]) == list(want["o_custkey"])
     assert np.allclose(got["revenue"], want["revenue"])
     assert list(got["n_items"]) == list(want["n_items"])
+
+
+# ---- functions/joins.py: distributed as-of and range joins ------------------
+
+
+def _random_events(rng, n, n_users, seed_ts=1_700_000_000_000_000):
+    ts = seed_ts + rng.choice(10**9, size=n, replace=False).astype("int64")  # unique
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": rng.integers(0, n_users, n).astype("int64"),
+            "value": rng.uniform(0, 100, n).round(2),
+        }
+    )
+
+
+import numpy as np  # noqa: E402  (used by the join tests below)
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Distributed asof_join == single-process pandas merge_asof on the whole
+    frame — bucket splits and block splits must not change any match.
+    Includes a hot key (half of one side is one user)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.joins import asof_join
+
+    rng = np.random.default_rng(21)
+    left = _random_events(rng, 400, 20)
+    right = _random_events(rng, 600, 20)
+    right.loc[:200, "user_id"] = 7  # hot key
+
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(7),
+            on="ts",
+            by="user_id",
+            left_cols={"event_id": "event_id", "value": "value"},
+            right_cols={"r_ts": "ts", "r_value": "value"},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    l = left.sort_values("ts").copy()
+    r = right.sort_values("ts").copy()
+    r2 = r.rename(columns={"value": "r_value"})
+    r2["r_ts"] = r2["ts"].values.astype("datetime64[us]").astype("int64")
+    want = pd.merge_asof(l, r2[["ts", "user_id", "r_ts", "r_value"]], on="ts", by="user_id", direction="backward")
+    want = want[want["r_ts"].notna()].sort_values("event_id").reset_index(drop=True)
+    want["ts"] = want["ts"].values.astype("datetime64[us]").astype("int64")
+
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert list(got["ts"]) == list(want["ts"])
+    assert list(got["r_ts"]) == [int(x) for x in want["r_ts"]]
+    assert np.allclose(got["r_value"], want["r_value"])
+
+
+def test_asof_join_left_outer_and_forward(ray_session):
+    """inner=False keeps unmatched left rows (null right payload);
+    direction='forward' matches the NEXT right row instead."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2], dtype="int64"),
+            "ts": pd.to_datetime([100, 200], unit="s"),
+            "user_id": np.array([1, 1], dtype="int64"),
+            "value": [1.0, 2.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": np.array([9], dtype="int64"),
+            "ts": pd.to_datetime([150], unit="s"),
+            "user_id": np.array([1], dtype="int64"),
+            "value": [9.0],
+        }
+    )
+    l, r = rd.from_pandas(left), rd.from_pandas(right)
+    kw = dict(on="ts", by="user_id", left_cols={"event_id": "event_id"}, right_cols={"r_value": "value"}, num_buckets=4)
+
+    outer = asof_join(l, r, inner=False, **kw).to_pandas().sort_values("event_id")
+    assert len(outer) == 2
+    assert np.isnan(outer.iloc[0]["r_value"]) and outer.iloc[1]["r_value"] == 9.0  # 100<150 unmatched backward
+
+    fwd = asof_join(l, r, direction="forward", **kw).to_pandas().sort_values("event_id")
+    assert list(fwd["event_id"]) == [1] and fwd.iloc[0]["r_value"] == 9.0  # only ts=100 has a next right
+
+
+def test_range_join_matches_naive(ray_session):
+    """Distributed range_join == the O(n^2) per-user double loop, including
+    boundary semantics (strict lower, inclusive upper) and a hot key."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.joins import range_join
+
+    rng = np.random.default_rng(33)
+    left = _random_events(rng, 300, 12)
+    right = _random_events(rng, 300, 12)
+    right.loc[:150, "user_id"] = 3
+    upper = 200_000_000  # 200 s in us
+
+    got = (
+        range_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(6),
+            on="ts",
+            by="user_id",
+            left_cols={"a_id": "event_id"},
+            right_cols={"b_id": "event_id"},
+            lower_us=0,
+            upper_us=upper,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+    lus = left.assign(us=left["ts"].values.astype("datetime64[us]").astype("int64"))
+    rus = right.assign(us=right["ts"].values.astype("datetime64[us]").astype("int64"))
+    pairs = []
+    for _, lrow in lus.iterrows():
+        for _, rrow in rus.iterrows():
+            if lrow["user_id"] == rrow["user_id"] and lrow["us"] < rrow["us"] <= lrow["us"] + upper:
+                pairs.append((int(lrow["event_id"]), int(rrow["event_id"])))
+    pairs.sort()
+    assert list(zip(got["a_id"], got["b_id"])) == pairs
+
+
+# ---- defs-broadcast pruning (link_merged early-return gates) -----------------
+
+
+def _write_corpus(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "files.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": [r[0] for r in rows],
+                "path": [r[1] for r in rows],
+                "commit": ["c0"] * len(rows),
+                "lang": ["python"] * len(rows),
+                "content": [r[2] for r in rows],
+            }
+        ),
+        p,
+    )
+    return p
+
+
+def test_link_pruning_matches_distributed_no_dotted(ray_session, tmp_path):
+    """A corpus with NO dotted mention keys takes the skip-linker early
+    return; the graph must equal the (unpruned) shuffle-join fallback's."""
+    from text_to_graph_ray.config import PipelineConfig
+    from text_to_graph_ray.pipelines import kg
+
+    p = _write_corpus(tmp_path, [("o/r", "src/a.py", "def f():\n    g()\n"), ("o/r", "src/b.py", "def g():\n    pass\n")])
+    n1, e1 = kg.graph_tables(p, PipelineConfig(num_partitions=4))
+    n2, e2 = kg.graph_tables(p, PipelineConfig(num_partitions=4, defs_broadcast_max=0))
+    assert _sorted(n1.to_pandas(), NODE_COLS).equals(_sorted(n2.to_pandas(), NODE_COLS))
+    assert _sorted(e1.to_pandas(), EDGE_COLS).equals(_sorted(e2.to_pandas(), EDGE_COLS))
+
+
+def test_link_pruning_matches_distributed_no_candidate_defs(ray_session, tmp_path):
+    """Dotted keys exist but NO defined name matches them: the pruned defs
+    table is empty, link takes the identity early return, and the graph must
+    equal the shuffle-join fallback's (which sees the full defs table)."""
+    from text_to_graph_ray.config import PipelineConfig
+    from text_to_graph_ray.pipelines import kg
+
+    p = _write_corpus(
+        tmp_path,
+        [("o/r", "src/a.py", "def f():\n    os.path.join()\n"), ("o/r", "src/b.py", "def g():\n    f()\n")],
+    )
+    n1, e1 = kg.graph_tables(p, PipelineConfig(num_partitions=4))
+    n2, e2 = kg.graph_tables(p, PipelineConfig(num_partitions=4, defs_broadcast_max=0))
+    assert _sorted(n1.to_pandas(), NODE_COLS).equals(_sorted(n2.to_pandas(), NODE_COLS))
+    assert _sorted(e1.to_pandas(), EDGE_COLS).equals(_sorted(e2.to_pandas(), EDGE_COLS))
+
+
+def test_pruned_defs_table_keeps_only_probed_names(ray_session, tmp_path):
+    """defs_table_from_merged(names=...) is a semi-join: only def rows whose
+    name is a probed dotted last-segment survive — and linking with the
+    pruned table equals linking with the full one."""
+    from text_to_graph_ray.config import PipelineConfig
+    from text_to_graph_ray.pipelines import kg
+
+    cfg = PipelineConfig(num_partitions=4)
+    # util.helper is a dotted call whose last segment matches a def in module
+    # suffix 'util'; standalone() is defined but never dotted-called
+    p = _write_corpus(
+        tmp_path,
+        [
+            ("o/r", "src/util.py", "def helper():\n    pass\n\ndef standalone():\n    pass\n"),
+            ("o/r", "src/main.py", "def main():\n    util.helper()\n"),
+        ],
+    )
+    merged = kg.merged_graph(kg.keyed_records(kg.records_dataset(p, cfg), cfg), cfg)
+    full = kg.defs_table_from_merged(merged)
+    names_ds = kg.dotted_query_names(merged)
+    import pyarrow.compute as pc
+    import ray
+
+    names = pc.unique(
+        pa.concat_arrays(
+            [t.column("name").combine_chunks().cast(pa.string()) for t in ray.get(names_ds.to_arrow_refs()) if t.num_rows]
+        )
+    )
+    pruned = kg.defs_table_from_merged(merged, names=names)
+    assert pruned.num_rows < full.num_rows
+    assert set(pruned.column("k1").to_pylist()) <= set(names.to_pylist())
+    assert "helper" in set(pruned.column("k1").to_pylist())
+
+    got_p = kg.relink_merged(merged, pruned, cfg).to_pandas()
+    got_f = kg.relink_merged(merged, full, cfg).to_pandas()
+    cols = ["kind", "k1", "k2", "k3"]
+    assert _sorted(got_p, cols).equals(_sorted(got_f, cols))
+    # the alias actually rewrote: no 'util.helper' key survives
+    assert "util.helper" not in set(got_p["k1"])

@@ -494,3 +494,58 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
         return pa_from_pandas(out.reset_index(drop=True))
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").sort(["user_id", "start_epoch"])
+
+
+def purchase_click_asof(sf_dir: str):
+    """Latest click at-or-before each purchase, per user — a distributed
+    as-of join (``functions/joins.py``): one keyed exchange, vectorized
+    ``pandas.merge_asof`` per coarse user bucket.  Both sides are row-filtered
+    AT THE READ (pyarrow filter pushdown) and column-pruned.  Inner semantics
+    (purchases with no prior click drop), matching DuckDB ``ASOF JOIN``.
+    Timestamps return as int64 epoch-us."""
+    from pyarrow.dataset import field as ds_field
+
+    from text_to_graph_ray.functions.joins import asof_join
+
+    # event_type must stay in the pruned read schema for the pushed-down
+    # row filter to bind; the join maps only the columns it needs
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    purchases = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols, filter=ds_field("event_type") == "purchase")
+    clicks = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols, filter=ds_field("event_type") == "click")
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        left_cols={"event_id": "event_id", "value": "value"},
+        right_cols={"click_ts": "ts", "click_value": "value"},
+    )
+    from text_to_graph_ray.util import sort_coalesced
+
+    return sort_coalesced(out, "event_id")
+
+
+def view_purchase_window(sf_dir: str, window_s: int = 1800):
+    """All purchases within ``window_s`` strictly after each view, per user —
+    a distributed range (interval) join: one keyed exchange, per-bucket
+    ``np.searchsorted`` span expansion (``functions/joins.py``)."""
+    from pyarrow.dataset import field as ds_field
+
+    from text_to_graph_ray.functions.joins import range_join
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]  # see purchase_click_asof
+    views = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols, filter=ds_field("event_type") == "view")
+    purchases = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols, filter=ds_field("event_type") == "purchase")
+    out = range_join(
+        views,
+        purchases,
+        on="ts",
+        by="user_id",
+        left_cols={"view_id": "event_id"},
+        right_cols={"purchase_id": "event_id", "purchase_value": "value"},
+        lower_us=0,
+        upper_us=window_s * 1_000_000,
+    )
+    from text_to_graph_ray.util import sort_coalesced
+
+    return sort_coalesced(out, ["view_id", "purchase_id"])

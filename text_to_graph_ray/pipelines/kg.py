@@ -140,14 +140,73 @@ def build_defs_index(records_ds) -> dict:
 def defs_index_from_merged(merged) -> dict:
     """Same index, read off the merged graph's ``kind='d'`` rows — definition
     sites rode the canonicalization shuffle, so no second extraction pass."""
-    idx: dict[str, set] = {}
-    d = merged.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), "d")).select(["k1", "k2"]), batch_format="pyarrow"
+    from text_to_graph_ray.stages.linker import defs_dict_from_table
+
+    return {k: set(v) for k, v in defs_dict_from_table(defs_table_from_merged(merged)).items()}
+
+
+_DEFS_SCHEMA = pa.schema([("k1", pa.string()), ("k2", pa.string())])
+
+
+def last_dot_segment(arr: pa.Array) -> pa.Array:
+    """Vectorized ``key.rsplit('.', 1)[-1]`` (Arrow kernels only): reverse,
+    split at the FIRST dot, take the head, reverse back."""
+    rev = pc.utf8_reverse(arr)
+    return pc.utf8_reverse(pc.list_element(pc.split_pattern(rev, ".", max_splits=1), 0))
+
+
+def _dotted_keys_of(b: pa.Table) -> pa.Array:
+    """Distinct dotted entity keys of one merged-graph block (k1 of every
+    row + k3 of edge rows) — the only keys the alias rule can ever rewrite."""
+    ks = [pc.unique(b.column("k1").combine_chunks())]
+    k3 = b.filter(pc.equal(b.column("kind"), "e")).column("k3").combine_chunks()
+    ks.append(pc.unique(k3))
+    allk = pc.unique(pa.concat_arrays([k.cast(pa.string()) for k in ks]))
+    return allk.filter(pc.match_substring(allk, "."))
+
+
+def dotted_query_names(merged):
+    """Per-block-distinct LAST SEGMENTS of the vocabulary's dotted keys
+    (lazy Dataset; its row count upper-bounds the true distinct count).
+
+    These are the only names ``resolve_alias`` can ever probe the defs index
+    with — so the broadcast defs table can be pruned to exactly these names
+    before it ever leaves the workers. On code-shaped corpora this collapses
+    the broadcast from |all defined names| (~1 row per function in the corpus)
+    to |distinct dotted call targets| — orders of magnitude smaller."""
+    return merged.map_batches(
+        lambda b: pa.table({"name": pc.unique(last_dot_segment(_dotted_keys_of(b)))}),
+        batch_format="pyarrow",
     )
-    for b in d.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for n, m in zip(b.column("k1").to_pylist(), b.column("k2").to_pylist()):
-            idx.setdefault(n, set()).add(m)
-    return idx
+
+
+def defs_table_from_merged(merged, names: pa.Array | None = None):
+    """The (name, module) def-site pairs as ONE deduped Arrow table.
+
+    This is the BROADCAST representation: at 800k defs, collecting a Python
+    dict cost 4.4 s on the driver + 2.3 s to ``ray.put`` (pickle) + ~2 s to
+    deserialize PER linker actor — all width-insensitive wall that capped
+    scaling efficiency. Arrow buffers collect via ``to_arrow_refs`` (no
+    driver-side row loop), ``ray.put`` zero-copy, and map zero-copy into
+    every actor; each actor builds its lookup dict once from the table.
+
+    ``names`` (small, from :func:`dotted_query_names`) pushes a semi-join
+    prune INTO the workers: only def rows whose name can actually be probed
+    are collected at all."""
+    import ray
+
+    def defs_of(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("kind"), "d")).select(["k1", "k2"])
+        if names is not None:
+            t = t.filter(pc.is_in(t.column("k1"), value_set=names))
+        return t.group_by(["k1", "k2"]).aggregate([])
+
+    d = merged.map_batches(defs_of, batch_format="pyarrow")
+    tbls = [t for t in ray.get(d.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return _DEFS_SCHEMA.empty_table()
+    t = pa.concat_tables([t.select(["k1", "k2"]).cast(_DEFS_SCHEMA) for t in tbls])
+    return t.group_by(["k1", "k2"]).aggregate([])  # cross-block dedup, C speed
 
 
 def _plain_keys(batch: pa.Table) -> pa.Table:
@@ -198,23 +257,37 @@ def _remerge_all(rows, cfg: PipelineConfig):
     )
 
 
-def _defs_count(merged) -> int:
-    """Distributed count of def-site rows (metadata-cheap, no collect)."""
-    cnt = merged.map_batches(
-        lambda b: pa.table({"n": pa.array([b.filter(pc.equal(b.column("kind"), "d")).num_rows], type=pa.int64())}),
-        batch_format="pyarrow",
-    )
-    return int(cnt.sum("n") or 0)
-
-
 def link_merged(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Entity linking over the merged vocabulary. The defs index is the small
-    side of a join: broadcast while it fits (<= cfg.defs_broadcast_max rows),
-    else fall back to the shuffle-join path where the def-site table stays
-    distributed. Both paths produce hash-identical graphs (asserted in
+    side of a join — and it is pruned to the names the alias rule can actually
+    probe (distinct last segments of dotted vocabulary keys) BEFORE it is
+    sized: broadcast while the pruned table fits (<= cfg.defs_broadcast_max
+    rows), else fall back to the shuffle-join path where the def-site table
+    stays distributed. Both paths produce hash-identical graphs (asserted in
     tests/test_linker.py by forcing the threshold to 0)."""
-    if _defs_count(merged) <= cfg.defs_broadcast_max:
-        return relink_merged(merged, defs_index_from_merged(merged), cfg)
+    qnames = dotted_query_names(merged)
+    n_upper = qnames.count()  # per-block-distinct rows: cheap, no shuffle
+    if n_upper == 0:
+        # nothing the alias rule could rewrite: skip the linker pass entirely
+        return _drop_def_rows(merged)
+    if n_upper <= cfg.defs_broadcast_max:
+        import ray
+
+        names = pc.unique(
+            pa.concat_arrays(
+                [
+                    t.column("name").combine_chunks().cast(pa.string())
+                    for t in ray.get(qnames.to_arrow_refs())
+                    if t.num_rows
+                ]
+            )
+        )
+        pruned = defs_table_from_merged(merged, names=names)
+        if pruned.num_rows == 0:
+            # no dotted key has any candidate definition: identity relink
+            return _drop_def_rows(merged)
+        if pruned.num_rows <= cfg.defs_broadcast_max:
+            return relink_merged(merged, pruned, cfg)
     return relink_merged_distributed(merged, cfg)
 
 
@@ -235,11 +308,16 @@ def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
     from text_to_graph_ray.stages.canonicalize import merge_bucket_packed
     from text_to_graph_ray.stages.linker import MergedLinker
 
-    ref = ray.put({k: tuple(sorted(v)) for k, v in defs_idx.items()})
+    # Arrow defs table broadcasts zero-copy; a plain dict (tests, small
+    # inputs) still works — actors normalize either form in __init__
+    ref = ray.put(defs_idx if isinstance(defs_idx, pa.Table) else {k: tuple(sorted(v)) for k, v in defs_idx.items()})
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    # the vocabulary pass is dict-lookup cheap: a small pool amortizes the
-    # per-actor defs-index fetch instead of paying it cpus-2 times
-    pool_max = max(1, min(cfg.linker_concurrency if cfg.linker_concurrency > 0 else 4, cpus - 2))
+    # auto = cpus - 2 (config.py contract): the vocabulary pass must widen
+    # with the cluster or it becomes a constant-time stage that caps scaling;
+    # the pool floor is elastic (1), so idle actors cost nothing on small
+    # inputs and the per-actor defs-index fetch is paid only by actors that
+    # actually spin up
+    pool_max = max(1, cfg.linker_concurrency if cfg.linker_concurrency > 0 else cpus - 2)
     merged_nd = _drop_def_rows(merged)
 
     # the ONE linker execution; everything below derives from this
@@ -330,26 +408,18 @@ def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
     )
 
     def dotted_rows(b: pa.Table) -> pa.Table:
-        keys = set()
-        kinds = b.column("kind").to_pylist()
-        for k in b.column("k1").to_pylist():
-            if "." in k:
-                keys.add(k)
-        for kind, k3 in zip(kinds, b.column("k3").to_pylist()):
-            if kind == "e" and "." in k3:
-                keys.add(k3)
-        names, prefixes, full = [], [], []
-        for k in sorted(keys):
-            prefix, name = k.rsplit(".", 1)
-            names.append(name)
-            prefixes.append(prefix)
-            full.append(k)
+        # vectorized: distinct dotted keys -> (last segment, prefix) pairs
+        keys = _dotted_keys_of(b)
+        keys = keys.take(pc.array_sort_indices(keys))
+        names = last_dot_segment(keys)
+        rev_tail = pc.list_element(pc.split_pattern(pc.utf8_reverse(keys), ".", max_splits=1), 1)
+        prefixes = pc.utf8_reverse(rev_tail)
         return pa.table(
             {
-                "name": pa.array(names, type=pa.string()),
-                "module": pa.array(prefixes, type=pa.string()),
-                "qkey": pa.array(full, type=pa.string()),
-                "src": pa.array(["q"] * len(full), type=pa.string()),
+                "name": names.cast(pa.string()),
+                "module": prefixes.cast(pa.string()),
+                "qkey": keys.cast(pa.string()),
+                "src": pa.array(["q"] * len(keys), type=pa.string()),
             }
         )
 

@@ -79,3 +79,17 @@ def ensure_dir_once(out: str, build) -> str:
     else:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def sort_coalesced(ds, keys, rows_per_block: int = 1_000_000):
+    """``ds.sort(keys)`` for result streams whose size is unknown until
+    runtime: materialize (the sort shuffle would anyway), count, and size the
+    sort to <= count/2 partitions (every sampled boundary range then holds
+    >= 2 keys, so the sort emits no schema-less empty partitions) and
+    ~rows_per_block rows each at scale."""
+    ds = ds.materialize()
+    cnt = ds.count()
+    if cnt == 0:
+        return ds
+    n = max(1, min(cnt // 2, cnt // rows_per_block + 1))
+    return ds.repartition(n).sort(keys)
