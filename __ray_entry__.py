@@ -344,6 +344,44 @@ def _q_emb_label_centroids(sf_dir):
     return label_centroids(ds)
 
 
+def _q_events_median_by_type(sf_dir):
+    """Per-type EXACT median — a non-decomposable aggregate through
+    ``functions/agg.bucketed_aggregate`` (every row of a fine key lands in
+    one bucket, so median is exact, not merged-from-partials)."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out_schema = pa.schema([("event_type", pa.string()), ("med", pa.float64()), ("n", pa.int64())])
+    return bucketed_aggregate(
+        ev, "event_type", {"med": ("value", "median"), "n": ("value", "size")}, out_schema=out_schema
+    )
+
+
+def _q_docs_topk_per_source(sf_dir):
+    """Top-3 documents per source by n_chars (per-group top-k with a
+    per-batch combiner prune, ``functions/agg.topk_per_group``) vs a SQL
+    row_number() window oracle."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import topk_per_group
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string()), ("n_chars", pa.int64())])
+    return topk_per_group(docs, "source", "n_chars", k=3, descending=True, tiebreak="doc_id", out_schema=out_schema)
+
+
+def _q_stats_quantiles(sf_dir):
+    """Exact distributed quantiles (sort + block-offset probe,
+    ``functions/quantiles.exact_quantiles``) vs DuckDB quantile_disc /
+    quantile_cont."""
+    from text_to_graph_ray.functions.quantiles import exact_quantiles
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return exact_quantiles(li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
 def _q_docs_source_stats(sf_dir):
     """Per-(source, lang) corpus stats — catalog-style aggregate over the
     documents table metadata columns."""
@@ -483,9 +521,13 @@ def _q_conformance_parse(sf_dir):
     from text_to_graph_ray.expected import ensure_conformance_expected
     from text_to_graph_ray.stages.conformance import parse_replies
 
+    from text_to_graph_ray.util import sort_coalesced
+
     d = ensure_conformance_expected()
     ds = read_parquet_clean(f"{d}/replies.parquet")
-    return ds.map_batches(parse_replies, batch_format="pyarrow").sort("reply_id")
+    # sort_coalesced: the 12-row result would otherwise sort across many
+    # sampled ranges and emit schema-less empty partitions (RefBundle warns)
+    return sort_coalesced(ds.map_batches(parse_replies, batch_format="pyarrow"), "reply_id")
 
 
 def _q_rel_order_revenue(sf_dir):
@@ -623,6 +665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "emb_label_centroids": _q_emb_label_centroids,
         "docs_source_stats": _q_docs_source_stats,
+        "docs_topk_per_source": _q_docs_topk_per_source,
+        "stats_quantiles": _q_stats_quantiles,
+        "events_median_by_type": _q_events_median_by_type,
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_stream_window": _q_events_stream_window,
@@ -713,6 +758,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
             "round(sum(n_chars) / count(*), 4) AS avg_chars "
             "FROM documents GROUP BY source, lang ORDER BY source, lang"
+        ),
+        "events_median_by_type": (
+            "SELECT event_type, median(value) AS med, count(*)::BIGINT AS n "
+            "FROM events GROUP BY event_type"
+        ),
+        "docs_topk_per_source": (
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, "
+            "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
+        ),
+        "stats_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT {q}::DOUBLE AS q, quantile_disc(l_extendedprice, {q}) AS disc, "
+                f"quantile_cont(l_extendedprice, {q}) AS cont FROM lineitem"
+                for q in (0.01, 0.25, 0.5, 0.75, 0.99)
+            )
         ),
         # --- sampling / vocab (pure-SQL oracles) ---
         "text_vocab_topk": (

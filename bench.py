@@ -151,8 +151,13 @@ def run_scaling() -> dict:
     from text_to_graph_ray.synth import ensure_scaling_corpus
 
     # GRAFT_SCALING_FILES shrinks the corpus for a quick smoke of the
-    # machinery; the recorded BASELINE.md numbers use the 100k default
-    corpus = ensure_scaling_corpus(n_files=int(os.environ.get("GRAFT_SCALING_FILES", "100000")))
+    # machinery; the recorded BASELINE.md numbers use the 200k default
+    # (~2 GB logical / ~7 GB content). Bigger corpus = more parallel work
+    # per unit of fixed per-job overhead (driver barriers, actor spin-up,
+    # sort sampling) — the regime that predicts multi-node behavior; at 100k
+    # files the round-3 pipeline finishes the 32-cpu leg in <60 s and fixed
+    # overhead distorts the ratio.
+    corpus = ensure_scaling_corpus(n_files=int(os.environ.get("GRAFT_SCALING_FILES", "200000")))
 
     def child(ncpu: int) -> dict:
         env = dict(

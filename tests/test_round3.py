@@ -537,3 +537,101 @@ def test_pruned_defs_table_keeps_only_probed_names(ray_session, tmp_path):
     assert _sorted(got_p, cols).equals(_sorted(got_f, cols))
     # the alias actually rewrote: no 'util.helper' key survives
     assert "util.helper" not in set(got_p["k1"])
+
+
+# ---- functions/agg.topk_per_group and functions/quantiles ------------------
+
+
+def test_topk_per_group_matches_pandas(ray_session):
+    """Distributed top-k per group == single-frame pandas reference, incl.
+    a hot key, duplicate order values (tiebreak), and block splits."""
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import topk_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype="int64"),
+            "source": rng.choice(["a", "b", "c", "hot"], p=[0.1, 0.1, 0.1, 0.7], size=500),
+            "score": rng.integers(0, 50, 500).astype("int64"),  # many ties
+        }
+    )
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string()), ("score", pa.int64())])
+    got = (
+        topk_per_group(
+            rd.from_pandas(df).repartition(7),
+            "source",
+            "score",
+            k=5,
+            descending=True,
+            tiebreak="doc_id",
+            out_schema=schema,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["source", "score", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["source", "score", "doc_id"], ascending=[True, False, True], kind="mergesort")
+        .groupby("source", sort=False)
+        .head(5)
+        .sort_values(["source", "score", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )[["doc_id", "source", "score"]]
+    assert got[["doc_id", "source", "score"]].equals(want)
+
+
+def test_topk_per_group_small_groups_and_ascending(ray_session):
+    """Groups smaller than k pass through whole; descending=False takes the
+    bottom-k."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import topk_per_group
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "source": ["x", "x", "y"], "score": [9, 1, 5]})
+    df = df.astype({"doc_id": "int64", "score": "int64"})
+    schema = pa.schema([("doc_id", pa.int64()), ("source", pa.string()), ("score", pa.int64())])
+    got = topk_per_group(
+        rd.from_pandas(df), "source", "score", k=2, descending=False, tiebreak="doc_id", out_schema=schema
+    ).to_pandas()
+    assert len(got) == 3  # both groups are <= k
+    got_x = got[got["source"] == "x"].sort_values("score")
+    assert list(got_x["score"]) == [1, 9]
+
+
+def test_exact_quantiles_matches_duckdb(ray_session):
+    """exact_quantiles == DuckDB quantile_disc / quantile_cont bit-exactly on
+    random doubles across many blocks."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 1e6, 10_007)  # odd count, un-round values
+    df = pd.DataFrame({"x": vals})
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = exact_quantiles(rd.from_pandas(df).repartition(13), "x", qs).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", df)
+    for i, q in enumerate(qs):
+        disc, cont = con.execute(
+            f"SELECT quantile_disc(x, {q}), quantile_cont(x, {q}) FROM t"
+        ).fetchone()
+        assert got.iloc[i]["disc"] == disc, (q, got.iloc[i]["disc"], disc)
+        assert got.iloc[i]["cont"] == cont, (q, got.iloc[i]["cont"], cont)
+
+
+def test_exact_quantiles_empty(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.quantiles import exact_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="float64")}))
+    got = exact_quantiles(ds, "x", [0.5]).to_pandas()
+    assert len(got) == 1 and pd.isna(got.iloc[0]["disc"])

@@ -146,3 +146,48 @@ def _pin_schema(ds, out_schema: pa.Schema):
     import ray.data as rd
 
     return rd.from_arrow(out_schema.empty_table()).union(ds)
+
+
+def topk_per_group(
+    ds,
+    keys,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    out_schema: pa.Schema | None = None,
+    num_buckets: int = 64,
+    in_schema: pa.Schema | None = None,
+):
+    """Top-``k`` rows per fine group, ordered by ``order_col`` (then
+    ``tiebreak`` ascending, for a deterministic result set).
+
+    Scale shape: a PER-BATCH combiner prunes each upstream batch to its own
+    local top-k per key before the exchange (the global top-k per key is a
+    subset of the union of per-batch top-ks), so the shuffle carries at most
+    ``k`` rows per key per upstream batch — the hot-key bound is ``k × #batches``,
+    not the key's row count. The bucketed reduce then takes the exact top-k
+    per key vectorized (one sort + ``groupby.head`` per bucket).
+    """
+    keys = _as_key_list(keys)
+    by = keys + [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [True] * len(keys) + [not descending] + ([True] if tiebreak else [])
+
+    def prune(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            sch = in_schema or out_schema
+            return sch.empty_table() if sch is not None else pa_from_pandas(df)
+        top = df.sort_values(by, ascending=asc, kind="mergesort").groupby(keys, sort=False).head(k)
+        return pa_from_pandas(top.reset_index(drop=True))
+
+    def per_group(g: pd.DataFrame) -> pa.Table:
+        top = g.sort_values(by[len(keys):], ascending=asc[len(keys):], kind="mergesort").head(k)
+        if out_schema is not None:
+            return pa.table({f.name: pa.array(top[f.name], type=f.type) for f in out_schema})
+        return pa_from_pandas(top.reset_index(drop=True))
+
+    pruned = ds.map_batches(prune, batch_format="pandas", batch_size=None)
+    if out_schema is None:
+        # derive a pinned schema from the input if available
+        raise ValueError("topk_per_group requires out_schema (stable empty-block schemas)")
+    return bucketed_map_groups(pruned, keys, per_group, out_schema, num_buckets=num_buckets, in_schema=in_schema)

@@ -265,20 +265,28 @@ def link_merged(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
     rows), else fall back to the shuffle-join path where the def-site table
     stays distributed. Both paths produce hash-identical graphs (asserted in
     tests/test_linker.py by forcing the threshold to 0)."""
-    qnames = dotted_query_names(merged)
-    n_upper = qnames.count()  # per-block-distinct rows: cheap, no shuffle
+    import ray
+
+    # ONE pass over merged produces the per-block-distinct name blocks; their
+    # row counts (fetched as O(#blocks) scalars, not data) gate the collect
+    qrefs = dotted_query_names(merged).to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    lens = ray.get([_nrows.remote(r) for r in qrefs])
+    n_upper = sum(lens)
     if n_upper == 0:
         # nothing the alias rule could rewrite: skip the linker pass entirely
         return _drop_def_rows(merged)
     if n_upper <= cfg.defs_broadcast_max:
-        import ray
-
         names = pc.unique(
             pa.concat_arrays(
                 [
                     t.column("name").combine_chunks().cast(pa.string())
-                    for t in ray.get(qnames.to_arrow_refs())
-                    if t.num_rows
+                    for t, n in zip(ray.get(qrefs), lens)
+                    if n
                 ]
             )
         )

@@ -79,11 +79,20 @@ def _extract_python(file_ent, lines, node, edge):
     # are preserved bit-for-bit while the per-line regex overhead disappears.
     buf: list[str] = []
 
+    seen_calls: set = set()  # (scope, target) — calls emit once per file
+
     def flush():
         if buf and scope:
-            for m in _CALL.finditer("\x00".join(buf)):
-                tgt = m.group(1)
-                if tgt not in _PY_KEYWORDS and not tgt.startswith("self."):
+            # findall (C, one group -> plain strings) + order-preserving
+            # dict.fromkeys dedup: edge() then runs once per DISTINCT
+            # (scope, target) pair per file instead of once per occurrence
+            # (~30x fewer Python calls on call-heavy code). First-occurrence
+            # order is preserved, and the chunk-global keep-first dedup in
+            # extract_records drops exactly these duplicates anyway, so the
+            # emitted record sequence is unchanged.
+            for tgt in dict.fromkeys(_CALL.findall("\x00".join(buf))):
+                if tgt not in _PY_KEYWORDS and not tgt.startswith("self.") and (scope, tgt) not in seen_calls:
+                    seen_calls.add((scope, tgt))
                     edge(scope, T_FN, "calls", tgt, T_FN)
         buf.clear()
 
