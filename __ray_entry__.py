@@ -621,6 +621,42 @@ def _q_pipeline_clean_corpus(sf_dir):
     return clean_corpus_survivors(sf_dir)
 
 
+def _q_mm_frames(sf_dir):
+    """Video frame-sampling stage (every stride-th frame index, no decode)
+    made driver-visible: media rows -> FrameSampler actor pool -> vectorized
+    per-video summary, vs an independent naive reimplementation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.multimodal import FrameSampler, media_table_from_documents
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+    videos = media.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "video")), batch_format="pyarrow"
+    )
+    sampled = videos.map_batches(FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        lst = b.column("sampled_frames").combine_chunks()
+        n_sampled = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype("int64")
+        flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False).astype("int64")
+        ends = n_sampled.cumsum()
+        csum = np.concatenate(([0], flat.cumsum()))
+        sums = csum[ends] - csum[np.concatenate(([0], ends[:-1]))]
+        return pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "n_frames": b.column("n_frames"),
+                "n_sampled": pa.array(n_sampled, type=pa.int64()),
+                "frames_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return sampled.map_batches(summarize, batch_format="pyarrow")
+
+
 def _q_mm_decode(sf_dir):
     import ray.data as rd
 
@@ -682,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipping_priority": _q_rel_shipping_priority,
         "mm_decode": _q_mm_decode,
         "mm_resize": _q_mm_resize,
+        "mm_frames": _q_mm_frames,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "kg_fixture_triples": _q_kg_fixture_triples,
         "kg_fixture_nodes": _q_kg_fixture_nodes,
@@ -736,6 +773,10 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": (
             f"SELECT media_id, kind, out_w, out_h, resized_mean "
             f"FROM read_parquet('{e}/expected_mm_resize.parquet')"
+        ),
+        "mm_frames": (
+            f"SELECT media_id, n_frames, n_sampled, frames_sum "
+            f"FROM read_parquet('{e}/expected_mm_frames.parquet')"
         ),
         "kg_chunks": f"SELECT repo, path, n_chunks, n_tokens FROM read_parquet('{d}/expected_chunks.parquet')",
         "kg_run_checkpointed": f"SELECT run, parts_total, parts_skipped, parts_computed, nodes, edges FROM read_parquet('{d}/expected_run.parquet')",

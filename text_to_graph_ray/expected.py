@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v6"
+EXPECTED_ROOT = "/tmp/graft_expected/v7"  # v7: +expected_mm_frames
 
 _MERSENNE = (1 << 61) - 1
 
@@ -433,6 +433,20 @@ def naive_mm_resize(doc_id: int, text: str, tw: int = 4, th: int = 4):
     return doc_id, kind, tw, th, round(float(small.mean()), 4)
 
 
+def naive_mm_frames(doc_id: int, text: str, stride: int = 10):
+    """(media_id, n_frames, n_sampled, frames_sum) for the video
+    frame-sampling stage (video rows only) — independent reimplementation of
+    the documented media-synthesis + every-stride-th-frame semantics."""
+    payload = (text or "").encode("utf-8")
+    crc = zlib.crc32(payload)
+    kind = ("image", "audio", "video")[doc_id % 3]
+    if kind != "video":
+        return None
+    n_frames = 10 + crc % 20
+    sampled = list(range(0, n_frames, stride))
+    return doc_id, n_frames, len(sampled), sum(sampled)
+
+
 # ---------------------------------------------------------------------------
 # conformance-parser corpus: reference-formatted replies with HAND-WRITTEN
 # expected parse outcomes (response_parser.py:210-745 case classes). The
@@ -692,6 +706,20 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "out_w": pa.array([m[2] for m in rz], type=pa.int64()),
                 "out_h": pa.array([m[3] for m in rz], type=pa.int64()),
                 "resized_mean": pa.array([m[4] for m in rz], type=pa.float64()),
+            }
+        ),
+    )
+
+    fr = [f for f in (naive_mm_frames(i, t) for i, t in zip(ids, texts)) if f is not None]
+    _write(
+        tmp,
+        "expected_mm_frames",
+        pa.table(
+            {
+                "media_id": pa.array([m[0] for m in fr], type=pa.int64()),
+                "n_frames": pa.array([m[1] for m in fr], type=pa.int64()),
+                "n_sampled": pa.array([m[2] for m in fr], type=pa.int64()),
+                "frames_sum": pa.array([m[3] for m in fr], type=pa.int64()),
             }
         ),
     )
