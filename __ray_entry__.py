@@ -487,6 +487,21 @@ def _q_rel_segment_revenue(sf_dir):
     return segment_revenue(sf_dir)
 
 
+def _q_rel_customers_no_orders(sf_dir):
+    """Distributed LEFT ANTI join (Ray-native) vs SQL NOT EXISTS."""
+    from text_to_graph_ray.pipelines.analytics import customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_events_running_sum(sf_dir):
+    """Per-user ordered cumulative sum vs a SQL window running sum
+    (bit-exact: same accumulation order)."""
+    from text_to_graph_ray.pipelines.analytics import user_running_sum
+
+    return user_running_sum(sf_dir)
+
+
 def _q_rel_top_orders(sf_dir):
     from text_to_graph_ray.pipelines.analytics import top_orders
 
@@ -713,6 +728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing": _q_rel_pricing,
         "rel_segment_revenue": _q_rel_segment_revenue,
         "rel_top_orders": _q_rel_top_orders,
+        "rel_customers_no_orders": _q_rel_customers_no_orders,
+        "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
         "rel_shipping_priority": _q_rel_shipping_priority,
@@ -799,6 +816,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
             "round(sum(n_chars) / count(*), 4) AS avg_chars "
             "FROM documents GROUP BY source, lang ORDER BY source, lang"
+        ),
+        "rel_customers_no_orders": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+        ),
+        "events_running_sum": (
+            # round(4): see user_running_sum — the window sum's addition
+            # order differs from a sequential cumsum in the last ulp
+            "SELECT event_id, user_id, epoch_us(ts) AS ts, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM events"
         ),
         "events_median_by_type": (
             "SELECT event_type, median(value) AS med, count(*)::BIGINT AS n "

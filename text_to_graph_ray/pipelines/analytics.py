@@ -549,3 +549,81 @@ def view_purchase_window(sf_dir: str, window_s: int = 1800):
     from text_to_graph_ray.util import sort_coalesced
 
     return sort_coalesced(out, ["view_id", "purchase_id"])
+
+
+def customers_without_orders(sf_dir: str, min_totalprice: float = 400_000.0):
+    """Customers with no high-value order (totalprice > threshold) — Ray
+    Data's native distributed LEFT ANTI join (hash exchange on the key;
+    nothing is broadcast or collected), with the row filter pushed into the
+    parquet read. The same operator family (left_semi / left_anti) is what a
+    100 TB curation pipeline uses for "keep only rows (not) seen
+    elsewhere"."""
+    from pyarrow.dataset import field as ds_field
+
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        filter=ds_field("o_totalprice") > min_totalprice,
+    )
+    out = cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=join_partitions_for(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        partition_size_hint=16 << 20,
+    )
+    from text_to_graph_ray.util import sort_coalesced
+
+    return sort_coalesced(out, "c_custkey")
+
+
+def user_running_sum(sf_dir: str):
+    """Per-user ordered cumulative sum over the event stream (the classic
+    sessionless window function): one keyed exchange via coarse buckets, then
+    a VECTORIZED per-bucket sort + groupby.cumsum (C speed, no per-user
+    dispatch). Order (ts, event_id) matches the SQL window frame exactly, so
+    the float accumulation order — and therefore every partial sum — is
+    bit-identical to the oracle's."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, with_bucket
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.int64()), ("running", pa.float64())]
+    )
+
+    def per_bucket(df):
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # round(4): DuckDB's windowed sum reorders float additions (segment
+        # tree), so raw cumsums differ in the last ulp; the true values carry
+        # 2 decimals, so 4-dp rounding is unambiguous for both sides
+        running = df.groupby("user_id", sort=False)["value"].cumsum().round(4)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), type=pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+                "ts": pa.array(df["ts"].to_numpy().astype("datetime64[us]").astype("int64"), type=pa.int64()),
+                "running": pa.array(running.to_numpy(), type=pa.float64()),
+            }
+        )
+
+    out = (
+        with_bucket(ev, "user_id", 64, in_schema=in_schema)
+        .repartition(32)
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    from text_to_graph_ray.util import sort_coalesced
+
+    return sort_coalesced(out, "event_id")
