@@ -682,6 +682,52 @@ def _q_mm_decode(sf_dir):
     return decode_stats(media)
 
 
+def _q_text_tfidf_topk(sf_dir):
+    """Top-3 tf-idf terms per document (tf exchange-free, df one
+    vocabulary-sized aggregate, guarded-broadcast join, combiner-first
+    top-k)."""
+    from text_to_graph_ray.functions.text import tfidf_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+def _q_text_inverted_index(sf_dir):
+    """Full-corpus inverted index: token -> (df, sorted posting list)."""
+    from text_to_graph_ray.functions.text import inverted_index
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=5)
+
+
+def _q_rel_pricing_rollup(sf_dir):
+    """GROUP BY ROLLUP via grouping-set expansion in the combiner."""
+    from text_to_graph_ray.pipelines.analytics import pricing_rollup
+
+    return pricing_rollup(sf_dir)
+
+
+def _q_events_user_profile(sf_dir):
+    """Exact COUNT(DISTINCT user_id) per event_type (non-decomposable
+    aggregate via distinct-pair combiner + coarse-bucket exchange)."""
+    from text_to_graph_ray.pipelines.analytics import event_type_profile
+
+    return event_type_profile(sf_dir)
+
+
+def _q_docs_distinct_pairs(sf_dir):
+    """SELECT DISTINCT source, lang (per-batch distinct combiner + one
+    coarse-bucket dedup exchange)."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+    from text_to_graph_ray.util import sort_coalesced
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    out_schema = pa.schema([("source", pa.string()), ("lang", pa.string())])
+    return sort_coalesced(distinct_rows(ds, ["source", "lang"], out_schema), ["source", "lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -744,6 +790,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_components": _q_kg_components,
         "conformance_parse": _q_conformance_parse,
+        "text_tfidf_topk": _q_text_tfidf_topk,
+        "text_inverted_index": _q_text_inverted_index,
+        "rel_pricing_rollup": _q_rel_pricing_rollup,
+        "events_user_profile": _q_events_user_profile,
+        "docs_distinct_pairs": _q_docs_distinct_pairs,
     }
 
 
@@ -854,6 +905,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
             "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
         ),
+        "text_tfidf_topk": (
+            # token filter mirrors python str.split (see text_vocab_topk);
+            # score rounded to 6 dp on BOTH sides BEFORE ranking
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), "
+            "df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.token, tf.tf, "
+            "round(tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1), 6) AS score FROM tf JOIN df USING (token) CROSS JOIN n), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS r FROM scored) "
+            "SELECT doc_id, token, tf, score FROM ranked WHERE r <= 3 ORDER BY doc_id, score DESC, token"
+        ),
+        "text_inverted_index": (
+            "SELECT token, count(*)::BIGINT AS df, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
+            "FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
+            "WHERE token <> '' GROUP BY token HAVING count(*) >= 5 ORDER BY token"
+        ),
+        "rel_pricing_rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, "
+            "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, "
+            "count(*)::BIGINT AS n_rows FROM lineitem WHERE l_shipdate < DATE '1996-01-01' "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"
+        ),
+        "events_user_profile": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "docs_distinct_pairs": ("SELECT DISTINCT source, lang FROM documents ORDER BY source, lang"),
         "text_pack_offsets": (
             # ::BIGINT casts: the windowed sum() is HUGEINT in DuckDB, which
             # pandas receives as float64 — the driver's value hash is dtype-

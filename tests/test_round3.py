@@ -232,25 +232,31 @@ def test_bucketed_aggregate_empty_input(ray_session):
     assert got.count() == 0 and got.schema().names == ["k", "total"]
 
 
-def test_bucketed_map_groups_per_key(ray_session):
-    """bucketed_map_groups dispatches fn once per FINE key (bucket column
-    already dropped) and concatenates under out_schema."""
+def test_bucket_exchange_vectorized_per_bucket(ray_session):
+    """bucket_exchange co-locates each fine key wholly in one per_bucket call
+    (bucket column present, every copy of a key in the same DataFrame), sizes
+    the exchange to the data (no empty shuffle ranges even when distinct
+    bucket ids < num_buckets // 2), and pins out_schema on empty input."""
     import numpy as np
     import ray.data as rd
 
-    from text_to_graph_ray.functions.agg import bucketed_map_groups
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
 
     rng = np.random.default_rng(9)
     n = 1000
-    df = pd.DataFrame({"k": rng.integers(0, 60, n), "v": rng.uniform(0, 1, n)})
+    df = pd.DataFrame({"k": rng.integers(0, 3, n), "v": rng.uniform(0, 1, n)})  # 3 keys << 64 buckets
+    in_schema = pa.schema([("k", pa.int64()), ("v", pa.float64())])
     out_schema = pa.schema([("k", pa.int64()), ("vmax", pa.float64())])
 
-    def per_group(g: pd.DataFrame) -> pa.Table:
-        assert g["k"].nunique() == 1 and "__agg_bucket" not in g.columns
-        return pa.table({"k": [int(g["k"].iloc[0])], "vmax": [float(g["v"].max())]}, schema=out_schema)
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        g = b.drop(columns=[BUCKET_COL]).groupby("k", as_index=False).agg(vmax=("v", "max"))
+        return pa.table({"k": pa.array(g["k"], type=pa.int64()), "vmax": pa.array(g["vmax"], type=pa.float64())})
 
+    src = rd.from_pandas(df).repartition(4)
     got = (
-        bucketed_map_groups(rd.from_pandas(df).repartition(4), "k", per_group, out_schema, num_buckets=8)
+        bucket_exchange(with_bucket(src, "k", 64, in_schema=in_schema), per_bucket, out_schema, 64)
         .to_pandas()
         .sort_values("k")
         .reset_index(drop=True)
@@ -258,6 +264,10 @@ def test_bucketed_map_groups_per_key(ray_session):
     want = df.groupby("k", as_index=False).agg(vmax=("v", "max")).sort_values("k").reset_index(drop=True)
     assert list(got["k"]) == list(want["k"])
     assert np.allclose(got["vmax"], want["vmax"])
+
+    empty = rd.from_arrow(in_schema.empty_table())
+    out = bucket_exchange(with_bucket(empty, "k", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    assert out.count() == 0 and out.schema().names == ["k", "vmax"]
 
 
 def test_order_revenue_fk_violation_fallback(ray_session, tmp_path):
@@ -635,3 +645,146 @@ def test_exact_quantiles_empty(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="float64")}))
     got = exact_quantiles(ds, "x", [0.5]).to_pandas()
     assert len(got) == 1 and pd.isna(got.iloc[0]["disc"])
+
+
+def test_distinct_rows_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {"a": rng.integers(0, 6, 500).astype("int64"), "b": rng.choice(["x", "y", "z"], 500)}
+    )
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    got = (
+        distinct_rows(rd.from_pandas(df).repartition(7), ["a", "b"], out_schema)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = df.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_nunique_per_group_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import nunique_per_group
+
+    rng = np.random.default_rng(22)
+    df = pd.DataFrame(
+        {"g": rng.choice(["p", "q", "r"], 2000), "u": rng.integers(0, 40, 2000).astype("int64")}
+    )
+    got = (
+        nunique_per_group(rd.from_pandas(df).repartition(9), "g", "u", out_name="n_unique")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("g", as_index=False)["u"].nunique().rename(columns={"u": "n_unique"}).sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_tfidf_topk_matches_naive(ray_session):
+    """tfidf vs a from-scratch pandas reimplementation on a tiny corpus with
+    known tie cases (same score -> token ascending wins)."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import tfidf_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": ["cat dog cat", "dog bird", "cat bird bird fish", "  "],
+        }
+    )
+    got = tfidf_topk(rd.from_pandas(docs).repartition(3), k=2).to_pandas()
+
+    n = len(docs)
+    tf: dict = {}
+    for _, row in docs.iterrows():
+        for tok in row["text"].split():
+            tf[(row["doc_id"], tok)] = tf.get((row["doc_id"], tok), 0) + 1
+    df_count: dict = {}
+    for (_, tok) in tf:
+        df_count[tok] = df_count.get(tok, 0) + 1
+    scored = [
+        (d, t, c, round(c * (math.log((n + 1) / (df_count[t] + 1)) + 1), 6))
+        for (d, t), c in tf.items()
+    ]
+    want_rows = []
+    for d in sorted({r[0] for r in scored}):
+        rows = sorted((r for r in scored if r[0] == d), key=lambda r: (-r[3], r[1]))[:2]
+        want_rows.extend(rows)
+    want = pd.DataFrame(want_rows, columns=["doc_id", "token", "tf", "score"])
+    got_s = got.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    want_s = want.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_inverted_index_matches_naive(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([10, 2, 5, 7], dtype="int64"),
+            "text": ["a b a", "b c", "a c d", "b"],
+        }
+    )
+    got = inverted_index(rd.from_pandas(docs).repartition(2), min_df=2).to_pandas()
+    want = pd.DataFrame(
+        {"token": ["a", "b", "c"], "df": pd.array([2, 3, 2], dtype="int64"), "postings": ["5,10", "2,7,10", "2,5"]}
+    )
+    # postings sorted numerically by doc_id; df counts DISTINCT docs
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_pricing_rollup_levels(ray_session, tmp_path):
+    """All three ROLLUP levels present and each level's sums equal the finer
+    level's (internal consistency), vs a pandas reimplementation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import pricing_rollup
+
+    rng = np.random.default_rng(4)
+    n = 400
+    li = pd.DataFrame(
+        {
+            "l_returnflag": rng.choice(["A", "N", "R"], n),
+            "l_linestatus": rng.choice(["F", "O"], n),
+            "l_quantity": rng.integers(1, 50, n).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(100, 900, n), 2),
+            "l_shipdate": pd.to_datetime("1995-06-01").to_datetime64(),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False), str(tmp_path / "lineitem.parquet"))
+    got = pricing_rollup(str(tmp_path)).to_pandas()
+
+    fine = got[(got["rf"] != "ALL") & (got["ls"] != "ALL")]
+    mid = got[(got["rf"] != "ALL") & (got["ls"] == "ALL")]
+    total = got[(got["rf"] == "ALL") & (got["ls"] == "ALL")]
+    assert len(total) == 1 and int(total["n_rows"].iloc[0]) == n
+    assert fine["n_rows"].sum() == n and mid["n_rows"].sum() == n
+    want_fine = (
+        li.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(sum_qty=("l_quantity", "sum"), sum_price=("l_extendedprice", "sum"), n_rows=("l_quantity", "size"))
+        .rename(columns={"l_returnflag": "rf", "l_linestatus": "ls"})
+    )
+    want_fine["sum_qty"] = want_fine["sum_qty"].round(2)
+    want_fine["sum_price"] = want_fine["sum_price"].round(2)
+    want_fine["n_rows"] = want_fine["n_rows"].astype("int64")
+    pd.testing.assert_frame_equal(
+        fine.sort_values(["rf", "ls"]).reset_index(drop=True),
+        want_fine.sort_values(["rf", "ls"]).reset_index(drop=True),
+    )

@@ -29,6 +29,7 @@ in C, and defined for string, numeric and multi-column keys alike.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -93,49 +94,60 @@ def bucketed_aggregate(
             return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in out_schema})
         return pa_from_pandas(g)
 
-    out = (
-        with_bucket(ds, keys, num_buckets, in_schema=in_schema)
-        # ~B/2 shuffle partitions => >= 2 bucket values per sampled boundary
-        # range, so the groupby's sort-shuffle emits no schema-less empty
-        # partitions (same trick as ann._merge_topk)
-        .repartition(max(1, num_buckets // 2))
-        .groupby(BUCKET_COL)
-        .map_groups(agg_bucket, batch_format="pandas")
+    return bucket_exchange(
+        with_bucket(ds, keys, num_buckets, in_schema=in_schema), agg_bucket, out_schema, num_buckets
     )
-    if out_schema is not None:
-        out = _pin_schema(out, out_schema)
-    return out
 
 
-def bucketed_map_groups(ds, keys, fn, out_schema: pa.Schema, num_buckets: int = 64, in_schema: pa.Schema | None = None):
-    """``ds.groupby(keys).map_groups(fn)`` with per-fine-group dispatch done
-    by an in-process ``DataFrame.groupby`` instead of one Ray UDF call (and
-    one batch-format conversion) per group. ``fn`` receives each fine group
-    as a DataFrame (bucket column already dropped) and must return a
-    ``pa.Table``; results are concatenated per bucket under ``out_schema``.
+def bucket_exchange(
+    bucketed,
+    per_bucket,
+    out_schema: pa.Schema | None = None,
+    num_buckets: int = 64,
+    rows_per_partition: int = 16384,
+):
+    """The shared tail of every coarse-bucket operator: shuffle ``bucketed``
+    (a dataset carrying ``BUCKET_COL``) so each bucket lands whole in one
+    partition, then run ``per_bucket`` (pandas DataFrame -> pa.Table)
+    vectorized over each bucket group.
+
+    Partition count is sized from the ACTUAL row count, not ``num_buckets``:
+    the groupby's sort-shuffle samples range boundaries from the bucket
+    column, and when the data holds fewer distinct bucket values than there
+    are partitions (a vocabulary-sized input in a 64-bucket exchange),
+    duplicate boundaries produce EMPTY ranges — and Ray's map stage passes an
+    all-empty input block through schema-less without calling the UDF, which
+    destabilizes downstream RefBundle schemas. Counting first costs nothing
+    extra: the groupby is an all-to-all barrier that materializes its input
+    anyway. At scale the count is large, the partition count saturates at
+    ``num_buckets // 2`` (>= 2 uniformly-hashed bucket values per sampled
+    boundary range), and the exchange behaves exactly as before.
     """
-    keys = _as_key_list(keys)
+    import ray.data as rd
 
-    def per_bucket(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:  # empty shuffle partition (may be schema-less)
-            return out_schema.empty_table()
-        df = df.drop(columns=[BUCKET_COL])
-        outs = []
-        for _, g in df.groupby(keys, sort=False):
-            t = fn(g)
-            if t is not None and t.num_rows:
-                outs.append(t.cast(out_schema))
-        if not outs:
-            return out_schema.empty_table()
-        return pa.concat_tables(outs)
+    bucketed = bucketed.materialize()
+    n = bucketed.count()
+    if n == 0 and out_schema is not None:
+        return rd.from_arrow(out_schema.empty_table())
+    p = max(1, min(max(1, num_buckets // 2), n // rows_per_partition + 1))
+    if p > 1:
+        # Low-cardinality keys occupy few buckets no matter how many rows they
+        # carry (5 group values -> <= 5 distinct bucket ids), so also cap at
+        # half the bucket ids ACTUALLY PRESENT: two per-block vectorized
+        # unique passes over the already-materialized int64 bucket column,
+        # <= num_buckets rows ever reach the driver.
+        import pyarrow.compute as pc
 
-    return _pin_schema(
-        with_bucket(ds, keys, num_buckets, in_schema=in_schema)
-        .repartition(max(1, num_buckets // 2))  # see bucketed_aggregate
-        .groupby(BUCKET_COL)
-        .map_groups(per_bucket, batch_format="pandas"),
-        out_schema,
-    )
+        def uniq(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({BUCKET_COL: pa.array([], type=pa.int64())})
+            return pa.table({BUCKET_COL: pc.unique(t.column(BUCKET_COL))})
+
+        per_block = bucketed.select_columns([BUCKET_COL]).map_batches(uniq, batch_format="pyarrow", batch_size=None)
+        nb = len({r[BUCKET_COL] for r in per_block.repartition(1).map_batches(uniq, batch_format="pyarrow").take_all()})
+        p = max(1, min(p, nb // 2))
+    out = bucketed.repartition(p).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+    return _pin_schema(out, out_schema) if out_schema is not None else out
 
 
 def _pin_schema(ds, out_schema: pa.Schema):
@@ -146,6 +158,85 @@ def _pin_schema(ds, out_schema: pa.Schema):
     import ray.data as rd
 
     return rd.from_arrow(out_schema.empty_table()).union(ds)
+
+
+def distinct_rows(ds, cols, out_schema: pa.Schema, num_buckets: int = 64):
+    """Exact distributed DISTINCT over ``cols`` (SELECT DISTINCT a, b, ...).
+
+    Scale shape: a per-batch ``drop_duplicates`` combiner shrinks the exchange
+    to at most one row per distinct value PER BATCH, then one coarse-bucket
+    shuffle dedupes globally (vectorized per bucket — no per-key dispatch).
+    Every copy of a value hashes to the same bucket, so the result is exact.
+    """
+    cols = _as_key_list(cols)
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        d = df[cols].drop_duplicates()
+        return pa.table({f.name: pa.array(d[f.name], type=f.type) for f in out_schema})
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        d = df.drop(columns=[BUCKET_COL]).drop_duplicates()
+        return pa.table({f.name: pa.array(d[f.name], type=f.type) for f in out_schema})
+
+    pre = ds.map_batches(local, batch_format="pandas", batch_size=None)
+    return bucket_exchange(
+        with_bucket(pre, cols, num_buckets, in_schema=out_schema), per_bucket, out_schema, num_buckets
+    )
+
+
+def nunique_per_group(ds, keys, value_col: str, out_name: str = "n_unique", num_buckets: int = 64):
+    """Exact distributed ``COUNT(DISTINCT value) GROUP BY keys``.
+
+    The non-decomposable aggregate: a plain combiner can't pre-sum it, but
+    DISTINCT itself decomposes — a per-batch ``drop_duplicates`` combiner
+    bounds the exchange at one (key, value) row per distinct pair per batch,
+    and because a fine key never splits across coarse buckets, the per-bucket
+    vectorized ``groupby().nunique()`` is exact (same argument as median in
+    ``bucketed_aggregate``). 100 TB shape: shuffle carries the distinct-pair
+    cardinality, not the row count.
+    """
+    keys = _as_key_list(keys)
+    cols = keys + [value_col]
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({})  # schema pinned downstream by with_bucket(in_schema=...)
+        return pa_from_pandas(df[cols].drop_duplicates())
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates()
+        g = df.groupby(keys, as_index=False, sort=False)[value_col].nunique()
+        return pa.table(
+            {
+                **{k: pa.array(g[k], type=out_schema.field(k).type) for k in keys},
+                out_name: pa.array(g[value_col].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def _arrow_type(t):
+        # ray Schema.types yields Python types for pandas-backed datasets
+        if isinstance(t, pa.DataType):
+            return t
+        fixed = {int: pa.int64(), float: pa.float64(), str: pa.string(), bool: pa.bool_(), object: pa.string()}
+        if t in fixed:
+            return fixed[t]
+        dt = np.dtype(t)
+        return pa.string() if dt.kind in ("O", "U", "S") else pa.from_numpy_dtype(dt)
+
+    sch = ds.schema()
+    in_schema = pa.schema([pa.field(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types) if n in cols])
+    in_schema = pa.schema([in_schema.field(c) for c in cols])  # caller's column order
+    out_schema = pa.schema([in_schema.field(k) for k in keys] + [pa.field(out_name, pa.int64())])
+    pre = ds.map_batches(local, batch_format="pandas", batch_size=None)
+    return bucket_exchange(
+        with_bucket(pre, keys, num_buckets, in_schema=in_schema), per_bucket, out_schema, num_buckets
+    )
 
 
 def topk_per_group(
@@ -180,14 +271,23 @@ def topk_per_group(
         top = df.sort_values(by, ascending=asc, kind="mergesort").groupby(keys, sort=False).head(k)
         return pa_from_pandas(top.reset_index(drop=True))
 
-    def per_group(g: pd.DataFrame) -> pa.Table:
-        top = g.sort_values(by[len(keys):], ascending=asc[len(keys):], kind="mergesort").head(k)
-        if out_schema is not None:
-            return pa.table({f.name: pa.array(top[f.name], type=f.type) for f in out_schema})
-        return pa_from_pandas(top.reset_index(drop=True))
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        # one vectorized sort + groupby.head per BUCKET — not one Python UDF
+        # call per fine group (measured 8.5 s -> 0.3 s on 15k groups at sf0.1)
+        if len(df) == 0:
+            return out_schema.empty_table()
+        top = (
+            df.drop(columns=[BUCKET_COL])
+            .sort_values(by, ascending=asc, kind="mergesort")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+        return pa.table({f.name: pa.array(top[f.name], type=f.type) for f in out_schema})
 
     pruned = ds.map_batches(prune, batch_format="pandas", batch_size=None)
     if out_schema is None:
         # derive a pinned schema from the input if available
         raise ValueError("topk_per_group requires out_schema (stable empty-block schemas)")
-    return bucketed_map_groups(pruned, keys, per_group, out_schema, num_buckets=num_buckets, in_schema=in_schema)
+    return bucket_exchange(
+        with_bucket(pruned, keys, num_buckets, in_schema=in_schema), per_bucket, out_schema, num_buckets
+    )

@@ -106,14 +106,9 @@ def _bucketed_merge(unioned, combined: pa.Schema, by: str, merge_fn, out_schema:
             return out_schema.empty_table()
         return merge_fn(df.drop(columns=[BUCKET_COL]))
 
-    return (
-        bucketed
-        # <= cardinality/2 shuffle partitions => no schema-less empty blocks
-        # out of the groupby's sort-shuffle (see agg.bucketed_aggregate)
-        .repartition(max(1, num_buckets // 2))
-        .groupby(BUCKET_COL)
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    from text_to_graph_ray.functions.agg import bucket_exchange
+
+    return bucket_exchange(bucketed, per_bucket, out_schema, num_buckets)
 
 
 def asof_join(

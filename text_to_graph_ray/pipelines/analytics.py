@@ -618,12 +618,97 @@ def user_running_sum(sf_dir: str):
             }
         )
 
-    out = (
-        with_bucket(ev, "user_id", 64, in_schema=in_schema)
-        .repartition(32)
-        .groupby(BUCKET_COL)
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    from text_to_graph_ray.functions.agg import bucket_exchange
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
     from text_to_graph_ray.util import sort_coalesced
 
     return sort_coalesced(out, "event_id")
+
+
+def pricing_rollup(sf_dir: str, cutoff: str = "1996-01-01"):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): subtotals at every prefix
+    level plus the grand total, 'ALL' as the rolled-up sentinel.
+
+    Scale shape — rollup via grouping-set EXPANSION IN THE COMBINER: each
+    per-batch partial row is replicated once per grouping set ((rf,ls),
+    (rf,ALL), (ALL,ALL)) before the exchange, so ONE tiny groupby-sum
+    produces every level. The shuffle carries 3 x #groups rows per batch
+    (grouping-set count x group cardinality, not row count), and no level is
+    re-derived on the driver."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"]
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+    cut = np.datetime64(cutoff)
+
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("s_qty", pa.float64()),
+            ("s_price", pa.float64()),
+            ("n", pa.float64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["l_shipdate"] < cut]
+        if df.empty:
+            return partial_schema.empty_table()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            s_qty=("l_quantity", "sum"), s_price=("l_extendedprice", "sum"), n=("l_quantity", "size")
+        )
+        levels = [g]
+        g1 = g.copy()
+        g1["l_linestatus"] = "ALL"
+        g2 = g.copy()
+        g2["l_returnflag"] = "ALL"
+        g2["l_linestatus"] = "ALL"
+        # re-combine sentinel rows locally so the exchange stays minimal
+        exp = (
+            pd.concat([*levels, g1, g2], ignore_index=True)
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+        )
+        return pa.table({f.name: pa.array(exp[f.name], type=f.type) for f in partial_schema})
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(4)
+    agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("s_qty", alias_name="sum_qty"), Sum("s_price", alias_name="sum_price"), Sum("n", alias_name="n_rows")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("rf", pa.string()),
+            ("ls", pa.string()),
+            ("sum_qty", pa.float64()),
+            ("sum_price", pa.float64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "sum_qty" not in df.columns:
+            return out_schema.empty_table()
+        df = df.rename(columns={"l_returnflag": "rf", "l_linestatus": "ls"})
+        df["n_rows"] = df["n_rows"].astype("int64")
+        df = _round_cols(df, {"sum_qty": 2, "sum_price": 2})
+        return pa.table({f.name: pa.array(df[f.name], type=f.type) for f in out_schema})
+
+    return agg.map_batches(finish, batch_format="pandas").sort(["rf", "ls"])
+
+
+def event_type_profile(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per event_type — the
+    non-decomposable aggregate, via per-batch distinct combiner + coarse-bucket
+    exchange (functions.agg.nunique_per_group)."""
+    from text_to_graph_ray.functions.agg import nunique_per_group
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    # num_buckets sized to the key's (low) cardinality: empty coarse buckets
+    # would surface as schema-less empty shuffle partitions (NOTES.md round-3)
+    out = nunique_per_group(ev, "event_type", "user_id", out_name="n_users", num_buckets=4)
+    return sort_coalesced(out, "event_type")

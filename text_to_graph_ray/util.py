@@ -81,7 +81,7 @@ def ensure_dir_once(out: str, build) -> str:
     return out
 
 
-def sort_coalesced(ds, keys, rows_per_block: int = 1_000_000):
+def sort_coalesced(ds, keys, rows_per_block: int = 1_000_000, descending=False):
     """``ds.sort(keys)`` for result streams whose size is unknown until
     runtime: materialize (the sort shuffle would anyway), count, and size the
     sort to <= count/2 partitions (every sampled boundary range then holds
@@ -92,4 +92,4 @@ def sort_coalesced(ds, keys, rows_per_block: int = 1_000_000):
     if cnt == 0:
         return ds
     n = max(1, min(cnt // 2, cnt // rows_per_block + 1))
-    return ds.repartition(n).sort(keys)
+    return ds.repartition(n).sort(keys, descending=descending)
