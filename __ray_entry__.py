@@ -728,6 +728,14 @@ def _q_docs_distinct_pairs(sf_dir):
     return sort_coalesced(distinct_rows(ds, ["source", "lang"], out_schema), ["source", "lang"])
 
 
+def _q_events_lag_deltas(sf_dir):
+    """Per-user LAG + ROW_NUMBER window (sequence index + value delta vs the
+    previous event), one keyed coarse-bucket exchange."""
+    from text_to_graph_ray.pipelines.analytics import user_event_deltas
+
+    return user_event_deltas(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -795,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_rollup": _q_rel_pricing_rollup,
         "events_user_profile": _q_events_user_profile,
         "docs_distinct_pairs": _q_docs_distinct_pairs,
+        "events_lag_deltas": _q_events_lag_deltas,
     }
 
 
@@ -933,6 +942,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "docs_distinct_pairs": ("SELECT DISTINCT source, lang FROM documents ORDER BY source, lang"),
+        "events_lag_deltas": (
+            # no rounding: delta is ONE IEEE subtraction of the same doubles
+            # on both sides (no accumulation), bit-identical by construction
+            "SELECT event_id, user_id, row_number() OVER w AS rn, "
+            "value - lag(value) OVER w AS delta FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+        ),
         "text_pack_offsets": (
             # ::BIGINT casts: the windowed sum() is HUGEINT in DuckDB, which
             # pandas receives as float64 — the driver's value hash is dtype-

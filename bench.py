@@ -115,6 +115,13 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     purchase_click_asof(sf_dir).count()
     times["events_asof"] = round(time.monotonic() - t0, 3)
 
+    from text_to_graph_ray.functions.text import tfidf_topk
+
+    t0 = time.monotonic()
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tfidf_topk(docs, k=3).count()
+    times["text_tfidf"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

@@ -788,3 +788,40 @@ def test_pricing_rollup_levels(ray_session, tmp_path):
         fine.sort_values(["rf", "ls"]).reset_index(drop=True),
         want_fine.sort_values(["rf", "ls"]).reset_index(drop=True),
     )
+
+
+def test_user_event_deltas_matches_pandas(ray_session, tmp_path):
+    """LAG + ROW_NUMBER window vs pandas groupby shift/cumcount on a synthetic
+    events table with duplicate timestamps (tie broken by event_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import user_event_deltas
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 50, n).astype("int64"),
+            # coarse timestamps force (ts, event_id) tie-breaks inside a user
+            "ts": pd.to_datetime(rng.integers(0, 40, n), unit="s").astype("datetime64[us]"),
+            "event_type": "t",
+            "value": rng.normal(size=n),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "events.parquet"))
+
+    got = user_event_deltas(str(tmp_path)).to_pandas().reset_index(drop=True)
+
+    w = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g = w.groupby("user_id", sort=False)
+    want = pd.DataFrame(
+        {
+            "event_id": w["event_id"].to_numpy(),
+            "user_id": w["user_id"].to_numpy(),
+            "rn": (g.cumcount() + 1).to_numpy().astype("int64"),
+            "delta": g["value"].diff().to_numpy(),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -712,3 +712,44 @@ def event_type_profile(sf_dir: str):
     # would surface as schema-less empty shuffle partitions (NOTES.md round-3)
     out = nunique_per_group(ev, "event_type", "user_id", out_name="n_users", num_buckets=4)
     return sort_coalesced(out, "event_type")
+
+
+def user_event_deltas(sf_dir: str):
+    """Per-user LAG + ROW_NUMBER: each event's sequence index within its
+    user's (ts, event_id)-ordered stream and the value delta vs the previous
+    event (NULL for the first).
+
+    Scale shape: same one keyed coarse-bucket exchange as user_running_sum —
+    all of a user's rows land in one bucket task, where shift/diff/cumcount
+    run vectorized (C speed). No accumulation crosses rows, so delta is one
+    IEEE subtraction of the same doubles on both sides — bit-identical to the
+    SQL window's lag() with no rounding needed."""
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("rn", pa.int64()), ("delta", pa.float64())]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        rn = g.cumcount().to_numpy() + 1
+        delta = g["value"].diff().to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), type=pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+                "rn": pa.array(rn, type=pa.int64()),
+                "delta": pa.array(delta, type=pa.float64()),
+            }
+        )
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_id")
