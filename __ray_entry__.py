@@ -736,6 +736,26 @@ def _q_events_lag_deltas(sf_dir):
     return user_event_deltas(sf_dir)
 
 
+def _q_events_window_frame(sf_dir):
+    """Per-user LEAD + explicit 3-row frame sum (value + lag1 + lag2), one
+    keyed coarse-bucket exchange; fixed-order adds keep floats bit-identical
+    to the SQL window expression."""
+    from text_to_graph_ray.pipelines.analytics import user_window_frame
+
+    return user_window_frame(sf_dir)
+
+
+def _q_dedup_decontaminate(sf_dir):
+    """N-gram benchmark decontamination: train docs (source not in src0/src1)
+    sharing any distinct 8-token gram with the src0/src1 eval split, with the
+    shared-gram count. Guarded eval-set broadcast + coarse-bucket aggregate."""
+    from text_to_graph_ray.functions.decontam import ngram_contamination
+    from text_to_graph_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    return ngram_contamination(docs, eval_sources=("src0", "src1"), n=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -804,6 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_profile": _q_events_user_profile,
         "docs_distinct_pairs": _q_docs_distinct_pairs,
         "events_lag_deltas": _q_events_lag_deltas,
+        "events_window_frame": _q_events_window_frame,
+        "dedup_decontaminate": _q_dedup_decontaminate,
     }
 
 
@@ -948,6 +970,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, row_number() OVER w AS rn, "
             "value - lag(value) OVER w AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+        ),
+        "events_window_frame": (
+            # no rounding: w3_sum is TWO left-associated IEEE additions of the
+            # same doubles on both sides (engine computes (v + lag1) + lag2),
+            # bit-identical; NULL/NaN propagation matches pandas
+            "SELECT event_id, user_id, lead(value) OVER w AS next_value, "
+            "value + lag(value, 1) OVER w + lag(value, 2) OVER w AS w3_sum FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+        ),
+        "dedup_decontaminate": (
+            # tokenization contract: string_split(text, ' ') == python
+            # text.split(' '); t[i:i+7] is the 8-token window (1-based,
+            # inclusive slice); per-doc DISTINCT grams on both sides
+            "WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS g "
+            "FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 7)) AS u(i)), "
+            "ev AS (SELECT DISTINCT g FROM sh WHERE source IN ('src0', 'src1')), "
+            "tr AS (SELECT doc_id, g FROM sh WHERE source NOT IN ('src0', 'src1')) "
+            "SELECT tr.doc_id, count(*)::BIGINT AS n_shared FROM tr JOIN ev USING (g) "
+            "GROUP BY tr.doc_id ORDER BY tr.doc_id"
         ),
         "text_pack_offsets": (
             # ::BIGINT casts: the windowed sum() is HUGEINT in DuckDB, which

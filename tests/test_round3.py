@@ -825,3 +825,107 @@ def test_user_event_deltas_matches_pandas(ray_session, tmp_path):
         }
     ).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def _naive_contamination(df, eval_sources, n):
+    """From-scratch pandas/set reimplementation of ngram_contamination."""
+    def grams(text):
+        toks = (text or "").split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ev = set()
+    for _, r in df[df["source"].isin(eval_sources)].iterrows():
+        ev |= grams(r["text"])
+    rows = []
+    for _, r in df[~df["source"].isin(eval_sources)].iterrows():
+        shared = grams(r["text"]) & ev
+        if shared:
+            rows.append((int(r["doc_id"]), len(shared)))
+    out = pd.DataFrame(rows, columns=["doc_id", "n_shared"]).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _contam_corpus():
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        docs.append((i, " ".join(rng.choice(vocab, rng.integers(3, 40)))))
+    # plant exact 8-gram overlaps: doc 100 (train) copies a window of doc 0 (eval)
+    eval_text = " ".join(rng.choice(vocab, 50))
+    docs.append((100, eval_text))  # goes to eval source below
+    docs.append((101, "x y " + " ".join(eval_text.split(" ")[10:25]) + " z"))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df["source"] = ["ev" if (i % 10 == 0 or d == 100) else "tr" for i, d in enumerate(df["doc_id"])]
+    return df
+
+
+def test_ngram_contamination_matches_naive(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.decontam import ngram_contamination
+
+    df = _contam_corpus()
+    got = (
+        ngram_contamination(rd.from_pandas(df).repartition(5), eval_sources=("ev",), n=8)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _naive_contamination(df, ("ev",), 8)
+    assert len(want) >= 1  # the planted overlap is detected by the naive side
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ngram_contamination_join_fallback_identical(ray_session):
+    """eval_broadcast_max=0 forces the distributed hash-join path; result must
+    be identical to the broadcast plan (threshold-0 equivalence convention)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.decontam import ngram_contamination
+
+    df = _contam_corpus()
+    ds = rd.from_pandas(df).repartition(5)
+    a = ngram_contamination(ds, eval_sources=("ev",), n=8).to_pandas().reset_index(drop=True)
+    b = (
+        ngram_contamination(ds, eval_sources=("ev",), n=8, eval_broadcast_max=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_user_window_frame_matches_pandas(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import user_window_frame
+
+    rng = np.random.default_rng(32)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 40, n).astype("int64"),
+            "ts": pd.to_datetime(rng.integers(0, 30, n), unit="s").astype("datetime64[us]"),
+            "event_type": "t",
+            "value": rng.normal(size=n),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "events.parquet"))
+
+    got = user_window_frame(str(tmp_path)).to_pandas().reset_index(drop=True)
+
+    w = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g = w.groupby("user_id", sort=False)["value"]
+    v = w["value"].to_numpy()
+    want = pd.DataFrame(
+        {
+            "event_id": w["event_id"].to_numpy(),
+            "user_id": w["user_id"].to_numpy(),
+            "next_value": g.shift(-1).to_numpy(),
+            "w3_sum": (v + g.shift(1).to_numpy()) + g.shift(2).to_numpy(),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -753,3 +753,52 @@ def user_event_deltas(sf_dir: str):
 
     out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
     return sort_coalesced(out, "event_id")
+
+
+def user_window_frame(sf_dir: str):
+    """LEAD + explicit 3-row frame sum per user: for each event in its user's
+    (ts, event_id)-ordered stream emit the NEXT value (lead) and
+    ``w3_sum = value + lag(value,1) + lag(value,2)`` (NULL unless both lags
+    exist — SQL NULL propagation == pandas NaN propagation).
+
+    Same one keyed coarse-bucket exchange as user_event_deltas. Float
+    discipline: the frame sum is built with the SAME left-associated adds as
+    the SQL expression — two IEEE additions of identical doubles on both
+    sides, so the result is bit-identical with no rounding."""
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("next_value", pa.float64()),
+            ("w3_sum", pa.float64()),
+        ]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["value"]
+        v = df["value"].to_numpy()
+        lag1 = g.shift(1).to_numpy()
+        lag2 = g.shift(2).to_numpy()
+        nxt = g.shift(-1).to_numpy()
+        w3 = (v + lag1) + lag2  # left-assoc, matches `value + lag1 + lag2`
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), type=pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+                "next_value": pa.array(nxt, type=pa.float64()),
+                "w3_sum": pa.array(w3, type=pa.float64()),
+            }
+        )
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_id")
