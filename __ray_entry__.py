@@ -756,6 +756,63 @@ def _q_dedup_decontaminate(sf_dir):
     return ngram_contamination(docs, eval_sources=("src0", "src1"), n=8)
 
 
+def _q_graph_pagerank(sf_dir):
+    """Fixed 3-iteration PageRank over a lineitem-derived directed graph
+    (src = l_partkey % 100, dst = l_suppkey % 100, DISTINCT edges, no
+    dangling redistribution). Bit-identical to the unrolled SQL oracle via
+    per-iteration 9-dp rounding on both sides."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import pagerank
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import numpy as np
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 100, type=pa.int64()), "dst": pa.array(sk % 100, type=pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return pagerank(ds, iterations=3)
+
+
+def _q_kg_pagerank_topk(sf_dir):
+    """Top-20 PageRank entities of the linked KG (5 iterations over the
+    dense-id entity graph, deterministic rank-desc/node-asc ranking, entity
+    keys re-attached). No SQL analogue — the graph is pipeline-derived;
+    covered by the naive power-iteration oracle in tests."""
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.graph import pagerank
+
+    nodes, edges = _kg_tables(sf_dir, link=True)
+    idx = dict(zip(nodes["entity_key"], nodes["entity_id"]))
+    e = pd.DataFrame(
+        {"src": edges["src_key"].map(idx), "dst": edges["dst_key"].map(idx)}
+    ).astype("int64")
+    pr = pagerank(rd.from_pandas(e), iterations=5)
+    key_of = {int(v): k for k, v in idx.items()}
+
+    def attach(b):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "entity_key": pa.array([key_of[n] for n in b.column("node").to_pylist()], type=pa.string()),
+                "rank": b.column("rank"),
+            }
+        )
+
+    return pr.sort(["rank", "node"], descending=[True, False]).limit(20).map_batches(attach, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -826,6 +883,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_deltas": _q_events_lag_deltas,
         "events_window_frame": _q_events_window_frame,
         "dedup_decontaminate": _q_dedup_decontaminate,
+        "graph_pagerank": _q_graph_pagerank,
+        "kg_pagerank_topk": _q_kg_pagerank_topk,
     }
 
 
@@ -978,6 +1037,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, lead(value) OVER w AS next_value, "
             "value + lag(value, 1) OVER w + lag(value, 2) OVER w AS w3_sum FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+        ),
+        "graph_pagerank": (
+            # 3 unrolled power iterations, SAME semantics as the engine:
+            # r0 = 1/N, r_{t+1} = 0.15/N + 0.85 * sum_in(r_t(u)/outdeg(u)),
+            # no dangling redistribution; round(_, 9) at every iteration
+            # boundary on both sides kills association-order float noise
+            "WITH edges AS (SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst FROM lineitem), "
+            "deg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src), "
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+            "nn AS (SELECT count(*)::DOUBLE AS c FROM nodes), "
+            "r0 AS (SELECT node, round(1.0/(SELECT c FROM nn), 9) AS r FROM nodes), "
+            "c1 AS (SELECT e.dst AS node, sum(r0.r / deg.d) AS s FROM edges e "
+            "JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            "r1 AS (SELECT n.node, round(0.15/(SELECT c FROM nn) + 0.85 * COALESCE(c1.s, 0), 9) AS r "
+            "FROM nodes n LEFT JOIN c1 ON n.node = c1.node), "
+            "c2 AS (SELECT e.dst AS node, sum(r1.r / deg.d) AS s FROM edges e "
+            "JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            "r2 AS (SELECT n.node, round(0.15/(SELECT c FROM nn) + 0.85 * COALESCE(c2.s, 0), 9) AS r "
+            "FROM nodes n LEFT JOIN c2 ON n.node = c2.node), "
+            "c3 AS (SELECT e.dst AS node, sum(r2.r / deg.d) AS s FROM edges e "
+            "JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            "r3 AS (SELECT n.node, round(0.15/(SELECT c FROM nn) + 0.85 * COALESCE(c3.s, 0), 9) AS r "
+            "FROM nodes n LEFT JOIN c3 ON n.node = c3.node) "
+            "SELECT node::BIGINT AS node, r AS rank FROM r3 ORDER BY node"
         ),
         "dedup_decontaminate": (
             # tokenization contract: string_split(text, ' ') == python

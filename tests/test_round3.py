@@ -929,3 +929,53 @@ def test_user_window_frame_matches_pandas(ray_session, tmp_path):
         }
     ).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def _naive_pagerank(e, iters=3, d=0.85, dp=9):
+    """From-scratch dict/loop power iteration with the documented semantics
+    (uniform init, per-iteration rounding, no dangling redistribution)."""
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    N = len(nodes)
+    deg = e.groupby("src").size().to_dict()
+    r = {n: round(1.0 / N, dp) for n in nodes}
+    for _ in range(iters):
+        s = {n: 0.0 for n in nodes}
+        for src, dst in zip(e["src"], e["dst"]):
+            s[dst] += r[src] / deg[src]
+        r = {n: round((1 - d) / N + d * s[n], dp) for n in nodes}
+    return pd.DataFrame({"node": nodes, "rank": [r[n] for n in nodes]}).astype({"node": "int64"})
+
+
+def test_pagerank_matches_naive_both_plans(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    e = pd.DataFrame({"src": rng.integers(0, 40, 300), "dst": rng.integers(0, 40, 300)}).drop_duplicates()
+    ds = rd.from_pandas(e.astype("int64")).repartition(5)
+    want = _naive_pagerank(e)
+
+    got = pagerank(ds).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # broadcast_max=0 forces the distributed join plan; must be identical
+    got_j = pagerank(ds, broadcast_max=0).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_j, want)
+
+
+def test_pagerank_sink_and_empty(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.graph import pagerank
+
+    # sink node 3 (no out-edges): rank leaks, teleport term still applies
+    e = pd.DataFrame({"src": [1, 2, 1], "dst": [3, 3, 2]}).astype("int64")
+    got = pagerank(rd.from_pandas(e), iterations=4).to_pandas().reset_index(drop=True)
+    want = _naive_pagerank(e, iters=4)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["rank"].idxmax() == 2  # node 3 (two in-edges) ranks highest
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())}))
+    assert pagerank(empty).count() == 0

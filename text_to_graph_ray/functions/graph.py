@@ -119,3 +119,196 @@ def _labels_signature(labels) -> int:
         lambda b: pa.table({"h": pa.array([_batch_sig(b)], type=pa.string())}), batch_format="pyarrow"
     ).take_all()
     return sum(int(r["h"]) for r in parts)
+
+
+def pagerank(
+    edges_ds,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = 9,
+    broadcast_max: int = 5_000_000,
+    num_buckets: int = 64,
+):
+    """Fixed-iteration PageRank over a DISTINCT directed edge set:
+    ``r_{t+1}(v) = (1-d)/N + d * sum_{(u,v)} r_t(u)/outdeg(u)`` with uniform
+    init ``r_0 = 1/N`` and NO dangling-mass redistribution (rank leaks at
+    sinks — the documented semantics, unrolled identically in the SQL
+    oracle). Returns (node int64, rank float64) for every node.
+
+    Float discipline: ranks are rounded to ``round_dp`` decimals at EVERY
+    iteration boundary on both engine and oracle, so association-order noise
+    inside each per-node contribution sum (the only cross-engine
+    nondeterminism) cannot accumulate across iterations.
+
+    Scale shape: per iteration, ONE pass over the edge table (contributions
+    pre-combined per batch: at most one row per distinct dst per batch
+    reaches the exchange) + one coarse-bucket sum keyed on node. Rank attach
+    is the usual guarded small side — a ``ray.put`` dict while the node count
+    is provably <= ``broadcast_max``, else a distributed hash join on src,
+    in which case ranks stay a Dataset end-to-end and the driver never holds
+    a node-sized object. Outdegrees ride the same guard. The edge table is
+    materialized once and re-scanned per iteration from the object store.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, distinct_rows
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+    from text_to_graph_ray.util import compact_nonempty
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    rank_schema = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
+    sum_schema = pa.schema([("node", pa.int64()), ("s", pa.float64())])
+
+    def as_edge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return edge_schema.empty_table()
+        return pa.table(
+            {
+                "src": b.column(src_col).cast(pa.int64()),
+                "dst": b.column(dst_col).cast(pa.int64()),
+            }
+        )
+
+    edges = compact_nonempty(
+        distinct_rows(
+            edges_ds.map_batches(as_edge, batch_format="pyarrow"), ["src", "dst"], edge_schema, num_buckets=num_buckets
+        ).materialize()
+    )
+
+    def side(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.schema([("node", pa.int64())]).empty_table()
+            return pa.table({"node": b.column(col)})
+
+        return fn
+
+    nodes = compact_nonempty(
+        distinct_rows(
+            edges.map_batches(side("src"), batch_format="pyarrow").union(
+                edges.map_batches(side("dst"), batch_format="pyarrow")
+            ),
+            ["node"],
+            pa.schema([("node", pa.int64())]),
+            num_buckets=num_buckets,
+        ).materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(rank_schema.empty_table())
+
+    deg = compact_nonempty(
+        bucketed_aggregate(
+            edges,
+            "src",
+            {"d": ("dst", "size")},
+            out_schema=pa.schema([("src", pa.int64()), ("d", pa.int64())]),
+            num_buckets=num_buckets,
+            in_schema=edge_schema,
+        ).materialize()
+    )
+
+    small = n_nodes <= broadcast_max
+
+    def zeros(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sum_schema.empty_table()
+        return pa.table({"node": b.column("node"), "s": pa.array(np.zeros(b.num_rows), type=pa.float64())})
+
+    def finish_ranks(contrib_sums):
+        """union with per-node zeros -> one bucketed sum -> teleport + round."""
+        full = bucketed_aggregate(
+            contrib_sums.union(nodes.map_batches(zeros, batch_format="pyarrow")),
+            "node",
+            {"s": ("s", "sum")},
+            out_schema=sum_schema,
+            num_buckets=num_buckets,
+            in_schema=sum_schema,
+        )
+
+        def tele(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return rank_schema.empty_table()
+            s = np.asarray(b.column("s").to_pylist(), dtype=np.float64)
+            r = np.round((1.0 - damping) / n_nodes + damping * s, round_dp)
+            return pa.table({"node": b.column("node"), "rank": pa.array(r, type=pa.float64())})
+
+        return full.map_batches(tele, batch_format="pyarrow")
+
+    r0 = round(1.0 / n_nodes, round_dp)
+    if small:
+        # guarded broadcast plan: ranks + outdegs live in one ray.put'd dict
+        deg_map = dict(
+            zip(
+                (v for b in deg.iter_batches(batch_format="pyarrow") for v in b.column("src").to_pylist()),
+                (v for b in deg.iter_batches(batch_format="pyarrow") for v in b.column("d").to_pylist()),
+            )
+        )
+        node_list = [v for b in nodes.iter_batches(batch_format="pyarrow") for v in b.column("node").to_pylist()]
+        ranks = {v: r0 for v in node_list}
+        deg_ref = ray.put(deg_map)
+        for _ in range(iterations):
+            rank_ref = ray.put(ranks)
+
+            def contrib(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return sum_schema.empty_table()
+                rm, dm = ray.get(rank_ref), ray.get(deg_ref)
+                src = b.column("src").to_pylist()
+                dst = np.asarray(b.column("dst").to_pylist(), dtype=np.int64)
+                w = np.asarray([rm[u] / dm[u] for u in src], dtype=np.float64)
+                df = pd.DataFrame({"node": dst, "s": w}).groupby("node", as_index=False)["s"].sum()
+                return pa.table({"node": pa.array(df["node"], type=pa.int64()), "s": pa.array(df["s"], type=pa.float64())})
+
+            new_ranks = finish_ranks(edges.map_batches(contrib, batch_format="pyarrow"))
+            ranks = {
+                n: r
+                for b in new_ranks.iter_batches(batch_format="pyarrow")
+                for n, r in zip(b.column("node").to_pylist(), b.column("rank").to_pylist())
+            }
+        out = rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(sorted(ranks), type=pa.int64()),
+                    "rank": pa.array([ranks[k] for k in sorted(ranks)], type=pa.float64()),
+                }
+            )
+        )
+        return out
+
+    # distributed plan: ranks stay a Dataset; attach via hash join on src
+    n_parts = join_partitions_for()
+    edeg = compact_nonempty(
+        edges.join(
+            deg, join_type="inner", num_partitions=n_parts, on=("src",), partition_size_hint=32 << 20
+        ).materialize()
+    )
+    ranks_ds = nodes.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "rank": pa.array(np.full(b.num_rows, r0), type=pa.float64())})
+        if b.num_rows
+        else rank_schema.empty_table(),
+        batch_format="pyarrow",
+    ).materialize()
+    ranks_ds = compact_nonempty(ranks_ds)
+    for _ in range(iterations):
+        j = edeg.join(
+            ranks_ds, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("node",),
+            partition_size_hint=32 << 20,
+        )
+
+        def contrib_j(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return sum_schema.empty_table()
+            w = np.asarray(b.column("rank").to_pylist(), dtype=np.float64) / np.asarray(
+                b.column("d").to_pylist(), dtype=np.float64
+            )
+            df = pd.DataFrame({"node": b.column("dst").to_pylist(), "s": w}).groupby("node", as_index=False)["s"].sum()
+            return pa.table({"node": pa.array(df["node"], type=pa.int64()), "s": pa.array(df["s"], type=pa.float64())})
+
+        ranks_ds = compact_nonempty(finish_ranks(j.map_batches(contrib_j, batch_format="pyarrow")).materialize())
+    return ranks_ds.sort("node")

@@ -93,3 +93,33 @@ def sort_coalesced(ds, keys, rows_per_block: int = 1_000_000, descending=False):
         return ds
     n = max(1, min(cnt // 2, cnt // rows_per_block + 1))
     return ds.repartition(n).sort(keys, descending=descending)
+
+
+def compact_nonempty(mds):
+    """Drop zero-row blocks from a MATERIALIZED dataset, keeping the surviving
+    block refs zero-copy (no data moves; metadata-only row counts).
+
+    Why: ``agg._pin_schema`` unions a 0-row template block into every bucket
+    exchange so a zero-group result keeps its declared schema, and skewed
+    shuffles can leave empty partitions. Terminal consumers don't care, but
+    Ray's map stages pass empty input blocks through WITHOUT calling the UDF
+    and with an unknown bundle schema — so any pipeline that keeps chaining
+    stages over the result (e.g. pagerank's per-iteration loop) sees
+    'RefBundle with a different schema' instability. Compacting at the
+    materialization boundary removes the empties before they propagate.
+
+    Falls back to the input unchanged when every block is empty (the template
+    then IS the schema carrier)."""
+    import ray.data as rd
+
+    keep = []
+    dropped = False
+    for bundle in mds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                keep.append(ref)
+            else:
+                dropped = True
+    if not keep or not dropped:
+        return mds
+    return rd.from_arrow_refs(keep)
