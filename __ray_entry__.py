@@ -813,6 +813,65 @@ def _q_kg_pagerank_topk(sf_dir):
     return pr.sort(["rank", "node"], descending=[True, False]).limit(20).map_batches(attach, batch_format="pyarrow")
 
 
+def _set_op_users(sf_dir, op: str):
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import set_op_rows
+    from text_to_graph_ray.util import read_parquet_clean, sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def only(event_type: str):
+        def fn(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if b.num_rows == 0:
+                return pa.schema([("user_id", pa.int64())]).empty_table()
+            return b.filter(pc.equal(b.column("event_type"), event_type)).select(["user_id"])
+
+        return ev.map_batches(fn, batch_format="pyarrow")
+
+    out_schema = pa.schema([("user_id", pa.int64())])
+    out = set_op_rows(only("click"), only("purchase"), ["user_id"], out_schema, op=op)
+    return sort_coalesced(out, "user_id")
+
+
+def _q_events_users_intersect(sf_dir):
+    """Distributed SQL INTERSECT: users who both clicked and purchased (one
+    tagged union + one coarse-bucket exchange, per-batch distinct combiner)."""
+    return _set_op_users(sf_dir, "intersect")
+
+
+def _q_events_users_except(sf_dir):
+    """Distributed SQL EXCEPT over a two-column key: (user, day) pairs with a
+    click but no purchase that day — exercises the multi-column set-op path."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import set_op_rows
+    from text_to_graph_ray.util import read_parquet_clean, sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def day_pairs(event_type: str):
+        def fn(b):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if b.num_rows == 0:
+                return pa.schema([("user_id", pa.int64()), ("day", pa.timestamp("us"))]).empty_table()
+            f = b.filter(pc.equal(b.column("event_type"), event_type))
+            day = f.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype("datetime64[us]")
+            return pa.table({"user_id": f.column("user_id"), "day": pa.array(day, type=pa.timestamp("us"))})
+
+        return ev.map_batches(fn, batch_format="pyarrow")
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("day", pa.timestamp("us"))])
+    out = set_op_rows(day_pairs("click"), day_pairs("purchase"), ["user_id", "day"], out_schema, op="except")
+    return sort_coalesced(out, ["user_id", "day"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -885,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_decontaminate": _q_dedup_decontaminate,
         "graph_pagerank": _q_graph_pagerank,
         "kg_pagerank_topk": _q_kg_pagerank_topk,
+        "events_users_intersect": _q_events_users_intersect,
+        "events_users_except": _q_events_users_except,
     }
 
 
@@ -1037,6 +1098,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, lead(value) OVER w AS next_value, "
             "value + lag(value, 1) OVER w + lag(value, 2) OVER w AS w3_sum FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+        ),
+        "events_users_intersect": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id"
+        ),
+        "events_users_except": (
+            "SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'click' "
+            "EXCEPT SELECT user_id, date_trunc('day', ts) FROM events WHERE event_type = 'purchase' "
+            "ORDER BY user_id, day"
         ),
         "graph_pagerank": (
             # 3 unrolled power iterations, SAME semantics as the engine:

@@ -979,3 +979,56 @@ def test_pagerank_sink_and_empty(ray_session):
 
     empty = rd.from_arrow(pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())}))
     assert pagerank(empty).count() == 0
+
+
+def test_set_op_rows_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import set_op_rows
+
+    rng = np.random.default_rng(51)
+    a = pd.DataFrame({"x": rng.integers(0, 30, 400).astype("int64"), "y": rng.choice(["p", "q"], 400)})
+    b = pd.DataFrame({"x": rng.integers(15, 45, 400).astype("int64"), "y": rng.choice(["p", "q"], 400)})
+    dsa, dsb = rd.from_pandas(a).repartition(4), rd.from_pandas(b).repartition(3)
+    schema = pa.schema([("x", pa.int64()), ("y", pa.string())])
+
+    def want(op):
+        da = a.drop_duplicates()
+        kb = set(map(tuple, b[["x", "y"]].itertuples(index=False)))
+        m = da.apply(lambda r: (r["x"], r["y"]) in kb, axis=1)
+        d = da[m] if op == "intersect" else da[~m]
+        return d.sort_values(["x", "y"]).reset_index(drop=True)
+
+    for op in ("intersect", "except"):
+        got = (
+            set_op_rows(dsa, dsb, ["x", "y"], schema, op=op)
+            .to_pandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want(op), check_dtype=False)
+
+    # single-column path
+    s1 = pa.schema([("x", pa.int64())])
+    got1 = (
+        set_op_rows(dsa.select_columns(["x"]), dsb.select_columns(["x"]), ["x"], s1, op="intersect")
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    want1 = pd.DataFrame({"x": sorted(set(a["x"]) & set(b["x"]))}).astype("int64")
+    pd.testing.assert_frame_equal(got1, want1)
+
+
+def test_set_op_rows_empty_sides(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import set_op_rows
+
+    schema = pa.schema([("x", pa.int64())])
+    a = rd.from_arrow(pa.table({"x": pa.array([1, 2, 2, 3], type=pa.int64())}))
+    empty = rd.from_arrow(schema.empty_table())
+    assert set_op_rows(a, empty, ["x"], schema, op="intersect").count() == 0
+    got = set_op_rows(a, empty, ["x"], schema, op="except").to_pandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, pd.DataFrame({"x": [1, 2, 3]}).astype("int64"))

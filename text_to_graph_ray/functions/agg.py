@@ -291,3 +291,59 @@ def topk_per_group(
     return bucket_exchange(
         with_bucket(pruned, keys, num_buckets, in_schema=in_schema), per_bucket, out_schema, num_buckets
     )
+
+
+_SETOP_SIDE = "__setop_side"
+
+
+def set_op_rows(ds_a, ds_b, cols, out_schema: pa.Schema, op: str = "intersect", num_buckets: int = 64):
+    """Exact distributed SQL ``INTERSECT`` / ``EXCEPT`` over ``cols`` (both
+    return DISTINCT rows, per the SQL set-operation semantics).
+
+    Scale shape: same discipline as ``distinct_rows`` — a per-batch
+    ``drop_duplicates`` combiner on EACH side bounds the exchange at one row
+    per distinct value per batch, the two sides ride ONE union tagged with a
+    side marker, and one coarse-bucket shuffle co-locates every copy of a
+    value; per bucket the set logic is a vectorized pandas ``isin`` over the
+    side-split frames. No driver-side materialization of either side.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    cols = _as_key_list(cols)
+    tagged_schema = pa.schema(list(out_schema) + [pa.field(_SETOP_SIDE, pa.int64())])
+
+    def local(side: int):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            if len(df) == 0:
+                return tagged_schema.empty_table()
+            d = df[cols].drop_duplicates()
+            return pa.table(
+                {
+                    **{f.name: pa.array(d[f.name], type=f.type) for f in out_schema},
+                    _SETOP_SIDE: pa.array(np.full(len(d), side, dtype="int64")),
+                }
+            )
+
+        return fn
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        a = df[df[_SETOP_SIDE] == 0][cols].drop_duplicates()
+        b = df[df[_SETOP_SIDE] == 1][cols]
+        if len(cols) == 1:
+            mask = a[cols[0]].isin(b[cols[0]])
+        else:
+            key_a = pd.MultiIndex.from_frame(a[cols])
+            key_b = pd.MultiIndex.from_frame(b[cols].drop_duplicates())
+            mask = key_a.isin(key_b)
+        keep = a[mask] if op == "intersect" else a[~np.asarray(mask)]
+        return pa.table({f.name: pa.array(keep[f.name], type=f.type) for f in out_schema})
+
+    unioned = ds_a.map_batches(local(0), batch_format="pandas", batch_size=None).union(
+        ds_b.map_batches(local(1), batch_format="pandas", batch_size=None)
+    )
+    return bucket_exchange(
+        with_bucket(unioned, cols, num_buckets, in_schema=tagged_schema), per_bucket, out_schema, num_buckets
+    )
