@@ -122,6 +122,19 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     tfidf_topk(docs, k=3).count()
     times["text_tfidf"] = round(time.monotonic() - t0, 3)
 
+    from text_to_graph_ray.functions.decontam import ngram_contamination
+
+    t0 = time.monotonic()
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    ngram_contamination(docs, eval_sources=("src0", "src1"), n=8).count()
+    times["dedup_decontaminate"] = round(time.monotonic() - t0, 3)
+
+    import __ray_entry__ as _e
+
+    t0 = time.monotonic()
+    _e._q_graph_pagerank(sf_dir).count()
+    times["graph_pagerank"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

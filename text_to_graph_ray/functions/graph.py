@@ -265,12 +265,28 @@ def pagerank(
                 df = pd.DataFrame({"node": dst, "s": w}).groupby("node", as_index=False)["s"].sum()
                 return pa.table({"node": pa.array(df["node"], type=pa.int64()), "s": pa.array(df["s"], type=pa.float64())})
 
-            new_ranks = finish_ranks(edges.map_batches(contrib, batch_format="pyarrow"))
-            ranks = {
-                n: r
-                for b in new_ranks.iter_batches(batch_format="pyarrow")
-                for n, r in zip(b.column("node").to_pylist(), b.column("rank").to_pylist())
+            # ranks are already driver-resident here, so skip finish_ranks's
+            # zeros-union exchange: ONE bucketed sum over the contributions
+            # (<= node-sized by the per-batch combiner), missing nodes get the
+            # bare teleport term (s = 0) when the dict is rebuilt — identical
+            # arithmetic to tele(), one exchange per iteration instead of two
+            contribs = bucketed_aggregate(
+                edges.map_batches(contrib, batch_format="pyarrow"),
+                "node",
+                {"s": ("s", "sum")},
+                out_schema=sum_schema,
+                num_buckets=num_buckets,
+                in_schema=sum_schema,
+            )
+            s_map = {
+                n: s
+                for b in contribs.iter_batches(batch_format="pyarrow")
+                for n, s in zip(b.column("node").to_pylist(), b.column("s").to_pylist())
             }
+            # same np.round kernel as tele() so both plans round identically
+            s_arr = np.asarray([s_map.get(n, 0.0) for n in node_list], dtype=np.float64)
+            r_arr = np.round((1.0 - damping) / n_nodes + damping * s_arr, round_dp)
+            ranks = dict(zip(node_list, r_arr.tolist()))
         out = rd.from_arrow(
             pa.table(
                 {
