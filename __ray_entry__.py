@@ -872,6 +872,29 @@ def _q_events_users_except(sf_dir):
     return sort_coalesced(out, ["user_id", "day"])
 
 
+def _q_events_latest_per_user(sf_dir):
+    """Keep-newest-row-per-key (latest event per user under (ts, event_id)):
+    per-batch one-candidate-per-key combiner + one coarse-bucket exchange —
+    the standard keep-latest-version curation op."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import latest_per_key
+    from text_to_graph_ray.util import read_parquet_clean, sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    out = latest_per_key(ev, "user_id", ["ts", "event_id"], out_schema, descending=True)
+    return sort_coalesced(out, "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -946,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_topk": _q_kg_pagerank_topk,
         "events_users_intersect": _q_events_users_intersect,
         "events_users_except": _q_events_users_except,
+        "events_latest_per_user": _q_events_latest_per_user,
     }
 
 
@@ -1098,6 +1122,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, lead(value) OVER w AS next_value, "
             "value + lag(value, 1) OVER w + lag(value, 2) OVER w AS w3_sum FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+        ),
+        "events_latest_per_user": (
+            "SELECT event_id, ts, user_id, event_type, value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 "
+            "ORDER BY user_id"
         ),
         "events_users_intersect": (
             "SELECT user_id FROM events WHERE event_type = 'click' "

@@ -1032,3 +1032,51 @@ def test_set_op_rows_empty_sides(ray_session):
     assert set_op_rows(a, empty, ["x"], schema, op="intersect").count() == 0
     got = set_op_rows(a, empty, ["x"], schema, op="except").to_pandas().sort_values("x").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, pd.DataFrame({"x": [1, 2, 3]}).astype("int64"))
+
+
+def test_latest_per_key_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import latest_per_key
+
+    rng = np.random.default_rng(61)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, n).astype("int64"),
+            # duplicate ts values force the id tiebreaker
+            "ts": rng.integers(0, 50, n).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.normal(size=n),
+        }
+    )
+    schema = pa.schema([("k", pa.int64()), ("ts", pa.int64()), ("id", pa.int64()), ("v", pa.float64())])
+    got = (
+        latest_per_key(rd.from_pandas(df).repartition(7), "k", ["ts", "id"], schema, descending=True)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["ts", "id"], ascending=False, kind="mergesort")
+        .drop_duplicates("k", keep="first")
+        .sort_values("k")
+        .reset_index(drop=True)[["k", "ts", "id", "v"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # ascending = keep-oldest
+    got_min = (
+        latest_per_key(rd.from_pandas(df).repartition(7), "k", ["ts", "id"], schema, descending=False)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want_min = (
+        df.sort_values(["ts", "id"], kind="mergesort")
+        .drop_duplicates("k", keep="first")
+        .sort_values("k")
+        .reset_index(drop=True)[["k", "ts", "id", "v"]]
+    )
+    pd.testing.assert_frame_equal(got_min, want_min)

@@ -347,3 +347,35 @@ def set_op_rows(ds_a, ds_b, cols, out_schema: pa.Schema, op: str = "intersect", 
     return bucket_exchange(
         with_bucket(unioned, cols, num_buckets, in_schema=tagged_schema), per_bucket, out_schema, num_buckets
     )
+
+
+def latest_per_key(ds, keys, order_by, out_schema: pa.Schema, descending=True, num_buckets: int = 64):
+    """Keep exactly one row per key: the FIRST under ``order_by`` sorted
+    ``descending`` (i.e. the latest when order_by is a timestamp) — SQL's
+    ``QUALIFY row_number() OVER (PARTITION BY keys ORDER BY ... DESC) = 1``.
+    The standard keep-newest-version curation op over a mutable corpus.
+
+    Determinism contract: ``order_by`` must be a total order within each key
+    (append a unique id column as the last tiebreaker).
+
+    Scale shape: a per-batch combiner keeps one candidate row per key per
+    batch (drop_duplicates over a key-sorted frame — vectorized), so the
+    exchange carries at most one row per key per upstream batch; one
+    coarse-bucket shuffle then picks the global winner the same way.
+    """
+    keys = _as_key_list(keys)
+    order_by = _as_key_list(order_by)
+    asc = [not descending] * len(order_by) if isinstance(descending, bool) else [not d for d in descending]
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        if BUCKET_COL in df.columns:
+            df = df.drop(columns=[BUCKET_COL])
+        d = df.sort_values(order_by, ascending=asc, kind="mergesort").drop_duplicates(keys, keep="first")
+        return pa.table({f.name: pa.array(d[f.name], type=f.type) for f in out_schema})
+
+    pre = ds.map_batches(pick, batch_format="pandas", batch_size=None)
+    return bucket_exchange(
+        with_bucket(pre, keys, num_buckets, in_schema=out_schema), pick, out_schema, num_buckets
+    )
