@@ -895,6 +895,14 @@ def _q_events_latest_per_user(sf_dir):
     return sort_coalesced(out, "user_id")
 
 
+def _q_events_day_rank(sf_dir):
+    """RANK + DENSE_RANK per user over event days (real ties; tie-insensitive
+    by construction), one keyed coarse-bucket exchange."""
+    from text_to_graph_ray.pipelines.analytics import user_day_ranks
+
+    return user_day_ranks(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -970,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_intersect": _q_events_users_intersect,
         "events_users_except": _q_events_users_except,
         "events_latest_per_user": _q_events_latest_per_user,
+        "events_day_rank": _q_events_day_rank,
     }
 
 
@@ -1122,6 +1131,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, lead(value) OVER w AS next_value, "
             "value + lag(value, 1) OVER w + lag(value, 2) OVER w AS w3_sum FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+        ),
+        "events_day_rank": (
+            "SELECT event_id, user_id, "
+            "rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS rnk, "
+            "dense_rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS drnk "
+            "FROM events ORDER BY event_id"
         ),
         "events_latest_per_user": (
             "SELECT event_id, ts, user_id, event_type, value FROM events "

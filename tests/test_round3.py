@@ -1080,3 +1080,42 @@ def test_latest_per_key_matches_pandas(ray_session):
         .reset_index(drop=True)[["k", "ts", "id", "v"]]
     )
     pd.testing.assert_frame_equal(got_min, want_min)
+
+
+def test_user_day_ranks_matches_pandas(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import user_day_ranks
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 30, n).astype("int64"),
+            # few distinct days -> heavy ties within each user
+            "ts": pd.to_datetime(rng.integers(0, 5, n) * 86400 + rng.integers(0, 86400, n), unit="s").astype(
+                "datetime64[us]"
+            ),
+            "event_type": "t",
+            "value": 0.0,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "events.parquet"))
+
+    got = user_day_ranks(str(tmp_path)).to_pandas().reset_index(drop=True)
+
+    day = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+    w = pd.DataFrame({"event_id": df["event_id"], "user_id": df["user_id"], "day": day})
+    g = w.groupby("user_id", sort=False)["day"]
+    want = pd.DataFrame(
+        {
+            "event_id": w["event_id"],
+            "user_id": w["user_id"],
+            "rnk": g.rank(method="min").astype("int64"),
+            "drnk": g.rank(method="dense").astype("int64"),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (want.groupby("user_id")["drnk"].max() <= 5).all()  # ties actually occurred

@@ -802,3 +802,40 @@ def user_window_frame(sf_dir: str):
 
     out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
     return sort_coalesced(out, "event_id")
+
+
+def user_day_ranks(sf_dir: str):
+    """RANK + DENSE_RANK with genuine ties: each event ranked within its user
+    by event DAY (many same-day events per user). Rank depends only on value
+    multiplicity — deterministic regardless of row order, so no tiebreaker
+    column is needed (unlike row_number). One keyed coarse-bucket exchange;
+    per-bucket ranks are pandas' C-level rank(method='min'/'dense')."""
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    in_schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64())])
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("rnk", pa.int64()), ("drnk", pa.int64())]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        work = pd.DataFrame({"event_id": df["event_id"].to_numpy(), "user_id": df["user_id"].to_numpy(), "day": day})
+        g = work.groupby("user_id", sort=False)["day"]
+        rnk = g.rank(method="min").to_numpy().astype("int64")
+        drnk = g.rank(method="dense").to_numpy().astype("int64")
+        return pa.table(
+            {
+                "event_id": pa.array(work["event_id"], type=pa.int64()),
+                "user_id": pa.array(work["user_id"], type=pa.int64()),
+                "rnk": pa.array(rnk, type=pa.int64()),
+                "drnk": pa.array(drnk, type=pa.int64()),
+            }
+        )
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_id")
