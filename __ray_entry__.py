@@ -682,6 +682,20 @@ def _q_mm_decode(sf_dir):
     return decode_stats(media)
 
 
+def _q_mm_features(sf_dir):
+    """Image feature-extraction stage (2x2 quadrant-pooled means + global
+    std) over the media stream's image partition — actor pool, flat float
+    columns, vs an independent naive reimplementation
+    (expected.naive_mm_features)."""
+    from text_to_graph_ray.functions.multimodal import ExtractImageFeatures, media_table_from_documents
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+    return media.map_batches(
+        ExtractImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    ).sort("media_id")
+
+
 def _q_text_tfidf_topk(sf_dir):
     """Top-3 tf-idf terms per document (tf exchange-free, df one
     vocabulary-sized aggregate, guarded-broadcast join, combiner-first
@@ -957,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": _q_mm_decode,
         "mm_resize": _q_mm_resize,
         "mm_frames": _q_mm_frames,
+        "mm_features": _q_mm_features,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "kg_fixture_triples": _q_kg_fixture_triples,
         "kg_fixture_nodes": _q_kg_fixture_nodes,
@@ -1029,6 +1044,10 @@ def oracle_sql() -> dict[str, str]:
         "mm_frames": (
             f"SELECT media_id, n_frames, n_sampled, frames_sum "
             f"FROM read_parquet('{e}/expected_mm_frames.parquet')"
+        ),
+        "mm_features": (
+            f"SELECT media_id, f00, f01, f10, f11, fstd "
+            f"FROM read_parquet('{e}/expected_mm_features.parquet')"
         ),
         "kg_chunks": f"SELECT repo, path, n_chunks, n_tokens FROM read_parquet('{d}/expected_chunks.parquet')",
         "kg_run_checkpointed": f"SELECT run, parts_total, parts_skipped, parts_computed, nodes, edges FROM read_parquet('{d}/expected_run.parquet')",

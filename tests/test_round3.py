@@ -1119,3 +1119,23 @@ def test_user_day_ranks_matches_pandas(ray_session, tmp_path):
     ).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert (want.groupby("user_id")["drnk"].max() <= 5).all()  # ties actually occurred
+
+
+def test_extract_image_features_matches_naive(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.expected import naive_mm_features
+    from text_to_graph_ray.functions.multimodal import ExtractImageFeatures, media_table_from_documents
+
+    docs = pd.DataFrame({"doc_id": range(30), "text": [f"doc text {i} " * (i % 7 + 1) for i in range(30)]})
+    media = rd.from_pandas(docs).map_batches(media_table_from_documents, batch_format="pyarrow")
+    got = (
+        media.map_batches(ExtractImageFeatures, batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    rows = [f for f in (naive_mm_features(i, t) for i, t in zip(docs["doc_id"], docs["text"])) if f is not None]
+    want = pd.DataFrame(rows, columns=["media_id", "f00", "f01", "f10", "f11", "fstd"]).astype({"media_id": "int64"})
+    assert len(want) == 10  # ids 0,3,6,... are images
+    pd.testing.assert_frame_equal(got, want)

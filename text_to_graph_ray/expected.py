@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v7"  # v7: +expected_mm_frames
+EXPECTED_ROOT = "/tmp/graft_expected/v8"  # v8: +expected_mm_features
 
 _MERSENNE = (1 << 61) - 1
 
@@ -433,6 +433,28 @@ def naive_mm_resize(doc_id: int, text: str, tw: int = 4, th: int = 4):
     return doc_id, kind, tw, th, round(float(small.mean()), 4)
 
 
+def naive_mm_features(doc_id: int, text: str):
+    """(media_id, f00, f01, f10, f11, fstd) for the 2x2 quadrant-pooled
+    image feature stage (image rows only) — independent reimplementation of
+    the documented fake-decode + pooling semantics."""
+    payload = (text or "").encode("utf-8")
+    crc = zlib.crc32(payload)
+    kind = ("image", "audio", "video")[doc_id % 3]
+    if kind != "image":
+        return None
+    w, h = 8 + (crc % 8), 8
+    img = np.random.RandomState(crc).randint(0, 256, size=(h, max(w, 1), 3)).astype(np.float32)
+    hh, ww = h // 2, w // 2
+    return (
+        doc_id,
+        round(float(img[:hh, :ww].mean()), 4),
+        round(float(img[:hh, ww:].mean()), 4),
+        round(float(img[hh:, :ww].mean()), 4),
+        round(float(img[hh:, ww:].mean()), 4),
+        round(float(img.std()), 4),
+    )
+
+
 def naive_mm_frames(doc_id: int, text: str, stride: int = 10):
     """(media_id, n_frames, n_sampled, frames_sum) for the video
     frame-sampling stage (video rows only) — independent reimplementation of
@@ -706,6 +728,22 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "out_w": pa.array([m[2] for m in rz], type=pa.int64()),
                 "out_h": pa.array([m[3] for m in rz], type=pa.int64()),
                 "resized_mean": pa.array([m[4] for m in rz], type=pa.float64()),
+            }
+        ),
+    )
+
+    ft = [f for f in (naive_mm_features(i, t) for i, t in zip(ids, texts)) if f is not None]
+    _write(
+        tmp,
+        "expected_mm_features",
+        pa.table(
+            {
+                "media_id": pa.array([m[0] for m in ft], type=pa.int64()),
+                "f00": pa.array([m[1] for m in ft], type=pa.float64()),
+                "f01": pa.array([m[2] for m in ft], type=pa.float64()),
+                "f10": pa.array([m[3] for m in ft], type=pa.float64()),
+                "f11": pa.array([m[4] for m in ft], type=pa.float64()),
+                "fstd": pa.array([m[5] for m in ft], type=pa.float64()),
             }
         ),
     )

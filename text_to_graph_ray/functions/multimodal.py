@@ -233,3 +233,50 @@ def decode_stats(media_ds, concurrency: int = 2, batch_size: int = 64):
     return media_ds.map_batches(
         DecodeMedia, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency)
     ).sort("media_id")
+
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("f00", pa.float64()),
+        ("f01", pa.float64()),
+        ("f10", pa.float64()),
+        ("f11", pa.float64()),
+        ("fstd", pa.float64()),
+    ]
+)
+
+
+class ExtractImageFeatures:
+    """Actor-pool feature-extraction stage: image rows -> a fixed pooled
+    feature vector (2x2 quadrant means + global std, the spatial-pyramid
+    pooling a pre-training filter would feed a classifier). The pooling math
+    is real; only the pixel source is the deterministic fake decoder (real
+    decode via PIL when available, same dual path as DecodeImage). Non-image
+    rows are dropped (this stage consumes the image partition of the media
+    stream). Flat float columns, not a list column, so the driver's
+    value-hash comparison sees plain scalars."""
+
+    def __init__(self, fake: bool = True):
+        self.decoder = DecodeImage(fake=fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {f.name: [] for f in FEATURE_SCHEMA}
+        for mid, kind, p, w, h in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            img = self.decoder._decode(p, int(w), int(h))
+            hh, ww = img.shape[0] // 2, img.shape[1] // 2
+            rows["media_id"].append(int(mid))
+            rows["f00"].append(round(float(img[:hh, :ww].mean()), 4))
+            rows["f01"].append(round(float(img[:hh, ww:].mean()), 4))
+            rows["f10"].append(round(float(img[hh:, :ww].mean()), 4))
+            rows["f11"].append(round(float(img[hh:, ww:].mean()), 4))
+            rows["fstd"].append(round(float(img.std()), 4))
+        return pa.table({f.name: pa.array(rows[f.name], type=f.type) for f in FEATURE_SCHEMA})
