@@ -125,7 +125,12 @@ def bucket_exchange(
     """
     import ray.data as rd
 
-    bucketed = bucketed.materialize()
+    from text_to_graph_ray.util import compact_nonempty
+
+    # drop zero-row blocks up front: Ray's FUSED map chains drop empty batches
+    # BETWEEN stages, so an empty input block turns the whole task's output
+    # schema-less — both in the uniq estimation pass below and in consumers
+    bucketed = compact_nonempty(bucketed.materialize())
     n = bucketed.count()
     if n == 0 and out_schema is not None:
         return rd.from_arrow(out_schema.empty_table())
@@ -147,17 +152,16 @@ def bucket_exchange(
         nb = len({r[BUCKET_COL] for r in per_block.repartition(1).map_batches(uniq, batch_format="pyarrow").take_all()})
         p = max(1, min(p, nb // 2))
     out = bucketed.repartition(p).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
-    return _pin_schema(out, out_schema) if out_schema is not None else out
-
-
-def _pin_schema(ds, out_schema: pa.Schema):
-    """Union a zero-row out_schema block so a zero-group input (map_groups
-    emits NO blocks) still yields a dataset with the declared schema.  The
-    pinned block goes FIRST — the union's schema resolves from the first
-    non-empty operand schema."""
-    import ray.data as rd
-
-    return rd.from_arrow(out_schema.empty_table()).union(ds)
+    if out_schema is None:
+        return out
+    # schema pinning without a union template: the groupby was a barrier
+    # anyway, so materialize the (bounded: one table per bucket) result and
+    # drop stray empty blocks — a 0-row template unioned in would reach
+    # downstream fused map chains as a schema-less pass-through block
+    m = compact_nonempty(out.materialize())
+    if m.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    return m
 
 
 def distinct_rows(ds, cols, out_schema: pa.Schema, num_buckets: int = 64):

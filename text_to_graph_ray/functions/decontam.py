@@ -94,31 +94,55 @@ def ngram_contamination(
     ).materialize()  # small by contract (eval split); guarded below
     train_sh = docs.map_batches(shingles(False), batch_format="pyarrow")
 
+    from text_to_graph_ray.util import sort_coalesced
+
     n_eval = eval_grams.count()
     if n_eval <= eval_broadcast_max:
+        # Each document is ROW-ATOMIC (all its grams live in the batch holding
+        # its row) and per-doc grams are already distinct, so the per-doc
+        # shared-gram count is exact WITHIN the batch: shingle -> membership
+        # filter -> count, ONE fused UDF, zero exchanges. (Also avoids Ray's
+        # fused-chain empty-batch drop, which emits schema-less blocks when a
+        # mid-chain stage empties a block.)
         ref = ray.put(
             frozenset(g for b in eval_grams.iter_batches(batch_format="pyarrow") for g in b.column("g").to_pylist())
         )
 
-        def flag(b: pa.Table) -> pa.Table:
+        def count_shared(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
-                return pair_schema.empty_table()
+                return out_schema.empty_table()
             gset = ray.get(ref)
-            keep = np.array([g in gset for g in b.column("g").to_pylist()], dtype=bool)
-            return b.filter(pa.array(keep))
+            src = b.column(source_col).to_pylist()
+            ids = b.column(id_col).to_pylist()
+            out_ids: list[int] = []
+            out_n: list[int] = []
+            for did, s, text in zip(ids, src, b.column(text_col).to_pylist()):
+                if s in eval_set:
+                    continue
+                toks = (text or "").split(" ")
+                if len(toks) < n:
+                    continue
+                # DISTINCT grams per doc (windows may repeat)
+                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                shared_n = sum(1 for g in grams if g in gset)
+                if shared_n:
+                    out_ids.append(int(did))
+                    out_n.append(shared_n)
+            return pa.table(
+                {id_col: pa.array(out_ids, type=pa.int64()), "n_shared": pa.array(out_n, type=pa.int64())}
+            )
 
-        shared = train_sh.map_batches(flag, batch_format="pyarrow")
-    else:
-        from text_to_graph_ray.functions.dedup import join_partitions_for
+        return sort_coalesced(docs.map_batches(count_shared, batch_format="pyarrow"), id_col)
 
-        shared = train_sh.join(
-            eval_grams,
-            join_type="inner",
-            num_partitions=join_partitions_for(),
-            on=("g",),
-            partition_size_hint=32 << 20,
-        )
+    from text_to_graph_ray.functions.dedup import join_partitions_for
 
+    shared = train_sh.join(
+        eval_grams,
+        join_type="inner",
+        num_partitions=join_partitions_for(),
+        on=("g",),
+        partition_size_hint=32 << 20,
+    )
     out = bucketed_aggregate(
         shared,
         id_col,
@@ -127,6 +151,4 @@ def ngram_contamination(
         num_buckets=num_buckets,
         in_schema=pair_schema,
     )
-    from text_to_graph_ray.util import sort_coalesced
-
     return sort_coalesced(out, id_col)

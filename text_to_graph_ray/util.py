@@ -99,14 +99,12 @@ def compact_nonempty(mds):
     """Drop zero-row blocks from a MATERIALIZED dataset, keeping the surviving
     block refs zero-copy (no data moves; metadata-only row counts).
 
-    Why: ``agg._pin_schema`` unions a 0-row template block into every bucket
-    exchange so a zero-group result keeps its declared schema, and skewed
-    shuffles can leave empty partitions. Terminal consumers don't care, but
-    Ray's map stages pass empty input blocks through WITHOUT calling the UDF
-    and with an unknown bundle schema — so any pipeline that keeps chaining
-    stages over the result (e.g. pagerank's per-iteration loop) sees
-    'RefBundle with a different schema' instability. Compacting at the
-    materialization boundary removes the empties before they propagate.
+    Why: skewed or tiny shuffles can leave zero-row blocks in a materialized
+    result, and Ray's FUSED map chains drop empty batches BETWEEN stages, so
+    an empty input block turns a downstream task's output schema-less
+    ('RefBundle with a different schema' instability). Compacting at the
+    materialization boundary removes the empties before they propagate;
+    ``agg.bucket_exchange`` applies this on both its input and its output.
 
     Falls back to the input unchanged when every block is empty (the template
     then IS the schema carrier)."""
