@@ -223,7 +223,9 @@ def minhash_near_dup_pairs(
     # real scale.
     from ray.data.aggregate import Max
 
-    pairs = pairs.materialize()
+    from text_to_graph_ray.util import compact_nonempty
+
+    pairs = compact_nonempty(pairs.materialize())  # empty candidate blocks would pass fused chains schema-less
     cnt = pairs.count()
     if cnt == 0:
         return _empty_pairs("est_jaccard")
@@ -296,7 +298,9 @@ def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
         out = b.select(["a", "b"]).append_column("est_jaccard", pa.array(est, type=pa.float64()))
         return out.filter(pc.greater_equal(out.column("est_jaccard"), threshold))
 
-    est_pairs = j.map_batches(estimate, batch_format="pyarrow").materialize()
+    from text_to_graph_ray.util import compact_nonempty
+
+    est_pairs = compact_nonempty(j.map_batches(estimate, batch_format="pyarrow").materialize())
     cnt = est_pairs.count()
     if cnt == 0:
         return _empty_pairs("est_jaccard")
