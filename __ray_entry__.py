@@ -799,8 +799,9 @@ def _q_graph_pagerank(sf_dir):
 def _q_kg_pagerank_topk(sf_dir):
     """Top-20 PageRank entities of the linked KG (5 iterations over the
     dense-id entity graph, deterministic rank-desc/node-asc ranking, entity
-    keys re-attached). No SQL analogue — the graph is pipeline-derived;
-    covered by the naive power-iteration oracle in tests."""
+    keys re-attached). Oracle: naive power iteration over the expected
+    linked-triples table, precomputed by the synth generator
+    (expected_pagerank.parquet) — bit-identical via per-iteration rounding."""
     import pandas as pd
     import ray.data as rd
 
@@ -1226,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id"
         ),
         "kg_components": f"SELECT component, size FROM read_parquet('{d}/expected_components.parquet')",
+        "kg_pagerank_topk": f"SELECT entity_key, rank FROM read_parquet('{d}/expected_pagerank.parquet')",
         "kg_scored_links": f"SELECT mention, matched, score FROM read_parquet('{ks}/expected_scored_links.parquet')",
         "kg_degree_topk": (
             f"SELECT entity_key, count(*)::BIGINT AS degree FROM ("

@@ -347,7 +347,7 @@ def expected_tables(triples_by_file, link: bool):
 
 # version-tagged cache dir: bump when the generator changes so stale corpora
 # are never reused across code versions
-SYNTH_ROOT = "/tmp/graft_synth/v5"
+SYNTH_ROOT = "/tmp/graft_synth/v6"  # v6: +expected_pagerank
 
 _SF_FILES = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
 
@@ -429,6 +429,39 @@ def _build_synth(tag: str, seed: int, tmp: str) -> None:
         ),
         os.path.join(tmp, "expected_components.parquet"),
     )
+
+    # PageRank oracle over the linked graph: naive power iteration with the
+    # engine's documented semantics (DISTINCT edges, uniform init, no dangling
+    # redistribution, np.round at every iteration boundary), ranked on the
+    # expected dense entity ids, top 20 — the kg_pagerank_topk oracle
+    import numpy as np
+
+    id_of = {n["entity_key"]: n["entity_id"] for n in nds}
+    dedges = sorted({(t["src_key"], t["dst_key"]) for t in linked_triples})
+    pnodes = sorted({k for e in dedges for k in e})
+    if pnodes:
+        N = len(pnodes)
+        outdeg: dict = {}
+        for a, _ in dedges:
+            outdeg[a] = outdeg.get(a, 0) + 1
+        r = {k: float(np.round(1.0 / N, 9)) for k in pnodes}
+        d = 0.85
+        for _ in range(5):
+            sacc = {k: 0.0 for k in pnodes}
+            for a, b in dedges:
+                sacc[b] += r[a] / outdeg[a]
+            arr = np.round((1.0 - d) / N + d * np.array([sacc[k] for k in pnodes]), 9)
+            r = dict(zip(pnodes, arr.tolist()))
+        top = sorted(pnodes, key=lambda k: (-r[k], id_of[k]))[:20]
+        pq.write_table(
+            pa.table(
+                {
+                    "entity_key": pa.array(top, type=pa.string()),
+                    "rank": pa.array([r[k] for k in top], type=pa.float64()),
+                }
+            ),
+            os.path.join(tmp, "expected_pagerank.parquet"),
+        )
 
     # chunk-count oracle: the chunker is deterministic, so its per-file chunk
     # counts ARE reproducible at generation time (single-threaded, no Ray) —
