@@ -87,3 +87,33 @@ def test_merge_bucket_packed_edge_idempotent(rows):
     once = merge_bucket_packed(df).to_pandas()
     twice = merge_bucket_packed(once).to_pandas()
     assert once.equals(twice)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", ""]), min_size=0, max_size=12).map(" ".join),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_shingle_rows_distinct_ngram_spec(texts):
+    """decontam._shingle_rows emits exactly the DISTINCT space-joined n-token
+    windows per doc, once each — the tokenization contract the SQL oracle's
+    list-slice n-grams rely on."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.decontam import _shingle_rows
+
+    n = 3
+    ids = np.arange(len(texts), dtype="int64")
+    out_ids, out_grams = _shingle_rows(texts, ids, n)
+    got: dict = {}
+    for i, g in zip(out_ids, out_grams):
+        got.setdefault(i, []).append(g)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        want = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)} if len(toks) >= n else set()
+        have = got.get(i, [])
+        assert set(have) == want
+        assert len(have) == len(want)  # once each — no duplicates
