@@ -218,8 +218,91 @@ def run_scaling() -> dict:
     }
 
 
+def run_once_dedup() -> dict:
+    """Timed minhash near-dup pass over the doc scaling corpus (child of
+    run_scaling_dedup; GRAFT_DEDUP_INPUT points at the corpus dir)."""
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
+
+    corpus = os.environ["GRAFT_DEDUP_INPUT"]
+    # warm-up: page-cache one column + spin workers with a tiny pass
+    read_parquet_clean(corpus, columns=["doc_id"]).count()
+    small = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    minhash_near_dup_pairs(small, threshold=0.5).count()
+
+    t0 = time.monotonic()
+    docs = read_parquet_clean(corpus, columns=["doc_id", "text"])
+    n_pairs = minhash_near_dup_pairs(docs, threshold=0.5, signature_join="auto").count()
+    wall = round(time.monotonic() - t0, 3)
+    n_docs = docs.count()
+    out = {
+        "metric": "dedup_minhash_wall",
+        "value": wall,
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "pairs": n_pairs,
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling_dedup() -> dict:
+    """Second scaling pair, different workload: MinHash+LSH near-dup over a
+    400k-doc corpus at 8 vs 32 CPUs in fresh processes — evidence that the
+    LLM-data-ops side of the engine scales like the KG side does."""
+    import subprocess
+
+    from text_to_graph_ray.synth import ensure_doc_scaling_corpus
+
+    corpus = ensure_doc_scaling_corpus(n_docs=int(os.environ.get("GRAFT_DEDUP_DOCS", "400000")))
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, GRAFT_DEDUP_INPUT=corpus)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--dedup-child"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+    runs_lo = [child(lo) for _ in range(repeats + 1)]
+    runs_hi = [child(hi) for _ in range(repeats + 1)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "dedup_minhash_scaling",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "sec_8_all": [r["value"] for r in runs_lo],
+        "sec_32_all": [r["value"] for r in runs_hi],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "docs": r_lo.get("docs"),
+        "pairs": r_lo.get("pairs"),
+        "docs_per_sec_8": r_lo.get("docs_per_sec"),
+        "docs_per_sec_32": r_hi.get("docs_per_sec"),
+        "corpus": corpus,
+        "num_cpus": [lo, hi],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling_dedup()))
+    elif "--dedup-child" in sys.argv:
+        print(json.dumps(run_once_dedup()))
     else:
         print(json.dumps(run_once()))

@@ -35,7 +35,7 @@ _MERSENNE = (1 << 61) - 1
 
 # above this corpus size the ride-along minhash plan ships each signature
 # `bands` times; the signature-join plan ships it once — switch automatically
-SIGJOIN_AUTO_ROWS = 2_000_000
+SIGJOIN_AUTO_ROWS = 100_000  # ride-along ships docs x bands x k x 8B of sigs; measured loser by 400k docs (131.7 vs 59.3 s at 32 cpus)
 
 
 def _stable_hash_array(strings: list[str]) -> np.ndarray:
@@ -86,8 +86,35 @@ def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def minhash_signatures(ds, text_col="text", id_col="doc_id", k=64, shingle=3, seed=42):
+    """Signature stage as a TASK pool with process-local cached state.
+
+    MinHasher's state (k permutation params) is microseconds to build, so an
+    actor pool buys nothing here — and costs a lot: Ray's autoscaling actor
+    pool ramped to only ~8-9 actors regardless of the (1, N) ceiling on a
+    400k-doc corpus, pinning the stage at ~30 s at BOTH 8 and 32 CPUs
+    (measured). As plain tasks the stage scales with the task scheduler:
+    31.2 s -> 10.2 s (3.06x) on the same corpus. Worker processes are reused,
+    so the per-process cache makes state construction once-per-worker, the
+    actor-pool property that actually mattered."""
+
+    key = (text_col, id_col, k, shingle, seed)
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        h = _MINHASHER_CACHE.get(key)
+        if h is None:
+            h = _MINHASHER_CACHE[key] = MinHasher(text_col=text_col, id_col=id_col, k=k, shingle=shingle, seed=seed)
+        return h(b)
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
 class MinHasher:
-    """Actor-pool stage: permutation parameters built once per actor."""
+    """Signature kernel: permutation parameters built once per process (see
+    minhash_signatures) or per actor."""
 
     def __init__(self, text_col="text", id_col="doc_id", k=64, shingle=3, seed=42):
         self.text_col, self.id_col = text_col, id_col
@@ -181,7 +208,9 @@ def minhash_near_dup_pairs(
     signature_join=False,
 ):
     """Documents -> candidate near-dup pairs (a < b, est_jaccard >= threshold),
-    deduped across bands, sorted.
+    deduped across bands, sorted. (``concurrency`` is retained for API
+    compatibility; the signature stage now runs as a task pool — see
+    minhash_signatures.)
 
     Two physically different plans, value-identical output (asserted in
     tests):
@@ -198,12 +227,7 @@ def minhash_near_dup_pairs(
     """
     if signature_join == "auto":
         signature_join = ds.count() >= SIGJOIN_AUTO_ROWS
-    sigs = ds.map_batches(
-        MinHasher,
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k, "shingle": shingle, "seed": seed},
-    )
+    sigs = minhash_signatures(ds, text_col=text_col, id_col=id_col, k=k, shingle=shingle, seed=seed)
     if signature_join:
         return _minhash_pairs_signature_join(sigs, bands, threshold)
     # coalesce to <= cardinality/2 blocks so the bucket groupby's sort-shuffle

@@ -589,3 +589,54 @@ def ensure_scaling_corpus(n_files: int = 100_000, n_funcs: int = 8, body_lines: 
             pq.write_table(pa.table(rows), os.path.join(tmp, f"shard-{s:04d}.parquet"), row_group_size=256)
 
     return ensure_dir_once(out, build)
+
+
+def ensure_doc_scaling_corpus(n_docs: int = 400_000, tokens_per_doc: int = 400, seed: int = 7, shards: int = 128) -> str:
+    """A larger synthetic DOCUMENTS corpus for the dedup scaling pair —
+    (doc_id, text, source) sharded parquet, deterministic, with a 2%
+    near-duplicate injection so LSH pair-generation does real work. No
+    oracle (the scaling run measures throughput; correctness is covered by
+    the sf-dir dedup queries)."""
+    import numpy as np
+
+    from text_to_graph_ray.util import ensure_dir_once
+
+    tag = f"docs-{n_docs}x{tokens_per_doc}"
+    out = os.path.join(SCALING_ROOT, tag)
+
+    def build(tmp: str) -> None:
+        rng = np.random.default_rng(seed)
+        vocab = np.array([f"w{i}" for i in range(50_000)])
+        per_shard = (n_docs + shards - 1) // shards
+        gid = 0
+        prev_tokens = None
+        for s in range(shards):
+            rows = {"doc_id": [], "text": [], "source": []}
+            count = min(per_shard, n_docs - gid)
+            if count <= 0:
+                break
+            # vectorized: one (count, tokens_per_doc) token-index draw per shard
+            idx = rng.integers(0, len(vocab), size=(count, tokens_per_doc))
+            for r in range(count):
+                toks = vocab[idx[r]]
+                if prev_tokens is not None and gid % 50 == 0:  # 2% near-dups
+                    toks = prev_tokens.copy()
+                    toks[:: 17] = vocab[rng.integers(0, len(vocab), size=len(toks[::17]))]
+                prev_tokens = toks
+                rows["doc_id"].append(gid)
+                rows["text"].append(" ".join(toks))
+                rows["source"].append(f"src{gid % 20}")
+                gid += 1
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                        "text": pa.array(rows["text"], type=pa.string()),
+                        "source": pa.array(rows["source"], type=pa.string()),
+                    }
+                ),
+                os.path.join(tmp, f"shard-{s:04d}.parquet"),
+                row_group_size=512,
+            )
+
+    return ensure_dir_once(out, build)

@@ -107,7 +107,11 @@ def compact_nonempty(mds):
     ``agg.bucket_exchange`` applies this on both its input and its output.
 
     Falls back to the input unchanged when every block is empty (the template
-    then IS the schema carrier)."""
+    then IS the schema carrier).
+
+    Contract: blocks must be Arrow (true for every exchange in this repo —
+    per-bucket UDFs return pa.Table); ``from_arrow_refs`` would misread
+    pandas blocks."""
     import ray.data as rd
 
     keep = []
