@@ -186,12 +186,7 @@ def ivf_topk(
     ref = ray.put((q_ids, q_mat, q_lists))
     cent_ref = ray.put(cent)
 
-    assigned = ds.map_batches(
-        IvfAssigner,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_col": vec_col},
-    )
+    assigned = ivf_assigned(ds, cent_ref, vec_col)
 
     def score(batch: pa.Table) -> pa.Table:
         qi, qm, ql = ray.get(ref)
@@ -227,9 +222,44 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+_STAGE_CACHE: dict = {}
+
+
+def lsh_bucketed(ds, dim: int, n_planes: int, seed: int, vec_col: str):
+    """LshIndexer as a TASK pool with per-process cached planes — trivial
+    state, so a task pool scales with the scheduler while paying the
+    construction once per reused worker process (see NOTES.md: Ray's
+    autoscaling actor pool plateaus well below its ceiling)."""
+    key = ("lsh", dim, n_planes, seed, vec_col)
+
+    def fn(b: pa.Table) -> pa.Table:
+        ix = _STAGE_CACHE.get(key)
+        if ix is None:
+            ix = _STAGE_CACHE[key] = LshIndexer(dim, n_planes, seed, vec_col)
+        return ix(b)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ivf_assigned(ds, centroids_ref, vec_col: str):
+    """IvfAssigner as a TASK pool: centroids fetched once per worker process
+    via the object store (zero-copy shared memory), same rationale as
+    lsh_bucketed."""
+    key = ("ivf", centroids_ref.hex() if hasattr(centroids_ref, "hex") else id(centroids_ref), vec_col)
+
+    def fn(b: pa.Table) -> pa.Table:
+        asg = _STAGE_CACHE.get(key)
+        if asg is None:
+            asg = _STAGE_CACHE[key] = IvfAssigner(centroids_ref=centroids_ref, vec_col=vec_col)
+        return asg(b)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class LshIndexer:
-    """Signed-random-projection bucketer: hyperplanes drawn once per actor
-    from a fixed seed; each batch appends its bucket key."""
+    """Signed-random-projection bucketer: hyperplanes drawn once per process
+    (see lsh_bucketed) or per actor from a fixed seed; each batch appends its
+    bucket key."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 42, vec_col: str = "embedding"):
         rng = np.random.RandomState(seed)
@@ -257,10 +287,7 @@ def lsh_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id", vec_col="embeddin
     q_buckets = indexer.bucket_of(q_mat)
     ref = ray.put((q_ids, q_mat, q_buckets))
 
-    bucketed = ds.map_batches(
-        LshIndexer, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed, "vec_col": vec_col},
-    )
+    bucketed = lsh_bucketed(ds, dim, n_planes, seed, vec_col)
 
     def score(batch: pa.Table) -> pa.Table:
         qi, qm, qb = ray.get(ref)

@@ -560,18 +560,13 @@ def embedding_near_dup_lsh(ds, threshold=0.95, id_col="vec_id", vec_col="embeddi
     fewer planes or multi-probe)."""
     import pandas as pd
 
-    from text_to_graph_ray.functions.ann import LshIndexer
+    from text_to_graph_ray.functions.ann import lsh_bucketed
 
     first = ds.take(1)
     if not first:
         return _empty_pairs("sim")  # pair schema, like every other path
     dim = len(first[0][vec_col])
-    bucketed = ds.map_batches(
-        LshIndexer,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed, "vec_col": vec_col},
-    )
+    bucketed = lsh_bucketed(ds, dim, n_planes, seed, vec_col)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray(g[id_col], dtype=np.int64)
