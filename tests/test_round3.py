@@ -1139,3 +1139,76 @@ def test_extract_image_features_matches_naive(ray_session):
     want = pd.DataFrame(rows, columns=["media_id", "f00", "f01", "f10", "f11", "fstd"]).astype({"media_id": "int64"})
     assert len(want) == 10  # ids 0,3,6,... are images
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_asof_left_outer_int_and_timestamp_payload(ray_session):
+    """Regression: inner=False with an INT or TIMESTAMP right payload used to
+    crash (NaN from the unmatched-left float promotion truncated into the
+    int64 cast); unmatched rows must carry NULL instead."""
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2], dtype="int64"),
+            "ts": pd.to_datetime([100, 200], unit="s"),
+            "user_id": np.array([1, 1], dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": np.array([9], dtype="int64"),
+            "ts": pd.to_datetime([150], unit="s"),
+            "user_id": np.array([1], dtype="int64"),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="ts",
+            by="user_id",
+            left_cols={"l_event": "event_id"},
+            right_cols={"r_event": "event_id", "r_ts": "ts"},  # int64 + timestamp payloads
+            inner=False,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("l_event")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert pd.isna(out.iloc[0]["r_event"]) and pd.isna(out.iloc[0]["r_ts"])  # ts=100: no prior right
+    assert out.iloc[1]["r_event"] == 9 and out.iloc[1]["r_ts"] == 150_000_000  # epoch-us
+
+
+def test_range_join_cap_fails_loudly(ray_session):
+    """max_matches_per_row must raise, not silently truncate."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.joins import range_join
+
+    left = pd.DataFrame(
+        {"ts": pd.to_datetime([0], unit="s"), "user_id": np.array([1], dtype="int64"), "v": [1.0]}
+    )
+    right = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(np.arange(5), unit="s"),
+            "user_id": np.ones(5, dtype="int64"),
+            "w": np.zeros(5),
+        }
+    )
+    kw = dict(
+        on="ts", by="user_id", left_cols={"v": "v"}, right_cols={"w": "w"},
+        lower_us=0, upper_us=10_000_000, num_buckets=2,
+    )
+    ok = range_join(rd.from_pandas(left), rd.from_pandas(right), **kw).to_pandas()
+    assert len(ok) == 4  # window is lower-exclusive: rt == lt+lower_us excluded
+    with pytest.raises(Exception, match="max_matches_per_row"):
+        range_join(
+            rd.from_pandas(left), rd.from_pandas(right), max_matches_per_row=3, **kw
+        ).to_pandas()

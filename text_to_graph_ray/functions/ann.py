@@ -244,14 +244,17 @@ def lsh_bucketed(ds, dim: int, n_planes: int, seed: int, vec_col: str):
 def ivf_assigned(ds, centroids_ref, vec_col: str):
     """IvfAssigner as a TASK pool: centroids fetched once per worker process
     via the object store (zero-copy shared memory), same rationale as
-    lsh_bucketed."""
-    key = ("ivf", centroids_ref.hex() if hasattr(centroids_ref, "hex") else id(centroids_ref), vec_col)
+    lsh_bucketed. Cache is keyed by vec_col ONLY and swaps when the ref
+    changes, so repeated ivf_topk calls don't accumulate stale centroid
+    matrices in long-lived workers."""
+    ref_id = centroids_ref.hex() if hasattr(centroids_ref, "hex") else id(centroids_ref)
 
     def fn(b: pa.Table) -> pa.Table:
-        asg = _STAGE_CACHE.get(key)
-        if asg is None:
-            asg = _STAGE_CACHE[key] = IvfAssigner(centroids_ref=centroids_ref, vec_col=vec_col)
-        return asg(b)
+        key = ("ivf", vec_col)
+        cached = _STAGE_CACHE.get(key)
+        if cached is None or cached[0] != ref_id:
+            cached = _STAGE_CACHE[key] = (ref_id, IvfAssigner(centroids_ref=centroids_ref, vec_col=vec_col))
+        return cached[1](b)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

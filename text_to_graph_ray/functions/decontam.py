@@ -36,15 +36,22 @@ import pyarrow as pa
 EVAL_BROADCAST_MAX_ROWS = 5_000_000  # ~100s of MB of grams; past this, join
 
 
+def _doc_grams(text, n: int) -> set:
+    """DISTINCT n-grams of one doc — THE tokenization contract
+    (``text.split(' ')`` == SQL ``string_split(text, ' ')``); every consumer
+    funnels through here so the contract cannot drift between plans."""
+    toks = (text or "").split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
 def _shingle_rows(texts: list, ids: np.ndarray, n: int):
     """Per-doc DISTINCT n-grams (space-joined token windows)."""
     out_ids: list[int] = []
     out_grams: list[str] = []
     for did, text in zip(ids, texts):
-        toks = (text or "").split(" ")
-        if len(toks) < n:
-            continue
-        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        grams = _doc_grams(text, n)
         out_ids.extend([int(did)] * len(grams))
         out_grams.extend(grams)
     return out_ids, out_grams
@@ -92,7 +99,6 @@ def ngram_contamination(
     eval_grams = distinct_rows(
         docs.map_batches(shingles(True), batch_format="pyarrow"), ["g"], gram_schema, num_buckets=num_buckets
     ).materialize()  # small by contract (eval split); guarded below
-    train_sh = docs.map_batches(shingles(False), batch_format="pyarrow")
 
     from text_to_graph_ray.util import sort_coalesced
 
@@ -119,12 +125,7 @@ def ngram_contamination(
             for did, s, text in zip(ids, src, b.column(text_col).to_pylist()):
                 if s in eval_set:
                     continue
-                toks = (text or "").split(" ")
-                if len(toks) < n:
-                    continue
-                # DISTINCT grams per doc (windows may repeat)
-                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                shared_n = sum(1 for g in grams if g in gset)
+                shared_n = sum(1 for g in _doc_grams(text, n) if g in gset)
                 if shared_n:
                     out_ids.append(int(did))
                     out_n.append(shared_n)
@@ -136,6 +137,7 @@ def ngram_contamination(
 
     from text_to_graph_ray.functions.dedup import join_partitions_for
 
+    train_sh = docs.map_batches(shingles(False), batch_format="pyarrow")
     shared = train_sh.join(
         eval_grams,
         join_type="inner",

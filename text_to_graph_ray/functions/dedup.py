@@ -86,6 +86,28 @@ def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
+def _metadata_row_count(ds):
+    """Row count from parquet footers when the dataset is read-shaped
+    (``input_files()`` resolves) — appended map stages make ``ds.count()``
+    execute a full scan, which the signature_join="auto" decision must not
+    pay. Returns None when footers can't answer (caller falls back)."""
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 _MINHASHER_CACHE: dict = {}
 
 
@@ -226,7 +248,8 @@ def minhash_near_dup_pairs(
     other guarded small-side decisions.
     """
     if signature_join == "auto":
-        signature_join = ds.count() >= SIGJOIN_AUTO_ROWS
+        n = _metadata_row_count(ds)
+        signature_join = (n if n is not None else ds.count()) >= SIGJOIN_AUTO_ROWS
     sigs = minhash_signatures(ds, text_col=text_col, id_col=id_col, k=k, shingle=shingle, seed=seed)
     if signature_join:
         return _minhash_pairs_signature_join(sigs, bands, threshold)

@@ -243,12 +243,11 @@ def pagerank(
     r0 = round(1.0 / n_nodes, round_dp)
     if small:
         # guarded broadcast plan: ranks + outdegs live in one ray.put'd dict
-        deg_map = dict(
-            zip(
-                (v for b in deg.iter_batches(batch_format="pyarrow") for v in b.column("src").to_pylist()),
-                (v for b in deg.iter_batches(batch_format="pyarrow") for v in b.column("d").to_pylist()),
-            )
-        )
+        deg_map = {
+            s: d
+            for b in deg.iter_batches(batch_format="pyarrow")
+            for s, d in zip(b.column("src").to_pylist(), b.column("d").to_pylist())
+        }
         node_list = [v for b in nodes.iter_batches(batch_format="pyarrow") for v in b.column("node").to_pylist()]
         ranks = {v: r0 for v in node_list}
         deg_ref = ray.put(deg_map)

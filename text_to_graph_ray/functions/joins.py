@@ -153,8 +153,13 @@ def asof_join(
         for f in out_schema:
             col = out[f.name]
             if pa.types.is_integer(f.type) and col.dtype.kind == "f":
-                # unmatched-left nulls promoted these to float; round-trip
-                arrays[f.name] = pa.array(col.to_numpy(), type=pa.float64()).cast(f.type)
+                # unmatched-left nulls promoted these to float; NaN must map
+                # to NULL, not crash the int cast (ASOF LEFT JOIN with an
+                # int/timestamp right payload)
+                v = col.to_numpy()
+                arrays[f.name] = pa.array(
+                    [None if np.isnan(x) else int(x) for x in v], type=f.type
+                )
             else:
                 arrays[f.name] = pa.array(col, type=f.type)
         return pa.table(arrays, schema=out_schema)
@@ -179,7 +184,7 @@ def range_join(
     band join, e.g. attribution windows).  Per bucket, per key: one
     ``np.searchsorted`` over the right side's sorted timestamps gives each
     left row its match span; spans expand with ``np.repeat`` — no Python
-    per-row loop.  ``max_matches_per_row`` truncates pathological windows
+    per-row loop.  ``max_matches_per_row`` FAILS LOUDLY on pathological windows
     (a key firing continuously inside every window) — truncation keeps the
     EARLIEST right rows and is deterministic.
     """
@@ -200,7 +205,15 @@ def range_join(
             rt = r[on].to_numpy()
             lo = np.searchsorted(rt, lt + lower_us, side="right")
             hi = np.searchsorted(rt, lt + upper_us, side="right")
-            counts = np.minimum(hi - lo, max_matches_per_row)
+            if int((hi - lo).max(initial=0)) > max_matches_per_row:
+                # loud, not silent: truncation would diverge from the SQL
+                # inequality-join semantics the oracle checks
+                raise ValueError(
+                    f"range_join: a row matched {(hi - lo).max()} right rows > "
+                    f"max_matches_per_row={max_matches_per_row}; raise the cap "
+                    "explicitly if this density is expected"
+                )
+            counts = hi - lo
             if counts.sum() == 0:
                 continue
             li = np.repeat(np.arange(len(l)), counts)

@@ -708,9 +708,9 @@ def event_type_profile(sf_dir: str):
     from text_to_graph_ray.util import sort_coalesced
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    # num_buckets sized to the key's (low) cardinality: empty coarse buckets
-    # would surface as schema-less empty shuffle partitions (NOTES.md round-3)
-    out = nunique_per_group(ev, "event_type", "user_id", out_name="n_users", num_buckets=4)
+    # bucket_exchange sizes the shuffle to the bucket ids actually present,
+    # so low-cardinality keys need no hand-tuned bucket count here
+    out = nunique_per_group(ev, "event_type", "user_id", out_name="n_users")
     return sort_coalesced(out, "event_type")
 
 
