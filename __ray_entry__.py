@@ -918,6 +918,15 @@ def _q_events_day_rank(sf_dir):
     return user_day_ranks(sf_dir)
 
 
+def _q_rel_customer_order_counts(sf_dir):
+    """LEFT OUTER join + aggregate: every customer with its order count
+    (zero kept). Combiner-first: orders pre-collapse to one row per customer
+    before the outer join."""
+    from text_to_graph_ray.pipelines.analytics import customer_order_counts
+
+    return customer_order_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -995,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_except": _q_events_users_except,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_day_rank": _q_events_day_rank,
+        "rel_customer_order_counts": _q_rel_customer_order_counts,
     }
 
 
@@ -1157,6 +1167,11 @@ def oracle_sql() -> dict[str, str]:
             "rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS rnk, "
             "dense_rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS drnk "
             "FROM events ORDER BY event_id"
+        ),
+        "rel_customer_order_counts": (
+            "SELECT c.c_custkey, c.c_name, count(o.o_custkey)::BIGINT AS n_orders "
+            "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey"
         ),
         "events_latest_per_user": (
             "SELECT event_id, ts, user_id, event_type, value FROM events "

@@ -1212,3 +1212,21 @@ def test_range_join_cap_fails_loudly(ray_session):
         range_join(
             rd.from_pandas(left), rd.from_pandas(right), max_matches_per_row=3, **kw
         ).to_pandas()
+
+
+def test_customer_order_counts_keeps_zero_customers(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import customer_order_counts
+
+    cust = pd.DataFrame({"c_custkey": np.arange(10, dtype="int64"), "c_name": [f"c{i}" for i in range(10)]})
+    orders = pd.DataFrame({"o_custkey": np.array([1, 1, 3, 3, 3, 7], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), str(tmp_path / "orders.parquet"))
+
+    got = customer_order_counts(str(tmp_path)).to_pandas().reset_index(drop=True)
+    assert len(got) == 10  # outer: all customers survive
+    want_n = {1: 2, 3: 3, 7: 1}
+    assert all(got.loc[got["c_custkey"] == k, "n_orders"].iloc[0] == want_n.get(k, 0) for k in range(10))
+    assert got["n_orders"].dtype == "int64"

@@ -839,3 +839,48 @@ def user_day_ranks(sf_dir: str):
 
     out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
     return sort_coalesced(out, "event_id")
+
+
+def customer_order_counts(sf_dir: str):
+    """Distributed LEFT OUTER join + aggregate: every customer with its order
+    count, ZERO for customers with no orders. Combiner-first: orders collapse
+    to one (custkey, n) row per customer via a coarse-bucket aggregate BEFORE
+    the join, so the outer join's right side is key-unique and
+    customer-table-sized — the exchange never carries the raw order rows."""
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+    from text_to_graph_ray.util import sort_coalesced
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    per_cust = bucketed_aggregate(
+        orders,
+        "o_custkey",
+        {"n": ("o_custkey", "size")},
+        out_schema=pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]),
+        in_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+    j = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=join_partitions_for(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        partition_size_hint=16 << 20,
+    )
+    out_schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()), ("n_orders", pa.int64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        n = b.column("n").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "n_orders": pa.array([0 if v is None else int(v) for v in n], type=pa.int64()),
+            }
+        )
+
+    return sort_coalesced(j.map_batches(finish, batch_format="pyarrow"), "c_custkey")
