@@ -1230,3 +1230,20 @@ def test_customer_order_counts_keeps_zero_customers(ray_session, tmp_path):
     want_n = {1: 2, 3: 3, 7: 1}
     assert all(got.loc[got["c_custkey"] == k, "n_orders"].iloc[0] == want_n.get(k, 0) for k in range(10))
     assert got["n_orders"].dtype == "int64"
+
+
+def test_metadata_row_count_no_execution(ray_session, tmp_path):
+    """signature_join='auto' sizing must come from parquet footers even when
+    read stages are appended (ds.count() would execute a full scan)."""
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.functions.dedup import _metadata_row_count
+    from text_to_graph_ray.util import read_parquet_clean
+
+    for i in range(3):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64()), "text": ["t"] * 10}),
+            str(tmp_path / f"s{i}.parquet"),
+        )
+    ds = read_parquet_clean(str(tmp_path), columns=["doc_id", "text"])
+    assert _metadata_row_count(ds) == 30

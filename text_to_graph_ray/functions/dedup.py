@@ -91,10 +91,22 @@ def _metadata_row_count(ds):
     (``input_files()`` resolves) — appended map stages make ``ds.count()``
     execute a full scan, which the signature_join="auto" decision must not
     pay. Returns None when footers can't answer (caller falls back)."""
-    try:
-        files = ds.input_files()
-    except Exception:
-        return None
+    import os
+
+    files: list = []
+    src = getattr(ds, "_graft_source", None)  # read_parquet_clean's hint
+    if isinstance(src, str):
+        if os.path.isdir(src):
+            files = [
+                os.path.join(r, n) for r, _, ns in os.walk(src) for n in ns if n.endswith(".parquet")
+            ]
+        elif os.path.isfile(src):
+            files = [src]
+    if not files:
+        try:
+            files = ds.input_files()
+        except Exception:
+            return None
     if not files:
         return None
     import pyarrow.parquet as pq

@@ -44,11 +44,19 @@ def read_parquet_clean(path, **kwargs):
             full = pq.read_schema(path).remove_metadata()
             cols = kwargs.get("columns")
             kwargs = dict(kwargs, schema=pa.schema([full.field(c) for c in cols]) if cols else full)
-            return rd.read_parquet(path, **kwargs)
+            out = rd.read_parquet(path, **kwargs)
+            out._graft_source = path  # footer-count hint (dedup._metadata_row_count)
+            return out
         except (KeyError, OSError):
             pass
     ds = rd.read_parquet(path, **kwargs)
-    return ds.map_batches(_strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = ds.map_batches(_strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # appended stages make Dataset.input_files() come back empty, so carry the
+    # source path as a driver-side hint — lets size-guarded plan decisions
+    # (e.g. signature_join="auto") count rows from parquet footers instead of
+    # executing a full scan
+    out._graft_source = path
+    return out
 
 
 def ensure_dir_once(out: str, build) -> str:
