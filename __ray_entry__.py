@@ -927,6 +927,16 @@ def _q_rel_customer_order_counts(sf_dir):
     return customer_order_counts(sf_dir)
 
 
+def _q_text_repetition(sf_dir):
+    """Gopher-style repetition quality signals (duplicated-2-gram fraction +
+    top-2-gram share), map-only over row-atomic documents."""
+    from text_to_graph_ray.functions.text import repetition_stats
+    from text_to_graph_ray.util import read_parquet_clean, sort_coalesced
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sort_coalesced(ds.map_batches(repetition_stats, batch_format="pyarrow"), "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1005,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": _q_events_latest_per_user,
         "events_day_rank": _q_events_day_rank,
         "rel_customer_order_counts": _q_rel_customer_order_counts,
+        "text_repetition": _q_text_repetition,
     }
 
 
@@ -1167,6 +1178,18 @@ def oracle_sql() -> dict[str, str]:
             "rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS rnk, "
             "dense_rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS drnk "
             "FROM events ORDER BY event_id"
+        ),
+        "text_repetition": (
+            # each output float is ONE IEEE division (+ subtraction) of exact
+            # ints on both sides — bit-identical, no rounding needed
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg "
+            "FROM tok CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)), "
+            "c AS (SELECT doc_id, bg, count(*) AS cnt FROM g GROUP BY doc_id, bg), "
+            "s AS (SELECT doc_id, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS dist, max(cnt) AS maxc "
+            "FROM c GROUP BY doc_id) "
+            "SELECT doc_id, total AS n_bigrams, 1 - dist / total::DOUBLE AS dup_frac, "
+            "maxc / total::DOUBLE AS top_frac FROM s ORDER BY doc_id"
         ),
         "rel_customer_order_counts": (
             "SELECT c.c_custkey, c.c_name, count(o.o_custkey)::BIGINT AS n_orders "

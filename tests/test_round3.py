@@ -1247,3 +1247,17 @@ def test_metadata_row_count_no_execution(ray_session, tmp_path):
         )
     ds = read_parquet_clean(str(tmp_path), columns=["doc_id", "text"])
     assert _metadata_row_count(ds) == 30
+
+
+def test_repetition_stats_known_values():
+    """Hand-computed repetition signals: 'a b a b a' has bigrams
+    [ab, ba, ab, ba] -> 4 total, 2 distinct, max count 2."""
+    from text_to_graph_ray.functions.text import repetition_stats
+
+    b = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()), "text": ["a b a b a", "x", "p q"]})
+    out = repetition_stats(b).to_pandas().set_index("doc_id")
+    assert 2 not in out.index  # single token: no bigrams, no row
+    assert out.loc[1, "n_bigrams"] == 4
+    assert out.loc[1, "dup_frac"] == 1 - 2 / 4
+    assert out.loc[1, "top_frac"] == 2 / 4
+    assert out.loc[3, "n_bigrams"] == 1 and out.loc[3, "dup_frac"] == 0.0 and out.loc[3, "top_frac"] == 1.0

@@ -322,3 +322,39 @@ def tfidf_topk(ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id", d
         scored, id_col, "score", k=k, descending=True, tiebreak="token", out_schema=scored_schema, in_schema=scored_schema
     )
     return sort_coalesced(top, [id_col, "score", "token"], descending=[False, True, False])
+
+
+REPETITION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_bigrams", pa.int64()),
+        ("dup_frac", pa.float64()),
+        ("top_frac", pa.float64()),
+    ]
+)
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality signals per document: the duplicated
+    2-gram fraction (1 - distinct/total) and the most-frequent-2-gram share
+    (max count / total). Map-only (documents are row-atomic); each output
+    float is ONE IEEE division (+ one subtraction) of exact ints, so values
+    are bit-identical to the SQL oracle with no rounding. Docs with < 2
+    tokens emit no row (they have no 2-grams), matching the SQL n-gram
+    expansion."""
+    from collections import Counter
+
+    if batch.num_rows == 0:
+        return REPETITION_SCHEMA.empty_table()
+    out = {f.name: [] for f in REPETITION_SCHEMA}
+    for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        toks = (text or "").split(" ")
+        if len(toks) < 2:
+            continue
+        c = Counter(zip(toks, toks[1:]))
+        total = sum(c.values())
+        out["doc_id"].append(int(did))
+        out["n_bigrams"].append(total)
+        out["dup_frac"].append(1 - len(c) / total)
+        out["top_frac"].append(max(c.values()) / total)
+    return pa.table({f.name: pa.array(out[f.name], type=f.type) for f in REPETITION_SCHEMA})
