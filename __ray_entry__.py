@@ -937,6 +937,15 @@ def _q_text_repetition(sf_dir):
     return sort_coalesced(ds.map_batches(repetition_stats, batch_format="pyarrow"), "doc_id")
 
 
+def _q_pipeline_pretraining(sf_dir):
+    """The full pre-training curation composition: eval-split removal ->
+    quality/lang/repetition gate -> near-dedup -> n-gram decontamination.
+    Oracle: naive single-threaded reimplementation (expected_clean2)."""
+    from text_to_graph_ray.pipelines.curation import pretraining_corpus
+
+    return pretraining_corpus(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1016,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_day_rank": _q_events_day_rank,
         "rel_customer_order_counts": _q_rel_customer_order_counts,
         "text_repetition": _q_text_repetition,
+        "pipeline_pretraining": _q_pipeline_pretraining,
     }
 
 
@@ -1049,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": f"SELECT doc_id FROM read_parquet('{e}/expected_survivors.parquet')",
         "text_packed_seqs": f"SELECT seq_id, n_filled, tok_sum FROM read_parquet('{e}/expected_packed.parquet')",
         "pipeline_clean_corpus": f"SELECT doc_id FROM read_parquet('{e}/expected_clean.parquet')",
+        "pipeline_pretraining": f"SELECT doc_id FROM read_parquet('{e}/expected_clean2.parquet')",
         "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
         "ann_ivf": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_ivf.parquet')",
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v8"  # v8: +expected_mm_features
+EXPECTED_ROOT = "/tmp/graft_expected/v9"  # v9: +expected_clean2 (pretraining composition)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -239,6 +239,55 @@ def naive_clean_corpus(ids: list[int], texts: list[str], min_quality: float = 0.
             kept_ids.append(i)
             kept_texts.append(t)
     return naive_survivors(kept_ids, kept_texts, threshold=threshold)
+
+
+def _naive_dup_frac(text: str) -> float:
+    from collections import Counter
+
+    toks = (text or "").split(" ")
+    if len(toks) < 2:
+        return 0.0
+    c = Counter(zip(toks, toks[1:]))
+    total = sum(c.values())
+    return 1 - len(c) / total
+
+
+def naive_pretraining_corpus(
+    ids: list[int],
+    texts: list[str],
+    sources: list[str],
+    min_quality: float = 0.45,
+    threshold: float = 0.5,
+    max_dup_frac: float = 0.06,
+    eval_sources: tuple = ("src0", "src1"),
+    n: int = 8,
+) -> list[int]:
+    """Single-threaded reimplementation of pipelines.curation.pretraining_corpus."""
+    ev = set(eval_sources)
+
+    def grams(text):
+        toks = (text or "").split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+    eval_grams: set = set()
+    for i, t, src in zip(ids, texts, sources):
+        if src in ev:
+            eval_grams |= grams(t)
+
+    kept_ids, kept_texts = [], []
+    for i, t, src in zip(ids, texts, sources):
+        if src in ev:
+            continue
+        if naive_quality(t)[3] < min_quality or naive_lang(t) != "en":
+            continue
+        if _naive_dup_frac(t) > max_dup_frac:
+            continue
+        kept_ids.append(i)
+        kept_texts.append(t)
+
+    survivors = naive_survivors(kept_ids, kept_texts, threshold=threshold)
+    text_of = dict(zip(ids, texts))
+    return [i for i in survivors if not (grams(text_of[i]) & eval_grams)]
 
 
 def naive_packed_sequences(ids: list[int], texts: list[str], seq_len: int = 1024, vocab: int = 32768):
@@ -574,9 +623,10 @@ def ensure_doc_expected(sf_dir: str) -> str:
 
 
 def _build_doc_expected(sf_dir: str, tmp: str) -> None:
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"])
     ids = docs.column("doc_id").to_pylist()
     texts = [t or "" for t in docs.column("text").to_pylist()]
+    sources = docs.column("source").to_pylist()
 
     # per-document text heuristics
     langs = [naive_lang(t) for t in texts]
@@ -647,6 +697,11 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
     # curation composition: gate then dedup
     clean = naive_clean_corpus(ids, texts)
     _write(tmp, "expected_clean", pa.table({"doc_id": pa.array(clean, type=pa.int64())}))
+
+    # full pretraining composition: eval-split removal -> quality/lang/
+    # repetition gate -> near-dedup survivors -> n-gram decontamination
+    clean2 = naive_pretraining_corpus(ids, texts, sources)
+    _write(tmp, "expected_clean2", pa.table({"doc_id": pa.array(clean2, type=pa.int64())}))
 
     # ngram-verified pairs: 32-band candidates + exact word-3-shingle jaccard
     a32, b32, est32 = naive_minhash_pairs(ids, texts, bands=32)

@@ -44,3 +44,88 @@ def clean_corpus_survivors(sf_dir: str, min_quality: float = 0.45, threshold: fl
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     gated = docs.map_batches(lambda b: quality_lang_gate(b, min_quality), batch_format="pyarrow")
     return near_dup_survivors(gated, threshold=threshold)
+
+
+def pretraining_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple = ("en",), max_dup_frac: float = 0.06) -> pa.Table:
+    """quality_lang_gate + the Gopher-style repetition cap, fused (one text
+    scan per doc for the heuristics, one bigram pass for the repetition)."""
+    from collections import Counter
+
+    from text_to_graph_ray.functions.text import detect_lang, quality_score
+
+    texts = batch.column("text").to_pylist()
+    qual = quality_score(batch)
+    keep = []
+    for q, t in zip(qual.column("quality").to_pylist(), texts):
+        if q < min_quality or detect_lang(t or "") not in langs:
+            keep.append(False)
+            continue
+        toks = (t or "").split(" ")
+        if len(toks) >= 2:
+            c = Counter(zip(toks, toks[1:]))
+            total = sum(c.values())
+            if 1 - len(c) / total > max_dup_frac:
+                keep.append(False)
+                continue
+        keep.append(True)
+    return batch.filter(pa.array(keep))
+
+
+def pretraining_corpus(
+    sf_dir: str,
+    min_quality: float = 0.45,
+    threshold: float = 0.5,
+    max_dup_frac: float = 0.06,
+    eval_sources: tuple = ("src0", "src1"),
+    n: int = 8,
+):
+    """The full pre-training curation pass a 100 TB job runs, composed from
+    operators the driver hash-checks in isolation:
+
+        read(documents)                          pruned columns
+          -> drop the eval split                 (it is the benchmark)
+          -> quality + language + repetition gate  one fused map_batches
+          -> near-dup removal                    minhash -> CC -> keep-min
+          -> benchmark decontamination           drop docs sharing any
+                                                 n-gram with the eval split
+          -> surviving doc ids                   sorted, sink-ready
+
+    Oracle: expected_clean2.parquet, a naive single-threaded reimplementation
+    in expected.py."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.decontam import ngram_contamination
+    from text_to_graph_ray.functions.dedup import near_dup_survivors
+    from text_to_graph_ray.util import sort_coalesced
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    eval_set = set(eval_sources)
+
+    def train_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        keep = [s not in eval_set for s in b.column("source").to_pylist()]
+        return b.filter(pa.array(keep)).select(["doc_id", "text"])
+
+    gated = docs.map_batches(train_only, batch_format="pyarrow").map_batches(
+        lambda b: pretraining_gate(b, min_quality, ("en",), max_dup_frac), batch_format="pyarrow"
+    )
+    survivors = near_dup_survivors(gated, threshold=threshold)  # (doc_id,)
+
+    contaminated = ngram_contamination(docs, eval_sources=eval_sources, n=n)  # (doc_id, n_shared)
+    bad = contaminated.map_batches(
+        lambda b: b.select(["doc_id"]) if b.num_rows else pa.schema([("doc_id", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    clean = survivors.join(
+        bad,
+        join_type="left_anti",
+        num_partitions=join_partitions_for(),
+        on=("doc_id",),
+        partition_size_hint=16 << 20,
+    )
+    return sort_coalesced(clean, "doc_id")
