@@ -957,11 +957,15 @@ def test_pagerank_matches_naive_both_plans(ray_session):
     ds = rd.from_pandas(e.astype("int64")).repartition(5)
     want = _naive_pagerank(e)
 
-    got = pagerank(ds).to_pandas().reset_index(drop=True)
+    got = pagerank(ds).to_pandas().reset_index(drop=True)  # tiny-graph driver plan
     pd.testing.assert_frame_equal(got, want)
 
-    # broadcast_max=0 forces the distributed join plan; must be identical
-    got_j = pagerank(ds, broadcast_max=0).to_pandas().reset_index(drop=True)
+    # collect_max=0 forces the distributed broadcast plan; must be identical
+    got_b = pagerank(ds, collect_max=0).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, want)
+
+    # + broadcast_max=0 forces the distributed join plan; must be identical
+    got_j = pagerank(ds, collect_max=0, broadcast_max=0).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got_j, want)
 
 

@@ -130,6 +130,7 @@ def pagerank(
     round_dp: int = 9,
     broadcast_max: int = 5_000_000,
     num_buckets: int = 64,
+    collect_max: int = 2_000_000,
 ):
     """Fixed-iteration PageRank over a DISTINCT directed edge set:
     ``r_{t+1}(v) = (1-d)/N + d * sum_{(u,v)} r_t(u)/outdeg(u)`` with uniform
@@ -142,14 +143,18 @@ def pagerank(
     inside each per-node contribution sum (the only cross-engine
     nondeterminism) cannot accumulate across iterations.
 
-    Scale shape: per iteration, ONE pass over the edge table (contributions
-    pre-combined per batch: at most one row per distinct dst per batch
-    reaches the exchange) + one coarse-bucket sum keyed on node. Rank attach
-    is the usual guarded small side — a ``ray.put`` dict while the node count
-    is provably <= ``broadcast_max``, else a distributed hash join on src,
-    in which case ranks stay a Dataset end-to-end and the driver never holds
-    a node-sized object. Outdegrees ride the same guard. The edge table is
-    materialized once and re-scanned per iteration from the object store.
+    Guarded three-path design (same convention as connected_components):
+    while the DISTINCT edge table is provably tiny (<= ``collect_max`` rows)
+    the whole iteration runs vectorized on the driver (numpy bincount — one
+    collect, zero per-iteration exchanges); past that, per iteration ONE pass
+    over the edge table (contributions pre-combined per batch: at most one
+    row per distinct dst per batch reaches the exchange) + one coarse-bucket
+    sum keyed on node. Rank attach is the usual guarded small side — a
+    ``ray.put`` dict while the node count is provably <= ``broadcast_max``,
+    else a distributed hash join on src, in which case ranks stay a Dataset
+    end-to-end and the driver never holds a node-sized object. All three
+    plans are value-identical (threshold-0 equivalence tests): per-iteration
+    rounding absorbs summation-order differences.
     """
     import numpy as np
     import pandas as pd
@@ -179,6 +184,26 @@ def pagerank(
             edges_ds.map_batches(as_edge, batch_format="pyarrow"), ["src", "dst"], edge_schema, num_buckets=num_buckets
         ).materialize()
     )
+
+    n_edges = edges.count()
+    if 0 < n_edges <= collect_max:
+        # tiny-graph guard: one driver collect, vectorized power iteration
+        parts = [b for b in edges.iter_batches(batch_format="pyarrow")]
+        src = np.concatenate([np.asarray(b.column("src").to_pylist(), dtype=np.int64) for b in parts])
+        dst = np.concatenate([np.asarray(b.column("dst").to_pylist(), dtype=np.int64) for b in parts])
+        node_arr = np.unique(np.concatenate([src, dst]))
+        N = len(node_arr)
+        idx = {int(v): i for i, v in enumerate(node_arr)}
+        si = np.fromiter((idx[int(v)] for v in src), dtype=np.int64, count=len(src))
+        di = np.fromiter((idx[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+        deg_arr = np.bincount(si, minlength=N).astype(np.float64)
+        r = np.full(N, round(1.0 / N, round_dp))
+        for _ in range(iterations):
+            contrib = np.bincount(di, weights=r[si] / deg_arr[si], minlength=N)
+            r = np.round((1.0 - damping) / N + damping * contrib, round_dp)
+        return rd.from_arrow(
+            pa.table({"node": pa.array(node_arr, type=pa.int64()), "rank": pa.array(r, type=pa.float64())})
+        )
 
     def side(col: str):
         def fn(b: pa.Table) -> pa.Table:
