@@ -49,6 +49,8 @@ def value_hash(df):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # generator-derived oracles must describe THIS sf dir (driver default sf0.01)
+    os.environ["GRAFT_ORACLE_SF"] = sf_dir
     import duckdb
     import ray
     from ray.data import DataContext
