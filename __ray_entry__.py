@@ -29,8 +29,12 @@ from text_to_graph_ray.synth import ensure_synth, synth_dir_for
 # so they reference the sf0.01 synth dir explicitly
 # the driver contract runs oracles at sf0.01; GRAFT_ORACLE_SF lets the local
 # stand-in (scripts/check_correctness.py) point the generator-derived
-# expected tables at another sf dir so every oracle stays meaningful there
+# expected tables at another sf dir so every oracle stays meaningful there.
+# LOUD when active: a stale export leaking into a real driver run would
+# silently compare sf0.01 queries against wrong-scale expected tables.
 _SF01 = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+if "GRAFT_ORACLE_SF" in os.environ:
+    print(f"[__ray_entry__] GRAFT_ORACLE_SF override active: oracles describe {_SF01}", file=sys.stderr)
 
 
 def _synth(sf_dir: str) -> str:

@@ -135,10 +135,8 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_graph_pagerank(sf_dir).count()
     times["graph_pagerank"] = round(time.monotonic() - t0, 3)
 
-    from text_to_graph_ray.pipelines.curation import pretraining_corpus
-
     t0 = time.monotonic()
-    pretraining_corpus(sf_dir).count()
+    _e._q_pipeline_pretraining(sf_dir).count()  # same entry the gate checks
     times["pipeline_pretraining"] = round(time.monotonic() - t0, 3)
 
     return times["kg_pipeline"], times, extras

@@ -189,13 +189,13 @@ def pagerank(
     if 0 < n_edges <= collect_max:
         # tiny-graph guard: one driver collect, vectorized power iteration
         parts = [b for b in edges.iter_batches(batch_format="pyarrow")]
-        src = np.concatenate([np.asarray(b.column("src").to_pylist(), dtype=np.int64) for b in parts])
-        dst = np.concatenate([np.asarray(b.column("dst").to_pylist(), dtype=np.int64) for b in parts])
+        src = np.concatenate([b.column("src").combine_chunks().to_numpy(zero_copy_only=False) for b in parts])
+        dst = np.concatenate([b.column("dst").combine_chunks().to_numpy(zero_copy_only=False) for b in parts])
         node_arr = np.unique(np.concatenate([src, dst]))
         N = len(node_arr)
-        idx = {int(v): i for i, v in enumerate(node_arr)}
-        si = np.fromiter((idx[int(v)] for v in src), dtype=np.int64, count=len(src))
-        di = np.fromiter((idx[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+        # node_arr is sorted (np.unique): densify with searchsorted, no dict
+        si = np.searchsorted(node_arr, src)
+        di = np.searchsorted(node_arr, dst)
         deg_arr = np.bincount(si, minlength=N).astype(np.float64)
         r = np.full(N, round(1.0 / N, round_dp))
         for _ in range(iterations):

@@ -334,6 +334,20 @@ REPETITION_SCHEMA = pa.schema(
 )
 
 
+def bigram_repetition(text: str) -> tuple:
+    """(n_bigrams, dup_frac, top_frac) for one doc — THE bigram-repetition
+    contract, shared by repetition_stats and the curation gate so the two
+    cannot drift. (None, None, None) when the doc has < 2 tokens."""
+    from collections import Counter
+
+    toks = (text or "").split(" ")
+    if len(toks) < 2:
+        return None, None, None
+    c = Counter(zip(toks, toks[1:]))
+    total = sum(c.values())
+    return total, 1 - len(c) / total, max(c.values()) / total
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Gopher-style repetition quality signals per document: the duplicated
     2-gram fraction (1 - distinct/total) and the most-frequent-2-gram share
@@ -342,19 +356,15 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc
     are bit-identical to the SQL oracle with no rounding. Docs with < 2
     tokens emit no row (they have no 2-grams), matching the SQL n-gram
     expansion."""
-    from collections import Counter
-
     if batch.num_rows == 0:
         return REPETITION_SCHEMA.empty_table()
     out = {f.name: [] for f in REPETITION_SCHEMA}
     for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-        toks = (text or "").split(" ")
-        if len(toks) < 2:
+        total, dup_frac, top_frac = bigram_repetition(text)
+        if total is None:
             continue
-        c = Counter(zip(toks, toks[1:]))
-        total = sum(c.values())
         out["doc_id"].append(int(did))
         out["n_bigrams"].append(total)
-        out["dup_frac"].append(1 - len(c) / total)
-        out["top_frac"].append(max(c.values()) / total)
+        out["dup_frac"].append(dup_frac)
+        out["top_frac"].append(top_frac)
     return pa.table({f.name: pa.array(out[f.name], type=f.type) for f in REPETITION_SCHEMA})

@@ -48,11 +48,13 @@ def clean_corpus_survivors(sf_dir: str, min_quality: float = 0.45, threshold: fl
 
 def pretraining_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple = ("en",), max_dup_frac: float = 0.06) -> pa.Table:
     """quality_lang_gate + the Gopher-style repetition cap, fused (one text
-    scan per doc for the heuristics, one bigram pass for the repetition)."""
-    from collections import Counter
+    scan per doc for the heuristics, one bigram pass via the SHARED
+    text.bigram_repetition kernel — the same contract repetition_stats is
+    hash-checked against)."""
+    from text_to_graph_ray.functions.text import bigram_repetition, detect_lang, quality_score
 
-    from text_to_graph_ray.functions.text import detect_lang, quality_score
-
+    if batch.num_rows == 0:
+        return batch
     texts = batch.column("text").to_pylist()
     qual = quality_score(batch)
     keep = []
@@ -60,15 +62,9 @@ def pretraining_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple = 
         if q < min_quality or detect_lang(t or "") not in langs:
             keep.append(False)
             continue
-        toks = (t or "").split(" ")
-        if len(toks) >= 2:
-            c = Counter(zip(toks, toks[1:]))
-            total = sum(c.values())
-            if 1 - len(c) / total > max_dup_frac:
-                keep.append(False)
-                continue
-        keep.append(True)
-    return batch.filter(pa.array(keep))
+        _, dup_frac, _ = bigram_repetition(t)
+        keep.append(not (dup_frac is not None and dup_frac > max_dup_frac))
+    return batch.filter(pa.array(keep, type=pa.bool_()))
 
 
 def pretraining_corpus(
@@ -92,9 +88,6 @@ def pretraining_corpus(
 
     Oracle: expected_clean2.parquet, a naive single-threaded reimplementation
     in expected.py."""
-    import pyarrow.compute as pc
-    import ray.data as rd
-
     from text_to_graph_ray.functions.decontam import ngram_contamination
     from text_to_graph_ray.functions.dedup import near_dup_survivors
     from text_to_graph_ray.util import sort_coalesced
@@ -103,11 +96,13 @@ def pretraining_corpus(
 
     eval_set = set(eval_sources)
 
+    train_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
     def train_only(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return b
+            return train_schema.empty_table()  # same schema as the projected non-empty path
         keep = [s not in eval_set for s in b.column("source").to_pylist()]
-        return b.filter(pa.array(keep)).select(["doc_id", "text"])
+        return b.filter(pa.array(keep, type=pa.bool_())).select(["doc_id", "text"])
 
     gated = docs.map_batches(train_only, batch_format="pyarrow").map_batches(
         lambda b: pretraining_gate(b, min_quality, ("en",), max_dup_frac), batch_format="pyarrow"
