@@ -30,7 +30,6 @@ Tokenization contract: ``text.split(' ')`` — exactly DuckDB
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 EVAL_BROADCAST_MAX_ROWS = 5_000_000  # ~100s of MB of grams; past this, join

@@ -24,7 +24,7 @@ import pyarrow as pa
 def quality_lang_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple = ("en",)) -> pa.Table:
     """Keep documents whose composite quality clears min_quality AND whose
     detected language is in ``langs`` — fused so the text is scanned once."""
-    from text_to_graph_ray.functions.text import detect_lang, lang_id, quality_score  # noqa: F401
+    from text_to_graph_ray.functions.text import detect_lang, quality_score
 
     texts = batch.column("text").to_pylist()
     qual = quality_score(batch)
@@ -37,8 +37,6 @@ def quality_lang_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple =
 
 def clean_corpus_survivors(sf_dir: str, min_quality: float = 0.45, threshold: float = 0.5):
     """documents -> gate -> near-dedup -> surviving doc ids (sorted)."""
-    import ray.data as rd
-
     from text_to_graph_ray.functions.dedup import near_dup_survivors
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -35,7 +35,6 @@ from text_to_graph_ray.keys import (
     T_FILE,
     T_FN,
     T_MOD,
-    T_REPO,
     containment_triples,
     entity_key,
     module_path,
