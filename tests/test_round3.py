@@ -1265,3 +1265,41 @@ def test_repetition_stats_known_values():
     assert out.loc[1, "dup_frac"] == 1 - 2 / 4
     assert out.loc[1, "top_frac"] == 2 / 4
     assert out.loc[3, "n_bigrams"] == 1 and out.loc[3, "dup_frac"] == 0.0 and out.loc[3, "top_frac"] == 1.0
+
+
+def test_worker_crash_mid_pagerank_recovers(ray_session, tmp_path):
+    """A worker dying mid-task (os._exit, a real process crash) inside the
+    pagerank edge-normalization stage is retried by Ray and the distributed
+    plan still produces the exact ranks of a clean run — the new iterative
+    operators inherit the same at-least-once safety the extraction path has.
+    Safe to retry because every stage is deterministic and side-effect-free."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    e = pd.DataFrame({"src": rng.integers(0, 30, 200), "dst": rng.integers(0, 30, 200)}).drop_duplicates()
+    ds = rd.from_pandas(e.astype("int64")).repartition(4)
+
+    clean = pagerank(ds, collect_max=0).to_pandas().reset_index(drop=True)
+
+    flag = str(tmp_path / "crashed_once")
+
+    def flaky(b):
+        if not os.path.exists(flag):
+            try:
+                with open(flag, "x") as f:
+                    f.write("x")
+                os._exit(1)
+            except FileExistsError:
+                pass
+        return b
+
+    crashed = pagerank(
+        ds.map_batches(flaky, batch_format="pyarrow"), collect_max=0
+    ).to_pandas().reset_index(drop=True)
+    assert os.path.exists(flag), "fault was never injected"
+    pd.testing.assert_frame_equal(crashed, clean)
