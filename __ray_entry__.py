@@ -953,6 +953,14 @@ def _q_pipeline_pretraining(sf_dir):
     return pretraining_corpus(sf_dir)
 
 
+def _q_events_json_stats(sf_dir):
+    """JSON-column extraction (props -> k) + exact per-type int aggregates;
+    combiner-first, vocabulary-sized exchange."""
+    from text_to_graph_ray.pipelines.analytics import event_json_stats
+
+    return event_json_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1033,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_order_counts": _q_rel_customer_order_counts,
         "text_repetition": _q_text_repetition,
         "pipeline_pretraining": _q_pipeline_pretraining,
+        "events_json_stats": _q_events_json_stats,
     }
 
 
@@ -1196,6 +1205,15 @@ def oracle_sql() -> dict[str, str]:
             "rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS rnk, "
             "dense_rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS drnk "
             "FROM events ORDER BY event_id"
+        ),
+        "events_json_stats": (
+            # COALESCE(..., 0) mirrors the engine's .get("k", 0) for rows
+            # whose props lack the key; all-int aggregates, exact
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "sum(COALESCE(json_extract(props, '$.k')::BIGINT, 0))::BIGINT AS k_sum, "
+            "min(COALESCE(json_extract(props, '$.k')::BIGINT, 0))::BIGINT AS k_min, "
+            "max(COALESCE(json_extract(props, '$.k')::BIGINT, 0))::BIGINT AS k_max "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "text_repetition": (
             # each output float is ONE IEEE division (+ subtraction) of exact

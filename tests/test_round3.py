@@ -1303,3 +1303,39 @@ def test_worker_crash_mid_pagerank_recovers(ray_session, tmp_path):
     ).to_pandas().reset_index(drop=True)
     assert os.path.exists(flag), "fault was never injected"
     pd.testing.assert_frame_equal(crashed, clean)
+
+
+def test_event_json_stats_matches_pandas(ray_session, tmp_path):
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import event_json_stats
+
+    rng = np.random.default_rng(81)
+    n = 1500
+    ks = rng.integers(0, 100, n)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(np.zeros(n), unit="s").astype("datetime64[us]"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": 0.0,
+            # a few rows missing the key entirely -> engine/.oracle default 0
+            "props": [json.dumps({"k": int(k)}) if k % 17 else "{}" for k in ks],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "events.parquet"))
+
+    got = event_json_stats(str(tmp_path)).to_pandas().reset_index(drop=True)
+    kv = np.where(ks % 17 == 0, 0, ks)
+    w = pd.DataFrame({"event_type": df["event_type"], "k": kv})
+    want = (
+        w.groupby("event_type")["k"]
+        .agg(n="size", k_sum="sum", k_min="min", k_max="max")
+        .reset_index()
+        .astype({"n": "int64", "k_sum": "int64", "k_min": "int64", "k_max": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -884,3 +884,75 @@ def customer_order_counts(sf_dir: str):
         )
 
     return sort_coalesced(j.map_batches(finish, batch_format="pyarrow"), "c_custkey")
+
+
+def event_json_stats(sf_dir: str):
+    """JSON-column extraction + aggregate: pull ``k`` out of the events
+    table's ``props`` JSON payload and reduce per event_type (count / sum /
+    min / max — all-int, exact). The parse is the per-row kernel (stdlib
+    json, compiled C); the combiner collapses each batch to one row per
+    event_type, so the exchange is vocabulary-sized no matter the corpus."""
+    import json
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    partial_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("k_sum", pa.int64()),
+            ("k_min", pa.int64()),
+            ("k_max", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return partial_schema.empty_table()
+        ks = np.fromiter(
+            (json.loads(p or "{}").get("k", 0) for p in b.column("props").to_pylist()),
+            dtype=np.int64,
+            count=b.num_rows,
+        )
+        df = pd.DataFrame({"event_type": b.column("event_type").to_pylist(), "k": ks})
+        g = df.groupby("event_type")["k"].agg(["size", "sum", "min", "max"]).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["size"], type=pa.int64()),
+                "k_sum": pa.array(g["sum"], type=pa.int64()),
+                "k_min": pa.array(g["min"], type=pa.int64()),
+                "k_max": pa.array(g["max"], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("k_sum", alias_name="k_sum"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"),
+        )
+    )
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("k_sum", pa.int64()),
+            ("k_min", pa.int64()),
+            ("k_max", pa.int64()),
+        ]
+    )
+
+    def fix(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table({f.name: b.column(f.name).cast(f.type) for f in out_schema})
+
+    return sort_coalesced(agg.map_batches(fix, batch_format="pyarrow"), "event_type")
