@@ -961,6 +961,14 @@ def _q_events_json_stats(sf_dir):
     return event_json_stats(sf_dir)
 
 
+def _q_rel_brand_revenue(sf_dir):
+    """Discounted revenue per part brand (lineitem ⋈ part dimension join;
+    guarded broadcast of the part->brand map, combiner-first)."""
+    from text_to_graph_ray.pipelines.analytics import brand_revenue
+
+    return brand_revenue(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1042,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_text_repetition,
         "pipeline_pretraining": _q_pipeline_pretraining,
         "events_json_stats": _q_events_json_stats,
+        "rel_brand_revenue": _q_rel_brand_revenue,
     }
 
 
@@ -1205,6 +1214,12 @@ def oracle_sql() -> dict[str, str]:
             "rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS rnk, "
             "dense_rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts))::BIGINT AS drnk "
             "FROM events ORDER BY event_id"
+        ),
+        "rel_brand_revenue": (
+            # round(2) on both sides absorbs summation-order float noise
+            "SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand ORDER BY p_brand"
         ),
         "events_json_stats": (
             # COALESCE(..., 0) mirrors the engine's .get("k", 0) for rows

@@ -1339,3 +1339,17 @@ def test_event_json_stats_matches_pandas(ray_session, tmp_path):
         .astype({"n": "int64", "k_sum": "int64", "k_min": "int64", "k_max": "int64"})
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_brand_revenue_broadcast_vs_join_identical(ray_session, tmp_path, monkeypatch):
+    """Threshold-0 equivalence: forcing the distributed join plan (broadcast
+    guard at 0) must reproduce the broadcast plan's brand revenues exactly."""
+    import numpy as np
+
+    from text_to_graph_ray.pipelines import analytics
+
+    a = analytics.brand_revenue("/root/testdata/sf0.001").to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(analytics, "BROADCAST_JOIN_MAX_ROWS", 0)
+    b = analytics.brand_revenue("/root/testdata/sf0.001").to_pandas().reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)

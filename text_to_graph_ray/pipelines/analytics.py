@@ -956,3 +956,73 @@ def event_json_stats(sf_dir: str):
         return pa.table({f.name: b.column(f.name).cast(f.type) for f in out_schema})
 
     return sort_coalesced(agg.map_batches(fix, batch_format="pyarrow"), "event_type")
+
+
+def brand_revenue(sf_dir: str):
+    """lineitem ⋈ part -> discounted revenue per brand (TPC-H-Q14-shaped
+    dimension join). The part->brand map is the guarded small side (broadcast
+    dict under BROADCAST_JOIN_MAX_ROWS, distributed hash join past it —
+    threshold-0 equivalence in tests); lineitem pre-aggregates per partkey in
+    the combiner either way, so the exchange carries one row per part per
+    batch, never the raw line items."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    n_part = part.count()
+
+    part_schema = pa.schema([("p_brand", pa.string()), ("rev", pa.float64())])
+
+    if n_part <= BROADCAST_JOIN_MAX_ROWS:
+        pdf = part.to_pandas()
+        brand_of = dict(zip(pdf["p_partkey"], pdf["p_brand"]))
+        ref = ray.put(brand_of)
+
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return part_schema.empty_table()
+            m = ray.get(ref)
+            df = b.to_pandas()
+            df["p_brand"] = df["l_partkey"].map(m)
+            df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+            g = df.groupby("p_brand", as_index=False)["rev"].sum()
+            return pa.table({"p_brand": pa.array(g["p_brand"], type=pa.string()), "rev": pa.array(g["rev"], type=pa.float64())})
+
+        pre = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    else:
+        from text_to_graph_ray.functions.dedup import join_partitions_for
+
+        def per_part(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.schema([("l_partkey", pa.int64()), ("rev", pa.float64())]).empty_table()
+            df = b.to_pandas()
+            df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+            g = df.groupby("l_partkey", as_index=False)["rev"].sum()
+            return pa.table({"l_partkey": pa.array(g["l_partkey"], type=pa.int64()), "rev": pa.array(g["rev"], type=pa.float64())})
+
+        j = (
+            li.map_batches(per_part, batch_format="pyarrow", batch_size=None)
+            .join(part, join_type="inner", num_partitions=join_partitions_for(), on=("l_partkey",), right_on=("p_partkey",), partition_size_hint=16 << 20)
+            .map_batches(
+                lambda b: pa.table({"p_brand": b.column("p_brand"), "rev": b.column("rev")})
+                if b.num_rows
+                else part_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+        )
+        pre = j
+
+    agg = pre.groupby("p_brand").aggregate(Sum("rev", alias_name="rev"))
+
+    def fix(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        df = b.to_pandas()
+        df["rev"] = df["rev"].round(2)
+        return pa.table({"p_brand": pa.array(df["p_brand"], type=pa.string()), "rev": pa.array(df["rev"], type=pa.float64())})
+
+    return sort_coalesced(agg.map_batches(fix, batch_format="pyarrow"), "p_brand")
