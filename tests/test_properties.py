@@ -117,3 +117,28 @@ def test_shingle_rows_distinct_ngram_spec(texts):
         have = got.get(i, [])
         assert set(have) == want
         assert len(have) == len(want)  # once each — no duplicates
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", ""]), min_size=0, max_size=25).map(" ".join)
+)
+def test_bigram_repetition_spec(text):
+    """The shared bigram-repetition kernel (used by repetition_stats AND the
+    curation gate) matches a from-scratch spec: totals, distinct fraction and
+    top share over consecutive token pairs."""
+    from collections import Counter
+
+    from text_to_graph_ray.functions.text import bigram_repetition
+
+    total, dup_frac, top_frac = bigram_repetition(text)
+    toks = text.split(" ")
+    if len(toks) < 2:
+        assert total is None and dup_frac is None and top_frac is None
+        return
+    pairs = list(zip(toks, toks[1:]))
+    c = Counter(pairs)
+    assert total == len(pairs)
+    assert dup_frac == 1 - len(c) / len(pairs)
+    assert top_frac == max(c.values()) / len(pairs)
+    assert 0.0 <= dup_frac < 1.0 and 0.0 < top_frac <= 1.0
