@@ -523,21 +523,54 @@ def graph_tables(input_path: str, cfg: PipelineConfig = DEFAULT_CONFIG, which: s
     return nodes, edges
 
 
-def scored_fallback_links(edges_ds, nodes_ds, threshold: float = 0.35, dim: int = 1024, concurrency: int = 4):
-    """Near-miss entity-link candidates via the NgramScorer actor pool
+def scored_fallback_links(
+    edges_ds,
+    nodes_ds,
+    threshold: float = 0.35,
+    dim: int = 1024,
+    concurrency: int = 4,
+    vocab_broadcast_max: int = 200_000,
+    shard_rows: int = 8192,
+    mention_chunk_rows: int = 1_000_000,
+):
+    """Near-miss entity-link candidates via deterministic char-trigram cosine
     (reference analogue: the LLM re-query for unresolved mentions,
-    /root/reference/graph_extractor/src/graph_generator.py:378-382 — here a
-    deterministic char-trigram cosine instead of a model call).
+    /root/reference/graph_extractor/src/graph_generator.py:378-382).
 
-    * vocabulary = plain (undotted) canonical entity keys — vocabulary-sized,
-      collected + broadcast exactly like the defs index;
+    * vocabulary = plain (undotted) canonical entity keys;
     * mentions = DISTINCT module-qualified dotted endpoint keys that alias
       linking left unresolved ('.' in key, no '/': files keep their extension
       dot but are paths);
-    * one actor-pool ``map_batches`` scores every mention against the whole
-      vocabulary (float64 matmul, built once per actor in ``__init__``).
+    * result = per mention, the best-scoring vocabulary word with raw cosine
+      >= ``threshold`` (ties -> lexicographically smallest word), score
+      rounded to 6 dp, sorted by mention.
 
-    Returns (mention, matched, score >= threshold) sorted by mention."""
+    Two plans, guard sized like every other small-side collect in this repo
+    (defs_broadcast_max / BROADCAST_JOIN_MAX_ROWS discipline):
+
+    **Broadcast** (distinct vocabulary <= ``vocab_broadcast_max``): vocab
+    collected once, ``ray.put``, each ScoredLinkStage actor builds the dense
+    ``|vocab| x dim`` float64 matrix in ``__init__`` and scores mention
+    batches with one matmul. The matrix is 8·dim bytes/word (8 KB at
+    dim=1024), so the default guard caps it at ~1.6 GB per actor.
+
+    **Distributed** (above the guard): the vocabulary STAYS a Dataset. The
+    mention side — the small side here: distinct unresolved dotted keys — is
+    turned into a trigram matrix once and broadcast zero-copy; vocabulary
+    shards of ``shard_rows`` words are scored independently by stateless
+    tasks (``score_vocab_shard``), each emitting at most one
+    sub-threshold-pruned best row per mention, and a distributed
+    ``topk_per_group(k=1)`` merge takes the global max (tie -> smallest
+    word). Exact: the global best is the max of shard bests. Mentions beyond
+    ``mention_chunk_rows`` are processed in chunks (bounding the broadcast
+    matrix at ~8·dim·chunk bytes) and unioned — chunks partition mentions, so
+    no cross-chunk merge is needed. Exchange bound: <= one candidate row per
+    (mention, shard) that clears the threshold; for a pathological vocabulary
+    where that explodes, the LSH-bucketed path in ``functions/ann.py`` is the
+    documented escalation.
+
+    Both plans are value-identical (threshold-0 equivalence test in
+    tests/test_round4.py, mirroring test_distributed_linking_matches_broadcast)."""
     import ray
 
     from ray.data.aggregate import Count
@@ -548,8 +581,16 @@ def scored_fallback_links(edges_ds, nodes_ds, threshold: float = 0.35, dim: int 
         keys = {k for k in b.column("entity_key").to_pylist() if "." not in k}
         return pa.table({"k": pa.array(sorted(keys), type=pa.string())})
 
-    vocab = sorted(nodes_ds.map_batches(plain_keys, batch_format="pyarrow").unique("k"))
-    vocab_ref = ray.put(vocab)
+    from text_to_graph_ray.functions.agg import distinct_rows
+    from text_to_graph_ray.util import compact_nonempty
+
+    vocab_schema = pa.schema([("k", pa.string())])
+    vocab_ds = compact_nonempty(
+        distinct_rows(
+            nodes_ds.map_batches(plain_keys, batch_format="pyarrow"), ["k"], out_schema=vocab_schema
+        ).materialize()
+    )
+    n_vocab = vocab_ds.count()
 
     def dotted_mentions(b: pa.Table) -> pa.Table:
         seen = set()
@@ -565,13 +606,85 @@ def scored_fallback_links(edges_ds, nodes_ds, threshold: float = 0.35, dim: int 
         .aggregate(Count(alias_name="__n"))
         .map_batches(lambda b: b.select(["mention"]), batch_format="pyarrow")
     )
-    scored = mentions.map_batches(
-        ScoredLinkStage,
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        fn_constructor_kwargs={"vocab_ref": vocab_ref, "threshold": threshold, "dim": dim},
+
+    if n_vocab <= vocab_broadcast_max or n_vocab == 0:
+        vocab = sorted(vocab_ds.unique("k"))
+        vocab_ref = ray.put(vocab)
+        scored = mentions.map_batches(
+            ScoredLinkStage,
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+            fn_constructor_kwargs={"vocab_ref": vocab_ref, "threshold": threshold, "dim": dim},
+        )
+        return _sorted_or_empty_scored(scored)
+
+    return _scored_links_distributed(vocab_ds, mentions, threshold, dim, shard_rows, mention_chunk_rows)
+
+
+def _sorted_or_empty_scored(scored):
+    """Sort by mention, keeping the (mention, matched, score) schema when the
+    result is empty (an all-empty-blocks dataset is schema-less in Ray — the
+    fused map chain passes empty input blocks through UDF-less)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.stages.linker import SCORE_SHARD_SCHEMA
+    from text_to_graph_ray.util import compact_nonempty
+
+    mat = compact_nonempty(scored.materialize())
+    if mat.count() == 0:
+        return rd.from_arrow(SCORE_SHARD_SCHEMA.empty_table())
+    return mat.sort("mention")
+
+
+def _scored_links_distributed(vocab_ds, mentions_ds, threshold, dim, shard_rows, mention_chunk_rows):
+    """The above-the-guard plan: mention trigram matrix broadcast zero-copy,
+    vocabulary sharded across stateless tasks, distributed top-1 merge."""
+    import ray
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import topk_per_group
+    from text_to_graph_ray.stages.linker import SCORE_SHARD_SCHEMA, score_vocab_shard, trigram_matrix
+
+    # mention chunks: sorted for determinism; each chunk's trigram matrix is
+    # built once on the driver (the same per-word cost the broadcast plan
+    # pays per actor) and ray.put so every task on a node reads the one
+    # plasma copy. The mention strings are the small side by construction
+    # (distinct unresolved dotted keys); only their dense matrix needed the
+    # chunk bound.
+    words: list[str] = []
+    for mb in mentions_ds.sort("mention").iter_batches(batch_format="pyarrow"):
+        words.extend(mb.column("mention").to_pylist())
+
+    chunk_dses = []
+    for s0 in range(0, len(words), mention_chunk_rows):
+        chunk = words[s0 : s0 + mention_chunk_rows]
+        q_ref = ray.put(trigram_matrix(chunk, dim))
+        m_ref = ray.put(chunk)
+        chunk_dses.append(
+            vocab_ds.map_batches(
+                score_vocab_shard,
+                batch_format="pyarrow",
+                batch_size=shard_rows,
+                fn_kwargs={"q_ref": q_ref, "mentions_ref": m_ref, "threshold": threshold, "dim": dim},
+            )
+        )
+
+    if not chunk_dses:
+        return rd.from_arrow(SCORE_SHARD_SCHEMA.empty_table())
+    cands = chunk_dses[0]
+    for extra in chunk_dses[1:]:
+        cands = cands.union(extra)
+    best = topk_per_group(
+        cands, ["mention"], order_col="score", k=1, descending=True, tiebreak="matched", out_schema=SCORE_SHARD_SCHEMA
     )
-    return scored.sort("mention")
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return SCORE_SHARD_SCHEMA.empty_table()
+        score = pa.array([round(s, 6) for s in b.column("score").to_pylist()], type=pa.float64())
+        return b.select(["mention", "matched"]).append_column("score", score)
+
+    return _sorted_or_empty_scored(best.map_batches(finish, batch_format="pyarrow"))
 
 
 def degree_topk(edges_ds, k: int = 20):

@@ -152,6 +152,31 @@ class MergedLinker:
         return out.append_column("changed", changed)
 
 
+def trigram_vec(text: str, dim: int) -> np.ndarray:
+    """Char-trigram count vector over ``^text$``, crc32-bucketed into ``dim``
+    slots, L2-normalized. float64 end-to-end: identical IEEE ops on every
+    caller (actor pool, shard tasks, the naive oracle) keep the rounded
+    scores bit-reproducible. crc32, not hash(): python str hashing is salted
+    per process and would make worker outputs disagree across the pool."""
+    import zlib
+
+    v = np.zeros(dim, dtype=np.float64)
+    t = f"^{text}$"
+    for j in range(len(t) - 2):
+        v[zlib.crc32(t[j : j + 3].encode("utf-8")) % dim] += 1.0
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def trigram_matrix(words: list[str], dim: int) -> np.ndarray:
+    """Stack of trigram_vec rows — one shared kernel for the broadcast plan's
+    per-actor vocabulary matrix and the distributed plan's shard matrices."""
+    mat = np.zeros((len(words), dim), dtype=np.float64)
+    for i, w in enumerate(words):
+        mat[i] = trigram_vec(w, dim)
+    return mat
+
+
 class NgramScorer:
     """Deterministic char-trigram cosine scorer over a canonical vocabulary —
     the similarity fallback for mentions that resolve to nothing. Vocabulary
@@ -161,23 +186,10 @@ class NgramScorer:
     def __init__(self, vocab: list[str], dim: int = 4096):
         self.dim = dim
         self.vocab = list(vocab)
-        # float64 end-to-end: identical IEEE ops on both the actor pool and
-        # the naive oracle make the rounded scores bit-reproducible
-        self.mat = np.zeros((len(vocab), dim), dtype=np.float64)
-        for i, w in enumerate(vocab):
-            self.mat[i] = self._vec(w)
+        self.mat = trigram_matrix(self.vocab, dim)
 
     def _vec(self, text: str) -> np.ndarray:
-        import zlib
-
-        v = np.zeros(self.dim, dtype=np.float64)
-        t = f"^{text}$"
-        for j in range(len(t) - 2):
-            # crc32, not hash(): python str hashing is salted per process and
-            # would make actor outputs disagree across the pool
-            v[zlib.crc32(t[j : j + 3].encode("utf-8")) % self.dim] += 1.0
-        n = np.linalg.norm(v)
-        return v / n if n > 0 else v
+        return trigram_vec(text, self.dim)
 
     def best(self, mentions: list[str], threshold: float = 0.7):
         """-> list of (best_vocab_entry | None, score)."""
@@ -224,3 +236,63 @@ class ScoredLinkStage:
                 "score": pa.array(out_s, type=pa.float64()),
             }
         )
+
+
+SCORE_SHARD_SCHEMA = pa.schema(
+    [("mention", pa.string()), ("matched", pa.string()), ("score", pa.float64())]
+)
+
+
+def score_vocab_shard(
+    batch: pa.Table,
+    q_ref,
+    mentions_ref,
+    threshold: float,
+    dim: int,
+    mention_block: int = 4096,
+) -> pa.Table:
+    """One task of the DISTRIBUTED near-miss scoring plan: this batch is one
+    vocabulary shard (any partition of the distinct vocabulary works — each
+    word is scored exactly once globally and the per-mention merge takes the
+    max). The mention trigram matrix ``q_ref`` is built once on the driver and
+    read ZERO-COPY from the object store by every task (one copy per node, not
+    per process); the shard matrix is built here from this batch's words.
+
+    Emits at most one row per mention: the shard-local best match, kept only
+    when its raw score clears ``threshold`` (the global best is the max of
+    shard bests, so sub-threshold shard rows can never become the global
+    winner — dropping them shrinks the merge exchange). Ties within the shard
+    resolve to the lexicographically smallest word (the shard is sorted and
+    argmax takes the first maximum), mirroring the broadcast plan's argmax
+    over the sorted full vocabulary.
+
+    Memory shape per task: shard matrix = shard_rows x dim x 8 B (64 MB at the
+    8192 x 1024 default); the mention matmul is blocked at ``mention_block``
+    rows so the sims buffer stays ~256 MB regardless of mention count.
+    """
+    import ray
+
+    vocab = sorted(set(batch.column("k").to_pylist()))
+    if not vocab:
+        return SCORE_SHARD_SCHEMA.empty_table()
+    q = ray.get(q_ref)  # (n_mentions, dim) float64, plasma-backed, read-only
+    mentions = ray.get(mentions_ref)
+    if not len(mentions):
+        return SCORE_SHARD_SCHEMA.empty_table()
+    mat_t = trigram_matrix(vocab, dim).T  # (dim, shard_rows)
+    n = q.shape[0]
+    best_idx = np.empty(n, dtype=np.int64)
+    best_s = np.empty(n, dtype=np.float64)
+    for s0 in range(0, n, mention_block):
+        sims = q[s0 : s0 + mention_block] @ mat_t
+        bi = sims.argmax(axis=1)
+        best_idx[s0 : s0 + len(bi)] = bi
+        best_s[s0 : s0 + len(bi)] = sims[np.arange(len(bi)), bi]
+    keep = np.flatnonzero(best_s >= threshold)
+    return pa.table(
+        {
+            "mention": pa.array([mentions[i] for i in keep], type=pa.string()),
+            "matched": pa.array([vocab[best_idx[i]] for i in keep], type=pa.string()),
+            "score": pa.array(best_s[keep], type=pa.float64()),
+        }
+    )
