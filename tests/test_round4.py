@@ -40,3 +40,93 @@ class TestScoredLinksGuard:
             edges, nodes, threshold=0.35, vocab_broadcast_max=0, shard_rows=5, mention_chunk_rows=3
         )
         assert _rows(bc) == _rows(di)
+
+
+class TestMinhashTruncationCounter:
+    def _hot_docs(self):
+        import ray.data as rd
+        import pyarrow as pa
+
+        # 250 byte-identical docs -> every band's LSH bucket holds all 250,
+        # beyond the max_bucket=200 cap -> truncation must be SURFACED
+        text = "the quick brown fox jumps over the lazy dog again and again in every copy"
+        n = 250
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), type=pa.int64()), "text": pa.array([text] * n)})
+        ), n
+
+    def test_dropped_pairs_counter_fires_both_plans(self, ray_session):
+        from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
+
+        docs, n = self._hot_docs()
+        bands, cap = 4, 200
+        expect_dropped = bands * (n * (n - 1) // 2 - cap * (cap - 1) // 2)
+
+        s1, s2 = {}, {}
+        p1 = minhash_near_dup_pairs(docs, k=16, bands=bands, threshold=0.5, stats=s1).to_pandas()
+        p2 = minhash_near_dup_pairs(
+            docs, k=16, bands=bands, threshold=0.5, signature_join=True, stats=s2
+        ).to_pandas()
+        assert s1["lsh_pairs_dropped"] == expect_dropped
+        assert s2["lsh_pairs_dropped"] == expect_dropped
+        # kept pairs: the cap keeps the 200 smallest ids, all-identical sigs
+        assert len(p1) == cap * (cap - 1) // 2
+        assert p1.values.tolist() == p2.values.tolist()
+        assert (p1["a"] >= 0).all()  # no sentinel leaks into the result
+
+    def test_no_truncation_counter_zero(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from text_to_graph_ray.functions.dedup import minhash_near_dup_pairs
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array(["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta"]),
+                }
+            )
+        )
+        stats = {}
+        minhash_near_dup_pairs(docs, k=16, bands=4, threshold=0.1, stats=stats).to_pandas()
+        assert stats["lsh_pairs_dropped"] == 0
+
+
+def test_ngram_gate_excludes_no_true_pairs(ray_session):
+    """ADVICE r3: the dedup_ngram_verified oracle mirrors the engine's
+    est_jaccard >= 0.2 LSH gate. Pin the gate's recall: the number of
+    TRUE-jaccard >= 0.4 candidate pairs the gate excludes must stay at its
+    current value (0) so estimator-quality regressions near the gate are
+    visible even though the oracle is gated."""
+    import duckdb
+
+    from text_to_graph_ray.expected import ensure_doc_expected
+
+    d = ensure_doc_expected("/root/testdata/sf0.001")
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{d}/expected_ngram_pairs.parquet') "
+        "WHERE jaccard >= 0.4 AND est_jaccard < 0.2"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_exact_quantiles_ignore_nulls(ray_session):
+    """ADVICE r3: DuckDB's quantile_disc/cont ignore NULLs; the engine must
+    too (it previously counted them and could probe them)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.quantiles import exact_quantiles
+
+    vals = [5.0, None, 1.0, 3.0, None, 2.0, 4.0, None]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.float64())}))
+    got = exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0]).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (5.0),(NULL),(1.0),(3.0),(NULL),(2.0),(4.0),(NULL)) s(v)")
+    for _, row in got.iterrows():
+        d, c = con.execute(
+            f"SELECT quantile_disc(v, {row['q']}), quantile_cont(v, {row['q']}) FROM t"
+        ).fetchone()
+        assert row["disc"] == float(d) and row["cont"] == float(c), row["q"]

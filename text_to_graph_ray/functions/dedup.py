@@ -216,13 +216,21 @@ _PAIR_SIM_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("sim", pa.f
 def _bucket_pairs(group, max_bucket: int = 200) -> pa.Table:
     """All pairs within each (band, band_hash) LSH bucket of one coarse shuffle
     bucket, with signature-estimated Jaccard. LSH buckets above max_bucket are
-    truncated — a hot bucket at real scale means a degenerate shingle.
-    Returns Arrow with a FIXED schema so all-empty buckets can't destabilize
-    the downstream sort/union schema (same discipline as pricing_summary)."""
+    truncated — a hot bucket at real scale means a degenerate shingle — and
+    the DROPPED PAIR COUNT is carried out as a sentinel row
+    (a = -1 - coarse_bucket, b = dropped, est_jaccard = 2.0: unique key per
+    group, passes the threshold filter, stripped + summed + surfaced by the
+    caller — no silent caps). Returns Arrow with a FIXED schema so all-empty
+    buckets can't destabilize the downstream sort/union schema (same
+    discipline as pricing_summary)."""
     a_out, b_out, est = [], [], []
+    dropped = 0
     for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
         if len(g) < 2:
             continue
+        m = len(g)
+        if m > max_bucket:
+            dropped += m * (m - 1) // 2 - max_bucket * (max_bucket - 1) // 2
         order = np.argsort(list(g["id"]))[:max_bucket]
         ids = [list(g["id"])[i] for i in order]
         sigs = [np.asarray(list(g["sig"])[i], dtype=np.uint64) for i in order]
@@ -231,15 +239,65 @@ def _bucket_pairs(group, max_bucket: int = 200) -> pa.Table:
                 a_out.append(ids[i])
                 b_out.append(ids[j])
                 est.append(float((sigs[i] == sigs[j]).mean()))
+    if dropped:
+        a_out.append(-1 - int(group["bucket"].iloc[0]))
+        b_out.append(dropped)
+        est.append(2.0)
     return pa.table(
         {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64()), "est_jaccard": pa.array(est, type=pa.float64())},
         schema=_PAIR_EST_SCHEMA,
     )
 
 
+def _strip_pair_sentinels(pairs_mat, stats: dict | None, plan: str):
+    """Split truncation-sentinel rows (a < 0) out of a MATERIALIZED pair
+    dataset: returns (clean_ds, clean_count) and surfaces the dropped-pair
+    total — loud driver-side print + optional ``stats`` dict (bench/manifest
+    counter). Sentinel rows are at most one per coarse shuffle bucket, so the
+    driver-side collect is bounded by the bucket count."""
+    import pyarrow.compute as pc_
+
+    from text_to_graph_ray.util import compact_nonempty
+
+    total = pairs_mat.count()
+    sent = pairs_mat.map_batches(
+        lambda t: t.filter(pc_.less(t.column("a"), 0)), batch_format="pyarrow"
+    ).take_all()
+    if not sent:
+        if stats is not None:
+            stats["lsh_pairs_dropped"] = 0
+        return pairs_mat, total
+    dropped = int(sum(r["b"] for r in sent))
+    if stats is not None:
+        stats["lsh_pairs_dropped"] = dropped
+    print(
+        f"WARNING: minhash LSH ({plan} plan) truncated {dropped} candidate pairs "
+        f"across {len(sent)} hot buckets (max_bucket cap) — degenerate shingles at scale lose recall"
+    )
+    clean = compact_nonempty(
+        pairs_mat.map_batches(
+            lambda t: t.filter(pc_.greater_equal(t.column("a"), 0)), batch_format="pyarrow"
+        ).materialize()
+    )
+    return clean, total - len(sent)
+
+
+def _minhash_exchange_shape(n_docs: int, bands: int, rows_per_partition: int):
+    """Size the band-row repartition AND the coarse bucket cardinality from
+    the data (bucket_exchange discipline): partition count grows linearly
+    with the corpus instead of capping at a literal 32 (which made
+    per-partition bytes grow unboundedly), and the bucket id space stays
+    >= 2 buckets per sampled sort range so no empty ranges appear on small
+    inputs."""
+    n_band_rows = n_docs * bands
+    parts = max(1, n_band_rows // rows_per_partition + 1)
+    shuffle_buckets = max(64, 2 * parts)
+    return parts, shuffle_buckets
+
+
 def minhash_near_dup_pairs(
     ds, text_col="text", id_col="doc_id", k=64, bands=16, shingle=3, threshold=0.7, seed=42, concurrency=4,
-    signature_join=False,
+    signature_join=False, stats: dict | None = None,
 ):
     """Documents -> candidate near-dup pairs (a < b, est_jaccard >= threshold),
     deduped across bands, sorted. (``concurrency`` is retained for API
@@ -259,16 +317,22 @@ def minhash_near_dup_pairs(
     SIGJOIN_AUTO_ROWS (parquet-metadata count — no execution), mirroring the
     other guarded small-side decisions.
     """
+    n_docs = _metadata_row_count(ds)
+    if n_docs is None:
+        n_docs = ds.count()
     if signature_join == "auto":
-        n = _metadata_row_count(ds)
-        signature_join = (n if n is not None else ds.count()) >= SIGJOIN_AUTO_ROWS
+        signature_join = n_docs >= SIGJOIN_AUTO_ROWS
     sigs = minhash_signatures(ds, text_col=text_col, id_col=id_col, k=k, shingle=shingle, seed=seed)
     if signature_join:
-        return _minhash_pairs_signature_join(sigs, bands, threshold)
-    # coalesce to <= cardinality/2 blocks so the bucket groupby's sort-shuffle
-    # (partition count = input block count) emits no schema-less empty
-    # partitions; the merge stage is 64-way by construction anyway
-    band_rows = sigs.map_batches(lambda b: _band_rows(b, bands), batch_format="pyarrow").repartition(32)
+        return _minhash_pairs_signature_join(sigs, bands, threshold, n_docs=n_docs, stats=stats)
+    # exchange shape sized from the data (not a literal constant): band rows
+    # carry the k-perm signature (~k*8 B each), so partitions are kept small
+    # and their COUNT grows with the corpus; the coarse bucket cardinality
+    # grows with it so per-merge-task work stays bounded.
+    parts, shuffle_buckets = _minhash_exchange_shape(n_docs, bands, rows_per_partition=32_768)
+    band_rows = sigs.map_batches(
+        lambda b: _band_rows(b, bands, shuffle_buckets=shuffle_buckets), batch_format="pyarrow"
+    ).repartition(parts)
     pairs = band_rows.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"), threshold)), batch_format="pyarrow"
@@ -285,7 +349,7 @@ def minhash_near_dup_pairs(
     from text_to_graph_ray.util import compact_nonempty
 
     pairs = compact_nonempty(pairs.materialize())  # empty candidate blocks would pass fused chains schema-less
-    cnt = pairs.count()
+    pairs, cnt = _strip_pair_sentinels(pairs, stats, plan="ride-along")
     if cnt == 0:
         return _empty_pairs("est_jaccard")
     n = max(1, min(cnt // (2 * bands), cnt // 1_000_000 + 1))
@@ -297,32 +361,44 @@ def minhash_near_dup_pairs(
     )
 
 
-def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
+def _minhash_pairs_signature_join(sigs, bands: int, threshold: float, n_docs: int, stats: dict | None = None):
     import pandas as pd
     from ray.data.aggregate import Min
 
     sigs = sigs.materialize()  # consumed by banding AND by both join sides
+    # ids-only band rows are ~24 B each — larger partitions than the
+    # ride-along plan, count still sized from the corpus
+    parts, shuffle_buckets = _minhash_exchange_shape(n_docs, bands, rows_per_partition=200_000)
 
     def band_id_rows(batch: pa.Table) -> pa.Table:
-        return _band_rows(batch, bands, include_sig=False)
+        return _band_rows(batch, bands, shuffle_buckets=shuffle_buckets, include_sig=False)
 
-    def bucket_id_pairs(group: pd.DataFrame) -> pa.Table:
+    def bucket_id_pairs(group: pd.DataFrame, max_bucket: int = 200) -> pa.Table:
         a_out, b_out = [], []
+        dropped = 0
         for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
-            members = sorted(g["id"])[:200]  # same cap as _bucket_pairs
+            m = len(g)
+            if m > max_bucket:
+                dropped += m * (m - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            members = sorted(g["id"])[:max_bucket]  # same cap + membership as _bucket_pairs
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
                     a_out.append(members[i])
                     b_out.append(members[j])
+        if dropped:
+            # sentinel survives the distinct groupby (unique per coarse
+            # bucket) and is stripped + surfaced after the materialize
+            a_out.append(-1 - int(group["bucket"].iloc[0]))
+            b_out.append(dropped)
         return pa.table(
             {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}, schema=_PAIR_ID_SCHEMA
         )
 
     cand = (
         sigs.map_batches(band_id_rows, batch_format="pyarrow")
-        .repartition(32)  # see the default plan: bucket cardinality is 64
+        .repartition(parts)
         .groupby("bucket")
         .map_groups(bucket_id_pairs, batch_format="pandas")
         .groupby(["a", "b"])
@@ -330,7 +406,8 @@ def _minhash_pairs_signature_join(sigs, bands: int, threshold: float):
         .map_batches(lambda b: b.select(["a", "b"]), batch_format="pyarrow")
         .materialize()
     )
-    if cand.count() == 0:
+    cand, n_cand = _strip_pair_sentinels(cand, stats, plan="signature-join")
+    if n_cand == 0:
         return _empty_pairs("est_jaccard")
 
     n_parts = join_partitions_for()

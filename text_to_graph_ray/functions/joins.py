@@ -184,9 +184,9 @@ def range_join(
     band join, e.g. attribution windows).  Per bucket, per key: one
     ``np.searchsorted`` over the right side's sorted timestamps gives each
     left row its match span; spans expand with ``np.repeat`` — no Python
-    per-row loop.  ``max_matches_per_row`` FAILS LOUDLY on pathological windows
-    (a key firing continuously inside every window) — truncation keeps the
-    EARLIEST right rows and is deterministic.
+    per-row loop.  ``max_matches_per_row`` FAILS LOUDLY (ValueError, never a
+    silent truncation) on pathological windows — a key firing continuously
+    inside every window.
     """
     unioned, combined = _tagged_union(left, right, by, on, left_cols, right_cols)
     lnames, rnames = list(left_cols), list(right_cols)

@@ -32,7 +32,17 @@ def exact_quantiles(ds, col: str, qs: list[float], presorted: bool = False):
     import ray
 
     if not presorted:
-        ds = ds.select_columns([col]).sort(col)
+        # drop NULLs before the sort: DuckDB's quantile_disc/quantile_cont
+        # ignore NULLs, while Ray's sort would order them to one end and the
+        # index probe could land on them (ADVICE r3). Callers passing
+        # presorted=True own null-freedom as part of the pre-sort contract.
+        import pyarrow.compute as pc
+
+        ds = (
+            ds.select_columns([col])
+            .map_batches(lambda t: t.filter(pc.is_valid(t.column(col))), batch_format="pyarrow")
+            .sort(col)
+        )
     ds = ds.materialize()
     refs = ds.to_arrow_refs()
 

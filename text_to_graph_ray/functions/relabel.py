@@ -17,7 +17,7 @@ def relabel_edges(edges_ds, mapping: dict[str, str], pred_col: str = "pred"):
 
     def apply(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        
+
         col = batch.column(pred_col).to_pandas().map(lambda x: m.get(x, x))
         return batch.set_column(batch.schema.get_field_index(pred_col), pred_col, pa.array(col, type=pa.string()))
 

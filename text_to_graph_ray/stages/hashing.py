@@ -24,7 +24,7 @@ def dedup_batch_partial(batch: pa.Table, key: str = "content_sha256") -> pa.Tabl
     """Batch-local keep-first dedup — the partial/combiner half of exact dedup
     run before the groupby shuffle so duplicate-heavy corpora don't ship every
     copy through the exchange."""
-    
+
     keys = batch.column(key)
     seen: set = set()
     mask = []
