@@ -27,6 +27,13 @@ class PipelineConfig:
     # "chars"/"chunks" for the two-pass mention-hint mode.
     padding_mode: str = "none"
     overlap_chars: int = 100        # L0 overlap coefficient (reference config.py:204)
+    # token counting (reference gpt.py:27-34: tiktoken encoding_for_model
+    # when available, len(text.split()) fallback). "whitespace" is the
+    # default — deterministic and dependency-free; "tiktoken" resolves the
+    # model encoding ONCE PER WORKER PROCESS (not per call like the
+    # reference) and falls back to whitespace when the package is absent.
+    tokenizer: str = "whitespace"   # "whitespace" | "tiktoken"
+    tokenizer_model: str = "gpt-4o-mini"
     # extraction
     two_pass: bool = False          # L1 mentions then L2 triples vs single-pass L0
     # entity linking

@@ -61,40 +61,52 @@ def bpe_ish_tokens(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def quality_row(t: str, toks: list) -> tuple:
+    """(mean_tok_len, stop_ratio, alpha_ratio, quality) for one document —
+    THE quality contract (rounded to 6 dp), shared by quality_score and the
+    curation gates so text is tokenized once per consumer, never re-derived."""
+    stop = _LANG_PROFILES["en"]
+    n = len(toks)
+    mean_len = (sum(len(x) for x in toks) / n) if n else 0.0
+    stop_r = (sum(1 for x in toks if x.lower() in stop) / n) if n else 0.0
+    alpha = (sum(1 for c in t if c.isalpha()) / len(t)) if t else 0.0
+    q = min(1.0, n / 50.0) * 0.4 + min(mean_len / 8.0, 1.0) * 0.2 + stop_r * 0.2 + alpha * 0.2
+    return round(mean_len, 6), round(stop_r, 6), round(alpha, 6), round(q, 6)
+
+
 def quality_score(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Composite quality heuristics (length / mean token length / stopword
     ratio / alpha ratio) — pipeline-filter material, rows-only checked."""
     texts = batch.column(text_col).to_pylist()
     rows = {"mean_tok_len": [], "stop_ratio": [], "alpha_ratio": [], "quality": []}
-    stop = _LANG_PROFILES["en"]
     for t in texts:
         t = t or ""
-        toks = t.split()
-        n = len(toks)
-        mean_len = (sum(len(x) for x in toks) / n) if n else 0.0
-        stop_r = (sum(1 for x in toks if x.lower() in stop) / n) if n else 0.0
-        alpha = (sum(1 for c in t if c.isalpha()) / len(t)) if t else 0.0
-        q = min(1.0, n / 50.0) * 0.4 + min(mean_len / 8.0, 1.0) * 0.2 + stop_r * 0.2 + alpha * 0.2
-        rows["mean_tok_len"].append(round(mean_len, 6))
-        rows["stop_ratio"].append(round(stop_r, 6))
-        rows["alpha_ratio"].append(round(alpha, 6))
-        rows["quality"].append(round(q, 6))
+        mean_len, stop_r, alpha, q = quality_row(t, t.split())
+        rows["mean_tok_len"].append(mean_len)
+        rows["stop_ratio"].append(stop_r)
+        rows["alpha_ratio"].append(alpha)
+        rows["quality"].append(q)
     out = pa.table({id_col: batch.column(id_col)})
     for k, v in rows.items():
         out = out.append_column(k, pa.array(v, type=pa.float64()))
     return out
 
 
-def detect_lang(text: str) -> str:
+def detect_lang(text: str, toks: list | None = None) -> str:
+    """n-gram-profile language heuristic. ``toks`` (= text.split(), unlowered)
+    may be passed by callers that already tokenized the text — the result is
+    identical by construction."""
     t = text or ""
     if any("一" <= c <= "鿿" for c in t[:400]):
         return "zh"
-    toks = [w.lower() for w in t.split()[:200]]
-    if not toks:
+    if toks is None:
+        toks = t.split()
+    ltoks = [w.lower() for w in toks[:200]]
+    if not ltoks:
         return "und"
     best_lang, best = "und", 0
     for lang in ("en", "de", "fr", "es"):
-        hits = sum(1 for w in toks if w in _LANG_PROFILES[lang])
+        hits = sum(1 for w in ltoks if w in _LANG_PROFILES[lang])
         if hits > best:
             best_lang, best = lang, hits
     return best_lang if best > 0 else "und"

@@ -23,15 +23,17 @@ import pyarrow as pa
 
 def quality_lang_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple = ("en",)) -> pa.Table:
     """Keep documents whose composite quality clears min_quality AND whose
-    detected language is in ``langs`` — fused so the text is scanned once."""
-    from text_to_graph_ray.functions.text import detect_lang, quality_score
+    detected language is in ``langs`` — one text extraction, one tokenization
+    shared by both heuristics (quality_row / detect_lang(toks=...) are the
+    same kernels text_quality / text_langid are hash-checked against)."""
+    from text_to_graph_ray.functions.text import detect_lang, quality_row
 
-    texts = batch.column("text").to_pylist()
-    qual = quality_score(batch)
-    keep = [
-        q >= min_quality and detect_lang(t or "") in langs
-        for q, t in zip(qual.column("quality").to_pylist(), texts)
-    ]
+    keep = []
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        toks = t.split()
+        q = quality_row(t, toks)[3]
+        keep.append(q >= min_quality and detect_lang(t, toks) in langs)
     return batch.filter(pa.array(keep))
 
 
@@ -49,18 +51,18 @@ def pretraining_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple = 
     scan per doc for the heuristics, one bigram pass via the SHARED
     text.bigram_repetition kernel — the same contract repetition_stats is
     hash-checked against)."""
-    from text_to_graph_ray.functions.text import bigram_repetition, detect_lang, quality_score
+    from text_to_graph_ray.functions.text import bigram_repetition, detect_lang, quality_row
 
     if batch.num_rows == 0:
         return batch
-    texts = batch.column("text").to_pylist()
-    qual = quality_score(batch)
     keep = []
-    for q, t in zip(qual.column("quality").to_pylist(), texts):
-        if q < min_quality or detect_lang(t or "") not in langs:
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        toks = t.split()
+        if quality_row(t, toks)[3] < min_quality or detect_lang(t, toks) not in langs:
             keep.append(False)
             continue
-        _, dup_frac, _ = bigram_repetition(t)
+        _, dup_frac, _ = bigram_repetition(t)  # split(" ") tokenization — the hash-checked contract
         keep.append(not (dup_frac is not None and dup_frac > max_dup_frac))
     return batch.filter(pa.array(keep, type=pa.bool_()))
 

@@ -36,6 +36,34 @@ def count_tokens(text: str) -> int:
     return len(text.split())
 
 
+_TOKENIZERS: dict = {}
+
+
+def token_counter(cfg: PipelineConfig):
+    """Resolve the configured token counter (reference gpt.py:27-34):
+    ``tokenizer="tiktoken"`` loads ``encoding_for_model(tokenizer_model)``
+    once per WORKER PROCESS (module-level cache — the reference re-resolved
+    it every call) and falls back to the whitespace counter when tiktoken
+    isn't importable, exactly like the reference's except-path."""
+    if cfg.tokenizer != "tiktoken":
+        return count_tokens
+    key = (cfg.tokenizer, cfg.tokenizer_model)
+    fn = _TOKENIZERS.get(key)
+    if fn is None:
+        try:
+            import tiktoken
+
+            enc = tiktoken.encoding_for_model(cfg.tokenizer_model)
+
+            def fn(text: str, _enc=enc) -> int:
+                return len(_enc.encode(text))
+
+        except Exception:
+            fn = count_tokens  # gpt.py:32-34 fallback
+        _TOKENIZERS[key] = fn
+    return fn
+
+
 def _code_units(content: str) -> list[str]:
     """Top-level blocks: split on blank lines, then glue any unit that starts
     indented back onto its predecessor (a body continuation, never a new
@@ -70,6 +98,7 @@ def chunk_one_file(content: str, lang: str, cfg: PipelineConfig) -> list[dict]:
     with text + padding. Always >= 1 chunk."""
     units = _code_units(content) if lang in _CODE_LANGS else _text_units(content)
 
+    ct = token_counter(cfg)
     max_tok, min_tok = cfg.max_tokens, cfg.min_tokens
     chunks: list[dict] = []
     cur: list[str] = []
@@ -85,7 +114,7 @@ def chunk_one_file(content: str, lang: str, cfg: PipelineConfig) -> list[dict]:
 
     i = 0
     while i < len(units):
-        t = count_tokens(units[i])
+        t = ct(units[i])
         if cur_tok + t <= max_tok:
             cur.append(units[i])
             cur_tok += t
@@ -105,7 +134,7 @@ def chunk_one_file(content: str, lang: str, cfg: PipelineConfig) -> list[dict]:
         last = chunks.pop()
         prev = chunks[-1]
         prev["text"] = prev["text"] + "\n" + last["text"]
-        prev["chunk_size"] = count_tokens(prev["text"])
+        prev["chunk_size"] = ct(prev["text"])
         prev["token_end"] = prev["token_start"] + prev["chunk_size"]
 
     # context padding computed in place — no cross-row dependency
