@@ -237,3 +237,163 @@ class TestTokenizerOption:
 
         a, b = PipelineConfig(), PipelineConfig(tokenizer="tiktoken")
         assert a.config_hash != b.config_hash
+
+
+class TestSaltedCanonicalize:
+    def test_salted_matches_single_phase(self, ray_session, small_corpus):
+        """The salted two-phase plan must be value-identical to the default
+        single-exchange plan on the full pipeline (nodes + edges)."""
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        n1, e1 = kg.graph_tables(small_corpus["path"], PipelineConfig(num_partitions=8))
+        n2, e2 = kg.graph_tables(
+            small_corpus["path"], PipelineConfig(num_partitions=8, salted_canonicalize=True, salt_buckets=4)
+        )
+        cols_n = ["entity_id", "entity_key", "label", "types_packed", "repos_packed"]
+        cols_e = ["src_key", "pred", "dst_key", "repos_packed"]
+        a = n1.to_pandas().sort_values(cols_n).reset_index(drop=True)
+        b = n2.to_pandas().sort_values(cols_n).reset_index(drop=True)
+        assert a[cols_n].equals(b[cols_n])
+        a = e1.to_pandas().sort_values(cols_e).reset_index(drop=True)
+        b = e2.to_pandas().sort_values(cols_e).reset_index(drop=True)
+        assert a[cols_e].equals(b[cols_e])
+
+    def test_hot_key_spreads_across_buckets(self):
+        """Skew stress at the operator level: one entity key with N distinct
+        provenance values lands in ONE merge bucket unsalted (the serialized
+        wall) and in ~salt_buckets buckets salted — the merge work bound."""
+        import pyarrow as pa
+
+        from text_to_graph_ray.stages.canonicalize import combined_partials
+
+        n = 2000
+        batch = pa.table(
+            {
+                "kind": pa.array(["node"] * n),
+                "a": pa.array(["HotEntity"] * n),
+                "b": pa.array(["type"] * n),
+                "c": pa.array([""] * n),
+                "a_key": pa.array(["hotentity"] * n),
+                "c_key": pa.array([""] * n),
+                "repo": pa.array([f"repo{i}" for i in range(n)]),
+            }
+        )
+        plain = combined_partials(batch, buckets=64)
+        salted = combined_partials(batch, buckets=64, salt=8)
+        assert plain.column("bucket").to_pandas().nunique() == 1
+        got = salted.column("bucket").to_pandas().nunique()
+        assert 2 <= got <= 8  # spread over up to salt_buckets merge tasks
+        # same distinct payload rows either way
+        assert salted.num_rows == plain.num_rows == n
+
+    def test_salted_skewed_corpus_end_to_end(self, ray_session, tmp_path):
+        """One hot entity called from EVERY file across many batches: both
+        plans agree, and the hot node's provenance packs every repo."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        n_files = 300
+        rows = {
+            "repo": [f"r{i:04d}" for i in range(n_files)],
+            "path": [f"m{i}.py" for i in range(n_files)],
+            "commit": ["c"] * n_files,
+            "lang": ["python"] * n_files,
+            "content": [f"import hotmod\n\ndef f{i}():\n    hotmod.hot()\n" for i in range(n_files)],
+        }
+        p = str(tmp_path / "skew.parquet")
+        pq.write_table(pa.table(rows), p)
+        cfg_a = PipelineConfig(num_partitions=8, batch_size=16)
+        cfg_b = PipelineConfig(num_partitions=8, batch_size=16, salted_canonicalize=True, salt_buckets=8)
+        n1, _ = kg.graph_tables(p, cfg_a)
+        n2, _ = kg.graph_tables(p, cfg_b)
+        df1 = n1.to_pandas().sort_values("entity_key").reset_index(drop=True)
+        df2 = n2.to_pandas().sort_values("entity_key").reset_index(drop=True)
+        assert df1.equals(df2)
+        hot = df1[df1["entity_key"] == "hotmod"]
+        assert len(hot) == 1 and len(hot.iloc[0]["repos_packed"].split("|")) == n_files
+
+
+class TestChainedReexports:
+    def _corpus(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = {
+            "repo": ["r1", "r2", "r3"],
+            "path": ["mod.py", "use.py", "deep.py"],
+            "commit": ["c"] * 3,
+            "lang": ["python"] * 3,
+            "content": [
+                "def fn():\n    return 1\n",
+                "import pkg\n\ndef caller():\n    pkg.fn()\n",
+                "import api\n\ndef deep_caller():\n    api.fn()\n",
+            ],
+        }
+        p = str(tmp_path / "rx.parquet")
+        pq.write_table(pa.table(rows), p)
+        return p
+
+    # api.fn -> pkg.fn -> mod.fn (re-export chain), then the def rule's final
+    # hop mod.fn -> fn: THREE hops resolve transitively in one linker pass
+    RX = (("api.fn", "pkg.fn"), ("pkg.fn", "mod.fn"))
+
+    def test_close_reexports_chain_and_cycle(self):
+        from text_to_graph_ray.keys import close_reexports
+
+        assert close_reexports({"a.x": "b.x", "b.x": "c.x"}) == {"a.x": "c.x", "b.x": "c.x"}
+        # min-label on cycles: every member maps to the smallest
+        assert close_reexports({"b.x": "a.x", "a.x": "b.x", "c.x": "a.x"}) == {"b.x": "a.x", "c.x": "a.x"}
+
+    def test_chained_alias_resolves_transitively(self, ray_session, tmp_path):
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        p = self._corpus(tmp_path)
+        base_n, base_e = kg.graph_tables(p, PipelineConfig(num_partitions=4))
+        keys = set(base_n.to_pandas()["entity_key"])
+        assert {"pkg.fn", "api.fn", "fn"} <= keys  # unlinked without the declared map
+
+        cfg = PipelineConfig(num_partitions=4, reexports=self.RX)
+        n, e = kg.graph_tables(p, cfg)
+        ndf, edf = n.to_pandas(), e.to_pandas()
+        keys = set(ndf["entity_key"])
+        assert "pkg.fn" not in keys and "api.fn" not in keys
+        fn = ndf[ndf["entity_key"] == "fn"].iloc[0]
+        assert set(fn["repos_packed"].split("|")) == {"r1", "r2", "r3"}  # provenance merged
+        calls = edf[edf["pred"] == "calls"]
+        assert set(calls["dst_key"]) == {"fn"}  # both dotted call edges rewritten
+
+    def test_reexports_distributed_matches_broadcast(self, ray_session, tmp_path):
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        p = self._corpus(tmp_path)
+        n1, e1 = kg.graph_tables(p, PipelineConfig(num_partitions=4, reexports=self.RX))
+        n2, e2 = kg.graph_tables(p, PipelineConfig(num_partitions=4, reexports=self.RX, defs_broadcast_max=0))
+        cols_n = ["entity_id", "entity_key", "label", "types_packed", "repos_packed"]
+        cols_e = ["src_key", "pred", "dst_key", "repos_packed"]
+        assert (
+            n1.to_pandas()[cols_n].sort_values(cols_n).reset_index(drop=True)
+            .equals(n2.to_pandas()[cols_n].sort_values(cols_n).reset_index(drop=True))
+        )
+        assert (
+            e1.to_pandas()[cols_e].sort_values(cols_e).reset_index(drop=True)
+            .equals(e2.to_pandas()[cols_e].sort_values(cols_e).reset_index(drop=True))
+        )
+
+    def test_reexport_without_defs_still_rewrites(self, ray_session, tmp_path):
+        """A declared alias whose target has NO definition anywhere still
+        rewrites onto the (dotted) closed target, on both paths."""
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        p = self._corpus(tmp_path)
+        rx = (("pkg.fn", "vendor.blob"),)
+        for extra in ({}, {"defs_broadcast_max": 0}):
+            n, e = kg.graph_tables(p, PipelineConfig(num_partitions=4, reexports=rx, **extra))
+            keys = set(n.to_pandas()["entity_key"])
+            assert "pkg.fn" not in keys and "vendor.blob" in keys

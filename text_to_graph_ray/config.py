@@ -38,6 +38,12 @@ class PipelineConfig:
     two_pass: bool = False          # L1 mentions then L2 triples vs single-pass L0
     # entity linking
     link_aliases: bool = True       # union-find alias merge of dotted/bare names
+    # user-declared re-export aliases ((alias_key, target_key) pairs, e.g.
+    # ("pkg.fn", "mod.fn") for a package __init__ re-export). CHAINED aliases
+    # are supported: the map is closed transitively (min-label on cycles) on
+    # the driver before linking, and the def rule composes after the closed
+    # hop — "pkg.fn" -> "mod.fn" -> "fn" resolves in one linker pass.
+    reexports: tuple = field(default_factory=tuple)
     # record-level stages (keys / partials) use whole-block batches
     # (batch_size=None): per-call pandas overhead is ~3-5 ms, so slicing
     # tens of millions of records into small batches burns more time in
@@ -48,7 +54,14 @@ class PipelineConfig:
     # physical
     num_partitions: int = 64        # checkpoint/shuffle partition count
     batch_size: int = 1024          # rows per map_batches call on file-level stages
-    salt_buckets: int = 8           # salt for hot entity keys in two-phase aggregation
+    # hot-key skew: the per-batch distinct-row combiner already bounds a hot
+    # key's exchange rows at one per batch, but its per-bucket MERGE work is
+    # still serialized in one task. salted_canonicalize spreads it over
+    # salt_buckets phase-A tasks (value-salted buckets) + one unsalted
+    # phase-B re-merge — value-identical, one extra vocabulary-sized
+    # exchange, so opt-in for pathologically skewed corpora.
+    salted_canonicalize: bool = False
+    salt_buckets: int = 8           # salt width for the two-phase plan
     stop_entities: tuple = field(default_factory=tuple)  # entity keys dropped pre-shuffle
     # linking scale guards: defs index is broadcast while it fits
     # (<= defs_broadcast_max def-site rows), else the shuffle-join fallback

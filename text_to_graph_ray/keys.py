@@ -61,3 +61,37 @@ def resolve_alias(key: str, defs_idx: dict) -> str | None:
     if len(matches) == 1:
         return name
     return None
+
+
+def close_reexports(reexports: dict, max_rounds: int = 32) -> dict:
+    """Transitive closure of a (small, user-declared) re-export alias map —
+    chained aliases ``a -> b, b -> c`` close to ``a -> c, b -> c`` so linking
+    applies ONE lookup per key instead of iterating per mention. Cycles are
+    resolved min-label (every member of / path into a cycle maps to the
+    lexicographically smallest cycle member — the bounded-round min-label
+    propagation rule, run here on the driver because the map is
+    vocabulary-small by contract). Identity entries are dropped.
+
+    The def-rule hop (keys.resolve_alias) composes AFTER the closure: a
+    closed target that is still dotted may merge into its unique definition
+    key downstream."""
+    out: dict[str, str] = {}
+    for start in reexports:
+        path = [start]
+        seen = {start}
+        cur = start
+        for _ in range(max_rounds):
+            nxt = reexports.get(cur)
+            if nxt is None:
+                break
+            if nxt in seen:
+                # cycle: min-label over the cycle members wins for the whole path
+                cyc = path[path.index(nxt):]
+                cur = min(cyc)
+                break
+            path.append(nxt)
+            seen.add(nxt)
+            cur = nxt
+        if cur != start:
+            out[start] = cur
+    return out

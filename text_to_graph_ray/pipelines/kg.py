@@ -275,31 +275,36 @@ def link_merged(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
     def _nrows(t: pa.Table) -> int:
         return t.num_rows
 
+    from text_to_graph_ray.keys import close_reexports
+
+    closed = close_reexports(dict(cfg.reexports)) if cfg.reexports else {}
+
     lens = ray.get([_nrows.remote(r) for r in qrefs])
     n_upper = sum(lens)
-    if n_upper == 0:
+    if n_upper == 0 and not closed:
         # nothing the alias rule could rewrite: skip the linker pass entirely
         return _drop_def_rows(merged)
     if n_upper <= cfg.defs_broadcast_max:
-        names = pc.unique(
-            pa.concat_arrays(
-                [
-                    t.column("name").combine_chunks().cast(pa.string())
-                    for t, n in zip(ray.get(qrefs), lens)
-                    if n
-                ]
-            )
-        )
+        name_arrays = [
+            t.column("name").combine_chunks().cast(pa.string()) for t, n in zip(ray.get(qrefs), lens) if n
+        ]
+        if closed:
+            # the def-rule hop also fires on CLOSED RE-EXPORT TARGETS that are
+            # still dotted — their names must survive the defs pruning
+            extra = sorted({t.rsplit(".", 1)[1] for t in closed.values() if "." in t})
+            if extra:
+                name_arrays.append(pa.array(extra, type=pa.string()))
+        names = pc.unique(pa.concat_arrays(name_arrays)) if name_arrays else pa.array([], type=pa.string())
         pruned = defs_table_from_merged(merged, names=names)
-        if pruned.num_rows == 0:
+        if pruned.num_rows == 0 and not closed:
             # no dotted key has any candidate definition: identity relink
             return _drop_def_rows(merged)
         if pruned.num_rows <= cfg.defs_broadcast_max:
-            return relink_merged(merged, pruned, cfg)
-    return relink_merged_distributed(merged, cfg)
+            return relink_merged(merged, pruned, cfg, reexports=closed)
+    return relink_merged_distributed(merged, cfg, reexports=closed)
 
 
-def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
+def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG, reexports: dict | None = None):
     """SPARSE entity-linking pass over the vocabulary-sized merged graph
     (broadcast defs index).
 
@@ -333,7 +338,7 @@ def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
         MergedLinker,
         batch_format="pyarrow",
         concurrency=(1, pool_max),
-        fn_constructor_kwargs={"defs_ref": ref},
+        fn_constructor_kwargs={"defs_ref": ref, "reexports": reexports or None},
     ).materialize()
     changed_ds = linked.map_batches(
         lambda b: b.filter(b.column("changed")).select(["kind", "k1", "k2", "k3"]), batch_format="pyarrow"
@@ -383,7 +388,7 @@ def relink_merged(merged, defs_idx: dict, cfg: PipelineConfig = DEFAULT_CONFIG):
     return passthrough.union(remerged).materialize()
 
 
-def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
+def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG, reexports: dict | None = None):
     """Shuffle-join linking fallback: for defs vocabularies too large to
     broadcast, the def-site table NEVER leaves the object store.
 
@@ -396,10 +401,18 @@ def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
         rows, k3 for edges) — Ray Data native shuffle joins;
     (3) re-keyed rows re-merge distributedly (``_remerge_all``).
 
+    ``reexports`` (the CLOSED user alias map, vocabulary-small by contract)
+    composes here too: re-export source keys are excluded from the exchange
+    (the declared mapping wins) and their rewrites — including the def-rule
+    hop on still-dotted targets, resolved against a name-pruned def-site
+    collect bounded by the map size — are unioned into the rewrite table.
+
     Output is hash-identical to the broadcast path."""
     import pandas as pd
 
     merged_nd = _drop_def_rows(merged)
+    reexports = reexports or {}
+    rx_sources = pa.array(sorted(reexports), type=pa.string()) if reexports else None
 
     defs = merged.map_batches(
         lambda b: (
@@ -418,6 +431,9 @@ def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
     def dotted_rows(b: pa.Table) -> pa.Table:
         # vectorized: distinct dotted keys -> (last segment, prefix) pairs
         keys = _dotted_keys_of(b)
+        if rx_sources is not None:
+            # re-export sources resolve via the declared map (below), not the def rule
+            keys = keys.filter(pc.invert(pc.is_in(keys, value_set=rx_sources)))
         keys = keys.take(pc.array_sort_indices(keys))
         names = last_dot_segment(keys)
         rev_tail = pc.list_element(pc.split_pattern(pc.utf8_reverse(keys), ".", max_splits=1), 1)
@@ -446,7 +462,53 @@ def relink_merged_distributed(merged, cfg: PipelineConfig = DEFAULT_CONFIG):
         # fixed Arrow schema so all-empty groups can't destabilize downstream blocks
         return pa.table({"old_key": pa.array(out_old, type=pa.string()), "new_key": pa.array(out_new, type=pa.string())})
 
-    rewrites = defs.union(queries).groupby("name").map_groups(resolve_group, batch_format="pandas").materialize()
+    from text_to_graph_ray.util import compact_nonempty
+
+    rewrites = compact_nonempty(
+        defs.union(queries).groupby("name").map_groups(resolve_group, batch_format="pandas").materialize()
+    )
+
+    if reexports:
+        # rewrites for the re-export sources: closed hop + def-rule hop on
+        # still-dotted targets, against a def collect pruned to the handful
+        # of target names (bounded by the declared map, not the corpus)
+        import ray.data as rd
+
+        from text_to_graph_ray.keys import resolve_alias
+
+        wanted = sorted({t.rsplit(".", 1)[1] for t in reexports.values() if "." in t})
+        small_idx: dict[str, set] = {}
+        if wanted:
+            wset = pa.array(wanted, type=pa.string())
+            drows = merged.map_batches(
+                lambda b: (lambda t: t.filter(pc.is_in(t.column("k1"), value_set=wset)).select(["k1", "k2"]))(
+                    b.filter(pc.equal(b.column("kind"), "d"))
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+            for r in drows:
+                small_idx.setdefault(r["k1"], set()).add(r["k2"])
+        rx_old, rx_new = [], []
+        for src in sorted(reexports):
+            tgt = reexports[src]
+            hop = resolve_alias(tgt, small_idx) if "." in tgt else None
+            final = hop if hop is not None else tgt
+            if final != src:
+                rx_old.append(src)
+                rx_new.append(final)
+        if rx_old:
+            rx_tbl = rd.from_arrow(
+                pa.table(
+                    {
+                        "old_key": pa.array(rx_old, type=pa.string()),
+                        "new_key": pa.array(rx_new, type=pa.string()),
+                    }
+                )
+            )
+            # compact again: an all-empty exchange result would otherwise
+            # contribute schema-less blocks and break the downstream joins
+            rewrites = compact_nonempty(rewrites.union(rx_tbl).materialize())
+
     if rewrites.count() == 0:
         return merged_nd
 
@@ -488,14 +550,31 @@ def _filter_stop(ds, cfg: PipelineConfig):
 
 
 def merged_graph(resolved, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """The single canonicalization shuffle: node mentions and edges travel
-    together (kind column), combiner-reduced per batch, merged per hash
-    bucket. Returns the (vocabulary-sized) merged dataset, materialized so
-    nodes and edges can both be split from it without re-running extraction."""
+    """The canonicalization shuffle: node mentions and edges travel together
+    (kind column), combiner-reduced per batch, merged per hash bucket.
+    Returns the (vocabulary-sized) merged dataset, materialized so nodes and
+    edges can both be split from it without re-running extraction.
+
+    ``cfg.salted_canonicalize`` switches to the SALTED TWO-PHASE plan for
+    corpora with pathological hot entities (one key in a large fraction of
+    all batches — think ``utils.py`` at 10^12 files): phase A merges
+    (key, salt-of-value) groups with the ordinary ``merge_bucket`` so the hot
+    key's set-union work spreads over up to ``cfg.salt_buckets`` tasks, and
+    phase B (``_remerge_all`` — the same machinery the link path uses)
+    unions the per-salt packed partials in one unsalted vocabulary-sized
+    exchange. Value-identical to the single-phase plan (equivalence + skew
+    tests in test_round4); costs one extra vocabulary-sized exchange, which
+    is why it is opt-in rather than the default."""
+    salt = cfg.salt_buckets if cfg.salted_canonicalize else 1
     parts = resolved.map_batches(
-        lambda b: combined_partials(b, cfg.num_partitions), batch_format="pyarrow", batch_size=cfg.linker_batch_size
+        lambda b: combined_partials(b, cfg.num_partitions, salt=salt),
+        batch_format="pyarrow",
+        batch_size=cfg.linker_batch_size,
     )
-    return parts.groupby("bucket").map_groups(merge_bucket, batch_format="pandas").materialize()
+    merged = parts.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+    if salt > 1:
+        return _remerge_all(merged, cfg)
+    return merged.materialize()
 
 
 def nodes_from_merged(merged, with_ids: bool = True):

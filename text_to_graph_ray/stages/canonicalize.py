@@ -43,31 +43,50 @@ def _stable_bucket(series: pd.Series, buckets: int) -> pd.Series:
     return (pd.util.hash_pandas_object(series, index=False) % buckets).astype("int64")
 
 
-def combined_partials(batch: pa.Table, buckets: int) -> pa.Table:
+def combined_partials(batch: pa.Table, buckets: int, salt: int = 1) -> pa.Table:
     """Resolved records -> distinct partial rows for BOTH kinds:
 
       kind='n': k1=entity_key, k2=label,        k3=type,    repo
       kind='e': k1=src_key,    k2=lower(pred),  k3=dst_key, repo
 
     One vectorized drop_duplicates per kind; bucket = stable hash of the
-    grouping key."""
+    grouping key.
+
+    ``salt > 1`` enables the SALTED two-phase plan (north-rule skew
+    handling): the bucket additionally hashes a salt derived from the row's
+    VALUE payload (nodes: (label, type, repo); edges: repo; defs: module), so
+    a hot key's surviving distinct rows spread across up to ``salt`` merge
+    tasks instead of serializing in one. The phase-A merge is the ordinary
+    ``merge_bucket`` (it groups by key within each salted bucket); a second
+    unsalted exchange over the (already partially packed) rows finishes with
+    ``merge_bucket_packed`` — set-union semantics make the two-phase result
+    value-identical regardless of how values split across salts."""
     df = batch.select(["kind", "a", "b", "c", "a_key", "c_key", "repo"]).to_pandas()
 
     n = df[df["kind"] == "node"]
     nodes = pd.DataFrame(
         {"kind": "n", "k1": n["a_key"], "k2": n["a"], "k3": n["b"], "repo": n["repo"]}
     ).drop_duplicates()
-    nodes["bucket"] = _stable_bucket(nodes["k1"], buckets)
+    nkey = nodes["k1"]
+    if salt > 1:
+        nkey = nkey + SEP + _stable_bucket(nodes["k2"] + SEP + nodes["k3"] + SEP + nodes["repo"], salt).astype(str)
+    nodes["bucket"] = _stable_bucket(nkey, buckets)
 
     e = df[df["kind"] == "edge"]
     edges = pd.DataFrame(
         {"kind": "e", "k1": e["a_key"], "k2": e["b"].str.lower(), "k3": e["c_key"], "repo": e["repo"]}
     ).drop_duplicates()
-    edges["bucket"] = _stable_bucket(edges["k1"] + SEP + edges["k2"] + SEP + edges["k3"], buckets)
+    ekey = edges["k1"] + SEP + edges["k2"] + SEP + edges["k3"]
+    if salt > 1:
+        ekey = ekey + SEP + _stable_bucket(edges["repo"], salt).astype(str)
+    edges["bucket"] = _stable_bucket(ekey, buckets)
 
     d = df[df["kind"] == "def"]
     defs = pd.DataFrame({"kind": "d", "k1": d["a_key"], "k2": d["b"], "k3": "", "repo": ""}).drop_duplicates()
-    defs["bucket"] = _stable_bucket(defs["k1"], buckets)
+    dkey = defs["k1"]
+    if salt > 1:
+        dkey = dkey + SEP + _stable_bucket(defs["k2"], salt).astype(str)
+    defs["bucket"] = _stable_bucket(dkey, buckets)
 
     out = pd.concat([nodes, edges, defs], ignore_index=True)
     return pa_from_pandas(out)

@@ -49,20 +49,26 @@ class AliasResolver:
     dotted entity labels onto their unique definition key (keys.resolve_alias
     rule) and appends resolved-key columns."""
 
-    def __init__(self, defs_ref=None, defs_idx: dict | None = None):
+    def __init__(self, defs_ref=None, defs_idx: dict | None = None, reexports: dict | None = None):
         if defs_idx is None:
             import ray
 
             defs_idx = ray.get(defs_ref) if defs_ref is not None else {}
         self.defs_idx = defs_idx
+        # CLOSED re-export map (keys.close_reexports): chained aliases are
+        # already collapsed, so one lookup replaces the per-key fixpoint loop;
+        # the def-rule hop composes after the re-export hop (re-export wins
+        # on conflict — it is the user-declared mapping)
+        self.reexports = reexports or {}
         self.memo: dict[str, str] = {}
 
     def resolve(self, key: str) -> str:
         hit = self.memo.get(key)
         if hit is not None:
             return hit
-        tgt = resolve_alias(key, self.defs_idx) if "." in key else None
-        out = tgt if tgt is not None else key
+        cur = self.reexports.get(key, key)
+        tgt = resolve_alias(cur, self.defs_idx) if "." in cur else None
+        out = tgt if tgt is not None else cur
         self.memo[key] = out
         return out
 
@@ -117,7 +123,7 @@ class MergedLinker:
     (edge dst only — for node rows k3 is the packed type set and must pass
     through untouched)."""
 
-    def __init__(self, defs_ref=None, defs_idx: dict | None = None):
+    def __init__(self, defs_ref=None, defs_idx: dict | None = None, reexports: dict | None = None):
         if defs_idx is None:
             import ray
 
@@ -127,7 +133,7 @@ class MergedLinker:
             # lookup dict once per actor — far cheaper than unpickling a
             # driver-built dict at large vocabularies
             defs_idx = defs_dict_from_table(defs_idx)
-        self.r = AliasResolver(defs_idx=defs_idx)
+        self.r = AliasResolver(defs_idx=defs_idx, reexports=reexports)
 
     def _resolve_keys(self, arr: pa.Array) -> pa.Array:
         # keys are already normalized; only the alias rule applies here
