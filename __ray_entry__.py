@@ -586,6 +586,44 @@ def _q_kg_scored_links(sf_dir):
     return scored_fallback_links(ds_e, ds_n, threshold=0.35, dim=1024)
 
 
+def _q_kg_reexport_links(sf_dir):
+    """Chained re-export alias linking (round 4, §2.8 extension surface +
+    the north star's union-find alias merge): a fixed 3-file corpus with a
+    declared two-hop alias chain api.fn -> pkg.fn -> mod.fn, closed on the
+    driver (keys.close_reexports) and finished by the def rule
+    (mod.fn -> fn) in one linker pass. Returns the linked edges table;
+    oracle = HAND-COMPUTED literal rows (third-layer fixture style — no
+    generator, no engine code)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.config import PipelineConfig
+    from text_to_graph_ray.pipelines import kg
+    from text_to_graph_ray.util import ensure_dir_once
+
+    def build(tmp):
+        import pyarrow as pa
+
+        rows = {
+            "repo": ["r1", "r2", "r3"],
+            "path": ["mod.py", "use.py", "deep.py"],
+            "commit": ["c"] * 3,
+            "lang": ["python"] * 3,
+            "content": [
+                "def fn():\n    return 1\n",
+                "import pkg\n\ndef caller():\n    pkg.fn()\n",
+                "import api\n\ndef deep_caller():\n    api.fn()\n",
+            ],
+        }
+        pq.write_table(pa.table(rows), os.path.join(tmp, "rx.parquet"))
+
+    d = ensure_dir_once("/tmp/graft_fixture/reexport_v1", build)
+    cfg = PipelineConfig(num_partitions=4, reexports=(("api.fn", "pkg.fn"), ("pkg.fn", "mod.fn")))
+    _, edges = kg.graph_tables(os.path.join(d, "rx.parquet"), cfg, which="edges")
+    return edges
+
+
 def _q_kg_degree_topk(sf_dir):
     """Top-degree entities of the linked KG — graph analytics over the edges
     table (combiner + one groupby + sort/limit)."""
@@ -1029,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fixture_nodes": _q_kg_fixture_nodes,
         "kg_relabeled": _q_kg_relabeled,
         "kg_scored_links": _q_kg_scored_links,
+        "kg_reexport_links": _q_kg_reexport_links,
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_components": _q_kg_components,
         "conformance_parse": _q_conformance_parse,
@@ -1318,6 +1357,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": f"SELECT component, size FROM read_parquet('{d}/expected_components.parquet')",
         "kg_pagerank_topk": f"SELECT entity_key, rank FROM read_parquet('{d}/expected_pagerank.parquet')",
         "kg_scored_links": f"SELECT mention, matched, score FROM read_parquet('{ks}/expected_scored_links.parquet')",
+        # hand-computed fixture rows: the two dotted call targets resolve
+        # through the declared chain api.fn -> pkg.fn -> mod.fn and the def
+        # rule's final hop mod.fn -> fn; everything else is untouched
+        "kg_reexport_links": (
+            "SELECT * FROM (VALUES "
+            "('caller','calls','fn','r2'), "
+            "('deep_caller','calls','fn','r3'), "
+            "('r1','contains','r1/mod.py','r1'), "
+            "('r2','contains','r2/use.py','r2'), "
+            "('r3','contains','r3/deep.py','r3'), "
+            "('r1/mod.py','defines','fn','r1'), "
+            "('r2/use.py','defines','caller','r2'), "
+            "('r3/deep.py','defines','deep_caller','r3'), "
+            "('r2/use.py','imports','pkg','r2'), "
+            "('r3/deep.py','imports','api','r3')"
+            ") AS t(src_key, pred, dst_key, repos_packed)"
+        ),
         "kg_degree_topk": (
             f"SELECT entity_key, count(*)::BIGINT AS degree FROM ("
             f"SELECT src_key AS entity_key FROM read_parquet('{exp_linked}') "
