@@ -221,6 +221,43 @@ def _q_dedup_survivors(sf_dir):
     return near_dup_survivors(ds, threshold=0.5)
 
 
+def _q_dedup_best_survivors(sf_dir):
+    """Quality-argmax near-dedup (round 4): keep the HIGHEST-quality doc per
+    near-dup cluster (ties -> min id) — the curation-grade survivor rule.
+    Oracle: independent naive union-find + naive quality argmax
+    (expected.naive_best_quality_survivors)."""
+    from text_to_graph_ray.functions.dedup import survivors_best_quality
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return survivors_best_quality(ds, threshold=0.5)
+
+
+def _q_text_redact_pii(sf_dir):
+    """Vectorized PII redaction (round 4): emails / IPv4 / phone patterns via
+    RE2 kernels; counts taken on the progressively-redacted text. The synth
+    documents carry no PII, so a deterministic PII suffix derived from doc_id
+    is appended IDENTICALLY in the engine and the SQL oracle — the kernels
+    under test are the regex replace/count, not the concat."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.text import redact_pii
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_pii(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = [
+            f"{t or ''} contact user{i}@example.com at 10.{i % 256}.0.1 call 555-010-{i % 10000:04d}"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b.column("doc_id"), "text": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(with_pii, batch_format="pyarrow").map_batches(redact_pii, batch_format="pyarrow").sort(
+        "doc_id"
+    )
+
+
 def _q_text_stats(sf_dir):
     import ray.data as rd
 
@@ -1023,6 +1060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_sigjoin": _q_dedup_minhash_sigjoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_survivors": _q_dedup_survivors,
+        "dedup_best_survivors": _q_dedup_best_survivors,
+        "text_redact_pii": _q_text_redact_pii,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_stats": _q_text_stats,
@@ -1121,6 +1160,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_verified": f"SELECT a, b, est_jaccard, jaccard FROM read_parquet('{e}/expected_ngram_pairs.parquet') WHERE jaccard >= 0.4 AND est_jaccard >= 0.2",
         "dedup_embedding_lsh": f"SELECT a, b, sim FROM read_parquet('{e}/expected_emb_lsh_pairs.parquet')",
         "dedup_survivors": f"SELECT doc_id FROM read_parquet('{e}/expected_survivors.parquet')",
+        "dedup_best_survivors": f"SELECT doc_id FROM read_parquet('{e}/expected_best_survivors.parquet')",
+        # same RE2 engine on both sides; counts on the progressively-redacted
+        # text, PII suffix derived identically from doc_id (see the query)
+        "text_redact_pii": (
+            "WITH s0 AS (SELECT doc_id, coalesce(text,'') || ' contact user' || doc_id || "
+            "'@example.com at 10.' || (doc_id % 256) || '.0.1 call 555-010-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents), "
+            "s1 AS (SELECT doc_id, length(regexp_extract_all(t, '" + r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}" + "')) c1, "
+            "regexp_replace(t, '" + r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}" + "', '<EMAIL>', 'g') t FROM s0), "
+            "s2 AS (SELECT doc_id, c1, length(regexp_extract_all(t, '" + r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b" + "')) c2, "
+            "regexp_replace(t, '" + r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b" + "', '<IP>', 'g') t FROM s1), "
+            "s3 AS (SELECT doc_id, c1, c2, length(regexp_extract_all(t, '" + r"\b\d{3}-\d{3}-\d{4}\b" + "')) c3, "
+            "regexp_replace(t, '" + r"\b\d{3}-\d{3}-\d{4}\b" + "', '<PHONE>', 'g') t FROM s2) "
+            "SELECT doc_id, t AS text_redacted, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions FROM s3 ORDER BY doc_id"
+        ),
         "text_packed_seqs": f"SELECT seq_id, n_filled, tok_sum FROM read_parquet('{e}/expected_packed.parquet')",
         "pipeline_clean_corpus": f"SELECT doc_id FROM read_parquet('{e}/expected_clean.parquet')",
         "pipeline_pretraining": f"SELECT doc_id FROM read_parquet('{e}/expected_clean2.parquet')",

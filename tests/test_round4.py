@@ -397,3 +397,56 @@ class TestChainedReexports:
             n, e = kg.graph_tables(p, PipelineConfig(num_partitions=4, reexports=rx, **extra))
             keys = set(n.to_pandas()["entity_key"])
             assert "pkg.fn" not in keys and "vendor.blob" in keys
+
+
+def test_redact_pii_kernel(ray_session):
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.text import redact_pii
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "mail bob.smith+x@foo.co.uk or root@10.0.0.1 from 192.168.1.10 call 555-123-4567",
+                    "no pii here",
+                ]
+            ),
+        }
+    )
+    out = redact_pii(b)
+    t = out.column("text_redacted")[0].as_py()
+    assert "<EMAIL>" in t and "<IP>" in t and "<PHONE>" in t
+    assert "bob.smith" not in t and "192.168" not in t and "555-123" not in t
+    # root@10.0.0.1: alpha-TLD requirement means it is NOT an email; the IP
+    # inside it is caught by the IP pass
+    assert "root@<IP>" in t
+    assert out.column("n_redactions").to_pylist() == [4, 0]
+
+
+def test_best_quality_survivor_beats_min_id(ray_session):
+    """A planted near-dup cluster where the HIGHER id is clearly higher
+    quality: min-id dedup keeps doc 0, quality dedup must keep doc 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.dedup import near_dup_survivors, survivors_best_quality
+
+    # 120 DISTINCT tokens -> a large shingle set, so appending a few
+    # stopwords keeps jaccard high while lifting doc 1's stop-ratio (and
+    # with it the composite quality) strictly above doc 0's
+    base = " ".join(f"tok{i}" for i in range(120))
+    rich = base + " the is in of and to the is in of and to"
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 7], type=pa.int64()),
+                "text": pa.array([base, rich, "completely different content about unrelated things"]),
+            }
+        )
+    )
+    min_id = sorted(r["doc_id"] for r in near_dup_survivors(docs, threshold=0.5, bands=32).take_all())
+    best = sorted(r["doc_id"] for r in survivors_best_quality(docs, threshold=0.5, bands=32).take_all())
+    assert min_id == [0, 7]
+    assert best == [1, 7]

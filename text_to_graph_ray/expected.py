@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v9"  # v9: +expected_clean2 (pretraining composition)
+EXPECTED_ROOT = "/tmp/graft_expected/v10"  # v10: +expected_best_survivors (quality-argmax dedup)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -228,6 +228,39 @@ def naive_survivors(ids: list[int], texts: list[str], threshold: float, bands: i
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
     return sorted(i for i in ids if find(i) == i)
+
+
+def naive_best_quality_survivors(ids: list[int], texts: list[str], threshold: float, bands: int = 16) -> list[int]:
+    """Union-find over the naive minhash pair graph, keeping the
+    HIGHEST-QUALITY member per component (ties -> min id); untouched docs
+    survive. Written against the survivors_best_quality spec — no engine
+    imports."""
+    a_l, b_l, est = naive_minhash_pairs(ids, texts, bands=bands)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, e in zip(a_l, b_l, est):
+        if e >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    groups: dict[int, list[int]] = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    q = {i: naive_quality(t)[3] for i, t in zip(ids, texts)}
+    out = []
+    for members in groups.values():
+        if len(members) == 1:
+            out.append(members[0])
+        else:
+            out.append(min(members, key=lambda i: (-q[i], i)))
+    return sorted(out)
 
 
 def naive_clean_corpus(ids: list[int], texts: list[str], min_quality: float = 0.45, threshold: float = 0.5) -> list[int]:
@@ -679,6 +712,10 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
     # near-dedup survivors: union-find over the 16-band pair graph at 0.5
     surv = naive_survivors(ids, texts, threshold=0.5)
     _write(tmp, "expected_survivors", pa.table({"doc_id": pa.array(surv, type=pa.int64())}))
+
+    # quality-argmax survivors (keep the best-quality copy per cluster)
+    bq = naive_best_quality_survivors(ids, texts, threshold=0.5)
+    _write(tmp, "expected_best_survivors", pa.table({"doc_id": pa.array(bq, type=pa.int64())}))
 
     # packed-sequence stream summary
     ps = naive_packed_sequences(ids, texts)

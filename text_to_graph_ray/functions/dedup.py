@@ -563,6 +563,16 @@ def near_dup_survivors(
         lambda b: b.filter(pc.invert(pc.equal(b.column("node"), b.column("component")))).select(["node"]),
         batch_format="pyarrow",
     ).materialize()
+    return _drop_removed(ids_only, removed_ds, id_col, cc_collect_max)
+
+
+def _drop_removed(ids_only, removed_ds, id_col: str, cc_collect_max: int):
+    """Shared survivor tail: drop the (materialized) removed-id set from the
+    id stream — broadcast filter while the set fits ``cc_collect_max``,
+    distributed left-anti join past it. Both value-identical (tests force
+    cc_collect_max=0)."""
+    import ray
+
     n_removed = removed_ds.count()
     if n_removed == 0:
         return ids_only.sort(id_col)
@@ -585,6 +595,70 @@ def near_dup_survivors(
     )
     surv = j.map_batches(lambda b: b.filter(pc.is_null(b.column("__rm"))).select([id_col]), batch_format="pyarrow")
     return surv.sort(id_col)
+
+
+def survivors_best_quality(
+    ds,
+    text_col="text",
+    id_col="doc_id",
+    threshold=0.7,
+    k=64,
+    bands=16,
+    shingle=3,
+    seed=42,
+    max_rounds=64,
+    cc_collect_max=2_000_000,
+):
+    """Near-dedup keeping the BEST-QUALITY member per near-dup cluster
+    (quality desc, then min id) instead of the min id — the curation-grade
+    survivor rule: pretraining pipelines keep the highest-quality copy.
+
+    Same distributed shape as near_dup_survivors (minhash pairs -> guarded
+    connected components); the per-cluster winner is ONE
+    ``topk_per_group(k=1)`` exchange over the components⋈quality hash join
+    (quality = the same hash-checked text.quality_score kernel), and the
+    removed set follows the shared guarded broadcast / anti-join tail."""
+    from text_to_graph_ray.functions.agg import topk_per_group
+    from text_to_graph_ray.functions.graph import connected_components
+    from text_to_graph_ray.functions.text import quality_score
+
+    ids_only = ds.map_batches(lambda b: pa.table({id_col: b.column(id_col)}), batch_format="pyarrow")
+    pairs = minhash_near_dup_pairs(
+        ds, text_col=text_col, id_col=id_col, k=k, bands=bands, shingle=shingle, threshold=threshold, seed=seed
+    ).materialize()
+    if pairs.count() == 0:
+        return ids_only.sort(id_col)
+
+    comp = connected_components(pairs, a_col="a", b_col="b", max_rounds=max_rounds, collect_max=cc_collect_max)
+    compj = comp.map_batches(
+        lambda b: pa.table({id_col: b.column("node"), "component": b.column("component")}), batch_format="pyarrow"
+    )
+    qual = ds.map_batches(
+        lambda b: quality_score(b, text_col=text_col, id_col=id_col).select([id_col, "quality"]),
+        batch_format="pyarrow",
+    )
+    n_parts = join_partitions_for()
+    hint = 32 << 20
+    jq = compj.join(qual, join_type="inner", num_partitions=n_parts, on=(id_col,), partition_size_hint=hint)
+    best_schema = pa.schema([(id_col, pa.int64()), ("component", pa.int64()), ("quality", pa.float64())])
+    winners = topk_per_group(
+        jq.map_batches(lambda b: b.select([id_col, "component", "quality"]), batch_format="pyarrow"),
+        ["component"],
+        order_col="quality",
+        k=1,
+        descending=True,
+        tiebreak=id_col,
+        out_schema=best_schema,
+    )
+    win = winners.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col), "__w": pa.array([1] * b.num_rows, type=pa.int64())}),
+        batch_format="pyarrow",
+    )
+    jr = compj.join(win, join_type="left_outer", num_partitions=n_parts, on=(id_col,), partition_size_hint=hint)
+    removed_ds = jr.map_batches(
+        lambda b: pa.table({"node": b.filter(pc.is_null(b.column("__w"))).column(id_col)}), batch_format="pyarrow"
+    ).materialize()
+    return _drop_removed(ids_only, removed_ds, id_col, cc_collect_max)
 
 
 # ---------------------------------------------------------------------------

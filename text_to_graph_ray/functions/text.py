@@ -380,3 +380,37 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc
         out["dup_frac"].append(dup_frac)
         out["top_frac"].append(top_frac)
     return pa.table({f.name: pa.array(out[f.name], type=f.type) for f in REPETITION_SCHEMA})
+
+
+PII_PATTERNS = (
+    # order matters and is part of the contract: counts are taken on the
+    # progressively-redacted text (a replacement token can never retrigger
+    # an earlier pattern)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Vectorized PII redaction (emails / IPv4 literals / NANP-style phone
+    numbers) — a standard pretraining-corpus scrub, map-only. RE2 kernels
+    (pyarrow ``replace_substring_regex`` / ``count_substring_regex``) — the
+    same regex engine DuckDB uses, so the oracle is ``regexp_replace(...,
+    'g')`` with the identical patterns. Returns (doc_id, text_redacted,
+    n_redactions)."""
+    import pyarrow.compute as pc
+
+    txt = batch.column(text_col)
+    total = None
+    for pat, tok in PII_PATTERNS:
+        c = pc.count_substring_regex(txt, pattern=pat)
+        total = c if total is None else pc.add(total, c)
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=tok)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "text_redacted": txt,
+            "n_redactions": pc.cast(total, pa.int64()),
+        }
+    )
