@@ -796,6 +796,23 @@ def _q_text_inverted_index(sf_dir):
     return inverted_index(ds, min_df=5)
 
 
+def _q_rel_pricing_cube(sf_dir):
+    """GROUP BY CUBE (round 4): all four grouping sets via the same
+    combiner-expansion as the rollup, vs DuckDB's native CUBE."""
+    from text_to_graph_ray.pipelines.analytics import pricing_cube
+
+    return pricing_cube(sf_dir)
+
+
+def _q_events_funnel(sf_dir):
+    """Ordered-funnel conversion view -> click -> purchase (round 4):
+    strict min-ts-after semantics per user, one user-keyed exchange, rows
+    (the irreducible order statistics) as the only payload."""
+    from text_to_graph_ray.pipelines.analytics import funnel_steps
+
+    return funnel_steps(sf_dir)
+
+
 def _q_rel_pricing_rollup(sf_dir):
     """GROUP BY ROLLUP via grouping-set expansion in the combiner."""
     from text_to_graph_ray.pipelines.analytics import pricing_rollup
@@ -1113,6 +1130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topk": _q_text_tfidf_topk,
         "text_inverted_index": _q_text_inverted_index,
         "rel_pricing_rollup": _q_rel_pricing_rollup,
+        "rel_pricing_cube": _q_rel_pricing_cube,
+        "events_funnel": _q_events_funnel,
         "events_user_profile": _q_events_user_profile,
         "docs_distinct_pairs": _q_docs_distinct_pairs,
         "events_lag_deltas": _q_events_lag_deltas,
@@ -1281,6 +1300,25 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, "
             "count(*)::BIGINT AS n_rows FROM lineitem WHERE l_shipdate < DATE '1996-01-01' "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"
+        ),
+        "rel_pricing_cube": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, "
+            "round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, "
+            "count(*)::BIGINT AS n_rows FROM lineitem WHERE l_shipdate < DATE '1996-01-01' "
+            "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls"
+        ),
+        # strict min-ts-after funnel: step k = users with a step-k event
+        # strictly after their step-(k-1) qualifying (min) time
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 ON e.user_id = s1.user_id "
+            "AND e.ts > s1.t WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            "AND e.ts > s2.t WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT * FROM ("
+            "SELECT 1::BIGINT AS step, 'view' AS name, count(*)::BIGINT AS users FROM s1 "
+            "UNION ALL SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2 "
+            "UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3) ORDER BY step"
         ),
         "events_user_profile": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "

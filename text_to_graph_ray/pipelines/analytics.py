@@ -700,6 +700,147 @@ def pricing_rollup(sf_dir: str, cutoff: str = "1996-01-01"):
     return agg.map_batches(finish, batch_format="pandas").sort(["rf", "ls"])
 
 
+def pricing_cube(sf_dir: str, cutoff: str = "1996-01-01"):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every subset of the
+    grouping keys, 'ALL' as the rolled-up sentinel — pricing_rollup's
+    combiner-expansion generalized to all four grouping sets ((rf,ls),
+    (rf,ALL), (ALL,ls), (ALL,ALL)). Each per-batch partial row replicates
+    once per set before ONE tiny exchange; the shuffle carries
+    4 x #groups rows per batch, never row count."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"]
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+    cut = np.datetime64(cutoff)
+
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("s_qty", pa.float64()),
+            ("s_price", pa.float64()),
+            ("n", pa.float64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["l_shipdate"] < cut]
+        if df.empty:
+            return partial_schema.empty_table()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            s_qty=("l_quantity", "sum"), s_price=("l_extendedprice", "sum"), n=("l_quantity", "size")
+        )
+        sets = [g]
+        for mask_rf, mask_ls in ((False, True), (True, False), (True, True)):
+            gi = g.copy()
+            if mask_rf:
+                gi["l_returnflag"] = "ALL"
+            if mask_ls:
+                gi["l_linestatus"] = "ALL"
+            sets.append(gi)
+        exp = (
+            pd.concat(sets, ignore_index=True)
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+        )
+        return pa.table({f.name: pa.array(exp[f.name], type=f.type) for f in partial_schema})
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(4)
+    agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("s_qty", alias_name="sum_qty"), Sum("s_price", alias_name="sum_price"), Sum("n", alias_name="n_rows")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("rf", pa.string()),
+            ("ls", pa.string()),
+            ("sum_qty", pa.float64()),
+            ("sum_price", pa.float64()),
+            ("n_rows", pa.int64()),
+        ]
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "sum_qty" not in df.columns:
+            return out_schema.empty_table()
+        df = df.rename(columns={"l_returnflag": "rf", "l_linestatus": "ls"})
+        df["n_rows"] = df["n_rows"].astype("int64")
+        df = _round_cols(df, {"sum_qty": 2, "sum_price": 2})
+        return pa.table({f.name: pa.array(df[f.name], type=f.type) for f in out_schema})
+
+    return agg.map_batches(finish, batch_format="pandas").sort(["rf", "ls"])
+
+
+def funnel_steps(sf_dir: str, steps: tuple = ("view", "click", "purchase")):
+    """Ordered-funnel conversion over the event stream: step k counts a user
+    iff they have a ``steps[k]`` event STRICTLY AFTER their step-(k-1)
+    qualifying time, where the qualifying time is the min such event time
+    (min-ts funnel semantics; strict > on both engine and oracle).
+
+    Scale shape: the read prunes to the funnel's event types and 3 columns;
+    a per-batch distinct combiner drops exact-duplicate (user, type, ts)
+    rows (the min-after recurrence needs arbitrary order statistics, so rows
+    — the irreducible set — cross the exchange, like the inverted index's
+    postings); ONE user-keyed coarse-bucket exchange lands each user's rows
+    together, and the per-bucket kernel walks the steps vectorized
+    (merge + filter + groupby-min per step), emitting <= len(steps) partial
+    count rows per bucket; a tiny groupby-sum finishes."""
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+
+    cols = ["user_id", "event_type", "ts"]
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
+    step_set = pa.array(list(steps), type=pa.string())
+    in_schema = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()), ("ts", pa.timestamp("us"))])
+
+    def local(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("event_type"), value_set=step_set))
+        if t.num_rows == 0:
+            return in_schema.empty_table()
+        df = t.to_pandas().drop_duplicates()
+        return pa.table({f.name: pa.array(df[f.name], type=f.type) for f in in_schema})
+
+    pre = ev.map_batches(local, batch_format="pyarrow")
+
+    part_schema = pa.schema([("step", pa.int64()), ("name", pa.string()), ("users", pa.int64())])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        thr = df[df["event_type"] == steps[0]].groupby("user_id")["ts"].min()
+        counts = [len(thr)]
+        for st in steps[1:]:
+            rows = df[df["event_type"] == st].merge(thr.rename("__thr"), left_on="user_id", right_index=True)
+            rows = rows[rows["ts"] > rows["__thr"]]
+            thr = rows.groupby("user_id")["ts"].min()
+            counts.append(len(thr))
+        return pa.table(
+            {
+                "step": pa.array(range(1, len(steps) + 1), type=pa.int64()),
+                "name": pa.array(list(steps), type=pa.string()),
+                "users": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    parts = bucket_exchange(with_bucket(pre, "user_id", 64, in_schema=in_schema), per_bucket, part_schema, 64)
+
+    from ray.data.aggregate import Sum
+
+    agg = parts.groupby(["step", "name"]).aggregate(Sum("users", alias_name="users"))
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "step": b.column("step"),
+                "name": b.column("name"),
+                "users": pc.cast(b.column("users"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fix, batch_format="pyarrow").sort("step")
+
+
 def event_type_profile(sf_dir: str):
     """Exact distributed COUNT(DISTINCT user_id) per event_type — the
     non-decomposable aggregate, via per-batch distinct combiner + coarse-bucket
