@@ -450,3 +450,39 @@ def test_best_quality_survivor_beats_min_id(ray_session):
     best = sorted(r["doc_id"] for r in survivors_best_quality(docs, threshold=0.5, bands=32).take_all())
     assert min_id == [0, 7]
     assert best == [1, 7]
+
+
+class TestFilterByKeys:
+    """filter_by_keys: broadcast plan == distributed left_semi/left_anti
+    (broadcast_max=0 forces the Dataset.join fallback)."""
+
+    def _mk(self, ray_session):
+        import ray
+
+        left = ray.data.from_items([{"k": i, "v": f"x{i}"} for i in range(200)])
+        # duplicated + out-of-order keys on the right, extra payload column
+        right = ray.data.from_items([{"k": i % 17, "w": i} for i in range(50)])
+        return left, right
+
+    @pytest.mark.parametrize("mode", ["semi", "anti"])
+    def test_broadcast_matches_distributed(self, ray_session, mode):
+        from text_to_graph_ray.functions.joins import filter_by_keys
+
+        left, right = self._mk(ray_session)
+        bc = filter_by_keys(left, right, "k", mode=mode)
+        di = filter_by_keys(left, right, "k", mode=mode, broadcast_max=0)
+        a = sorted((r["k"], r["v"]) for r in bc.take_all())
+        b = sorted((r["k"], r["v"]) for r in di.take_all())
+        assert a == b
+        want = set(range(17)) if mode == "semi" else set(range(200)) - set(range(17))
+        assert {k for k, _ in a} == want
+
+    def test_empty_right_anti_is_identity_semi_is_empty(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.joins import filter_by_keys
+
+        left, _ = self._mk(ray_session)
+        empty = ray.data.from_items([{"k": 1}]).filter(lambda r: False)
+        assert filter_by_keys(left, empty, "k", mode="anti").count() == 200
+        assert filter_by_keys(left, empty, "k", mode="semi").count() == 0

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from text_to_graph_ray.functions.agg import BUCKET_COL, with_bucket
 
@@ -231,3 +232,71 @@ def range_join(
         return pa.concat_tables(outs)
 
     return _bucketed_merge(unioned, combined, by, merge, out_schema, num_buckets)
+
+
+SEMI_BROADCAST_MAX_ROWS = 5_000_000  # keys fit one plasma object (~40 MB of int64) and one is_in probe
+
+
+def filter_by_keys(left, right, key: str, right_key: str | None = None, mode: str = "anti",
+                   broadcast_max: int = SEMI_BROADCAST_MAX_ROWS):
+    """Guarded semi/anti filter on one equality key: ``mode="semi"`` keeps
+    left rows whose key appears in ``right``, ``mode="anti"`` keeps the rest.
+
+    The right side of "keep rows (not) seen in R" is usually vocabulary-sized
+    relative to the corpus (a contaminated-id list, a blocklist, an eval
+    split); shuffling the whole LEFT for that wastes an exchange. While R's
+    row count fits ``broadcast_max``, its DISTINCT keys are collected ONCE
+    into plasma (``ray.put``; every task reads the Arrow array zero-copy) and
+    the left stream filters itself inside ``map_batches`` with ``pc.is_in``
+    — no exchange, no join actors, the left never leaves its blocks. Past the
+    guard it falls back to Ray Data's distributed left_semi/left_anti hash
+    join (one keyed exchange, aggregator pool sized by join_partitions_for).
+    Both plans are value-identical (test forces broadcast_max=0).
+
+    Contract: ``key`` is non-null on both sides (ids). Same discipline as
+    kg.defs_broadcast_max / dedup._drop_removed, generalized.
+    """
+    import ray
+
+    right_key = right_key or key
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+    key_type = _arrow_schema(left).field(key).type
+
+    def _keys(b: pa.Table, c=right_key, t=key_type) -> pa.Table:
+        # empty post-filter blocks can lose their schema entirely (Ray gotcha)
+        if b.num_rows == 0 or c not in b.schema.names:
+            return pa.table({c: pa.array([], type=t)})
+        return pa.table({c: pc.unique(pc.cast(b.column(c), t))})  # cast: is_in needs left's key type
+
+    keys_only = right.map_batches(_keys, batch_format="pyarrow").materialize()
+    if keys_only.count() > broadcast_max:
+        from text_to_graph_ray.functions.dedup import join_partitions_for
+
+        return left.join(
+            keys_only,
+            join_type=f"left_{mode}",
+            num_partitions=join_partitions_for(),
+            on=(key,),
+            right_on=(right_key,),
+            partition_size_hint=16 << 20,
+        )
+    # zero-row blocks can come back schema-less after materialize; skip them
+    blocks = [t for t in ray.get(keys_only.to_arrow_refs()) if t.num_rows and right_key in t.schema.names]
+    if blocks:
+        key_arr = pc.unique(pa.concat_tables(blocks).column(right_key).combine_chunks())
+    else:
+        key_arr = pa.array([], type=key_type)
+    if mode == "anti" and len(key_arr) == 0:
+        return left
+    ref = ray.put(key_arr)
+    invert = mode == "anti"
+
+    def flt(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        if len(ks) == 0:
+            return b.filter(pa.array([False] * b.num_rows, type=pa.bool_()))
+        m = pc.is_in(b.column(key), value_set=ks)
+        return b.filter(pc.invert(m) if invert else m)
+
+    return left.map_batches(flt, batch_format="pyarrow")

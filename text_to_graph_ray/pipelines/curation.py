@@ -107,20 +107,32 @@ def pretraining_corpus(
     gated = docs.map_batches(train_only, batch_format="pyarrow").map_batches(
         lambda b: pretraining_gate(b, min_quality, ("en",), max_dup_frac), batch_format="pyarrow"
     )
+    # The dedup branch (minhash pairs -> CC) and the decontamination branch
+    # (eval-gram scan) are independent subplans that each end in an eager
+    # materialize; run them CONCURRENTLY (Ray Data executes per-thread
+    # streams against the shared cluster with backpressure) instead of
+    # serializing two cluster-wide barriers.
+    import threading
+
+    branch: dict = {}
+
+    def _contaminated():
+        try:
+            branch["bad"] = ngram_contamination(docs, eval_sources=eval_sources, n=n).materialize()
+        except BaseException as e:  # surface on the caller thread
+            branch["err"] = e
+
+    th = threading.Thread(target=_contaminated, daemon=True)
+    th.start()
     survivors = near_dup_survivors(gated, threshold=threshold)  # (doc_id,)
+    th.join()
+    if "err" in branch:
+        raise branch["err"]
 
-    contaminated = ngram_contamination(docs, eval_sources=eval_sources, n=n)  # (doc_id, n_shared)
-    bad = contaminated.map_batches(
-        lambda b: b.select(["doc_id"]) if b.num_rows else pa.schema([("doc_id", pa.int64())]).empty_table(),
-        batch_format="pyarrow",
-    )
-    from text_to_graph_ray.functions.dedup import join_partitions_for
+    from text_to_graph_ray.functions.joins import filter_by_keys
 
-    clean = survivors.join(
-        bad,
-        join_type="left_anti",
-        num_partitions=join_partitions_for(),
-        on=("doc_id",),
-        partition_size_hint=16 << 20,
-    )
+    # contaminated ids are vocabulary-sized (tens of rows vs the corpus):
+    # guarded broadcast anti-filter (keys projected inside the helper),
+    # distributed left_anti past the guard
+    clean = filter_by_keys(survivors, branch["bad"], "doc_id", mode="anti")
     return sort_coalesced(clean, "doc_id")
