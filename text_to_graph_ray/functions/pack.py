@@ -79,80 +79,75 @@ def sequence_pack_offsets(ds, seq_len: int = 1024, id_col: str = "doc_id", text_
 
 
 def packed_sequences(ds, seq_len: int = 1024, vocab: int = 32768, id_col: str = "doc_id", text_col: str = "text"):
-    """Materialize the packed training stream: every token (hash id =
-    crc32(token) %% vocab) lands at its global position; documents crossing a
-    sequence boundary split into per-sequence SPANS inside ``map_batches``;
-    one ``groupby(seq_id)`` assembles fixed-length sequences. Returns a
-    compact per-sequence summary (seq_id, n_filled, tok_sum) — enough for an
-    exact oracle without shipping the exploded stream to the driver."""
-    import pandas as pd
+    """Per-sequence summary (seq_id, n_filled, tok_sum) of the packed
+    training stream (token hash id = crc32(token) %% vocab).
+
+    Key observation: after ONE sort of (id, text) by id, the packed stream is
+    literally the concatenation of the sorted blocks — the global position of
+    the k-th token of a block is ``base + k`` where ``base`` is the prefix
+    sum of earlier blocks' token counts. So per-sequence partials fall out of
+    a single ``np.add.reduceat`` over each block's flat token-id array at the
+    sequence boundaries, and only those partials (~tokens/seq_len + #blocks
+    rows) reach the final exchange. No corpus-sized join, no token lists
+    crossing the network; driver work is O(#blocks) prefix-summing."""
     import zlib
 
-    from text_to_graph_ray.functions.dedup import join_partitions_for
+    import ray
+    import ray.data as rd
 
-    offs = sequence_pack_offsets(ds, seq_len=seq_len, id_col=id_col, text_col=text_col)
-    texts = ds.map_batches(
-        lambda b: pa.table({id_col: b.column(id_col), "__text": b.column(text_col)}), batch_format="pyarrow"
-    )
-    j = offs.join(
-        texts, join_type="inner", num_partitions=join_partitions_for(), on=(id_col,), partition_size_hint=32 << 20
-    )
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
 
-    def spans(b: pa.Table) -> pa.Table:
-        # token-id kernel, vectorized: split stays C-level (str.split), then
-        # the batch's tokens are dictionary-encoded so crc32 runs ONCE per
-        # DISTINCT token (vocabulary-sized, not corpus-sized) and the
-        # corpus-sized id stream is a single numpy gather
-        tok_lists = [(t or "").split() for t in b.column("__text").to_pylist()]
-        flat = [tok for toks in tok_lists for tok in toks]
-        if flat:
-            enc = pa.array(flat, type=pa.string()).dictionary_encode()
-            uniq = enc.dictionary.to_pylist()
-            uhash = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniq), dtype=np.int64, count=len(uniq)) % vocab
-            flat_ids = uhash[np.asarray(enc.indices)]
-        else:
-            flat_ids = np.array([], dtype=np.int64)
-        seq_ids, poss, id_chunks = [], [], []
-        start = 0
-        for off, toks in zip(b.column("offset").to_pylist(), tok_lists):
-            n = len(toks)
-            ids = flat_ids[start : start + n]
-            start += n
-            i = 0
-            while i < n:  # O(#spans) = O(n/seq_len + 1), not O(tokens)
-                pos = (off + i) % seq_len
-                take = min(seq_len - pos, n - i)
-                seq_ids.append((off + i) // seq_len)
-                poss.append(pos)
-                id_chunks.append(ids[i : i + take])
-                i += take
-        values = np.concatenate(id_chunks) if id_chunks else np.array([], dtype=np.int64)
-        offsets = np.zeros(len(id_chunks) + 1, dtype=np.int32)
-        if id_chunks:
-            np.cumsum([len(c) for c in id_chunks], out=offsets[1:])
-        ids_col = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int64()))
+    sel = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col), "__t": b.column(text_col)}), batch_format="pyarrow"
+    )
+    blocks = sel.sort(id_col).materialize().to_arrow_refs()
+
+    @ray.remote(num_returns=2)
+    def tokenize(t: pa.Table):
+        # split stays C-level; crc32 runs once per DISTINCT token via
+        # dictionary-encode, the corpus-sized id stream is one numpy gather
+        if t.num_rows == 0 or "__t" not in t.schema.names:  # empty sort outputs lose their schema
+            return np.array([], dtype=np.int64), 0
+        flat = [tok for s in t.column("__t").to_pylist() for tok in (s or "").split()]
+        if not flat:
+            return np.array([], dtype=np.int64), 0
+        enc = pa.array(flat, type=pa.string()).dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        uhash = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniq), dtype=np.int64, count=len(uniq)) % vocab
+        ids = uhash[np.asarray(enc.indices)]
+        return ids, int(ids.size)
+
+    tok_refs = [tokenize.remote(r) for r in blocks]
+    totals = ray.get([t[1] for t in tok_refs])
+    bases = np.concatenate(([0], np.cumsum(totals, dtype=np.int64)[:-1])) if totals else np.array([], dtype=np.int64)
+
+    out_schema = pa.schema([("seq_id", pa.int64()), ("n_filled", pa.int64()), ("tok_sum", pa.int64())])
+
+    @ray.remote
+    def seq_partials(ids: np.ndarray, base: int, sl: int) -> pa.Table:
+        total = ids.size
+        if total == 0:
+            return out_schema.empty_table()
+        first = (-base) % sl  # offset of the first sequence boundary inside this block
+        bnds = np.arange(first, total, sl, dtype=np.int64)
+        if first != 0:
+            bnds = np.concatenate(([np.int64(0)], bnds))
         return pa.table(
             {
-                "seq_id": pa.array(seq_ids, type=pa.int64()),
-                "pos": pa.array(poss, type=pa.int64()),
-                "ids": ids_col,
+                "seq_id": pa.array(base // sl + np.arange(len(bnds), dtype=np.int64), type=pa.int64()),
+                "n_filled": pa.array(np.diff(np.append(bnds, total)), type=pa.int64()),
+                "tok_sum": pa.array(np.add.reduceat(ids, bnds), type=pa.int64()),
             }
         )
 
-    def assemble(g: pd.DataFrame) -> pa.Table:
-        chunks = [np.asarray(ids, dtype=np.int64) for ids in g["ids"]]
-        flat = np.concatenate(chunks) if chunks else np.array([], dtype=np.int64)
-        return pa.table(
-            {
-                "seq_id": pa.array([int(g["seq_id"].iloc[0])], type=pa.int64()),
-                "n_filled": pa.array([int(flat.size)], type=pa.int64()),
-                "tok_sum": pa.array([int(flat.sum())], type=pa.int64()),
-            }
-        )
-
-    return (
-        j.map_batches(spans, batch_format="pyarrow")
-        .groupby("seq_id")
-        .map_groups(assemble, batch_format="pandas")
-        .sort("seq_id")
+    part_refs = [seq_partials.remote(t[0], int(b), seq_len) for t, b in zip(tok_refs, bases)]
+    # a sequence straddling a block boundary contributes one partial per block
+    n_seqs = int(sum(totals)) // seq_len + 1
+    merged = bucketed_aggregate(
+        rd.from_arrow_refs(part_refs),
+        "seq_id",
+        {"n_filled": ("n_filled", "sum"), "tok_sum": ("tok_sum", "sum")},
+        out_schema=out_schema,
+        num_buckets=max(2, min(64, n_seqs // 100_000 + 2)),
     )
+    return merged.sort("seq_id")
