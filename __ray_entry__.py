@@ -538,6 +538,14 @@ def _q_rel_customers_no_orders(sf_dir):
     return customers_without_orders(sf_dir)
 
 
+def _q_rel_bloom_semijoin(sf_dir):
+    """Bloom-filter semijoin (distributed bitmap build + one fixed-size
+    broadcast; only Bloom-maybes verified by the exact join) vs SQL IN."""
+    from text_to_graph_ray.pipelines.analytics import customers_with_orders_bloom
+
+    return customers_with_orders_bloom(sf_dir)
+
+
 def _q_events_running_sum(sf_dir):
     """Per-user ordered cumulative sum vs a SQL window running sum
     (bit-exact: same accumulation order)."""
@@ -1110,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_segment_revenue": _q_rel_segment_revenue,
         "rel_top_orders": _q_rel_top_orders,
         "rel_customers_no_orders": _q_rel_customers_no_orders,
+        "rel_bloom_semijoin": _q_rel_bloom_semijoin,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1245,6 +1254,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+        ),
+        "rel_bloom_semijoin": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
+            "ORDER BY c_custkey"
         ),
         "events_running_sum": (
             # round(4): see user_running_sum — the window sum's addition

@@ -581,6 +581,28 @@ def customers_without_orders(sf_dir: str, min_totalprice: float = 400_000.0):
     return sort_coalesced(out, "c_custkey")
 
 
+def customers_with_orders_bloom(sf_dir: str, min_totalprice: float = 400_000.0):
+    """Customers WITH at least one high-value order — the semijoin complement
+    of ``customers_without_orders``, computed through the Bloom-filter plan
+    (``functions.bloom``): distributed partial-bitmap build over the order
+    keys, one fixed-size broadcast, Bloom-negative customers drop without any
+    exchange, and only the maybes are verified by the exact guarded semijoin.
+    Exact by construction; at 100 TB the left stream never shuffles."""
+    from pyarrow.dataset import field as ds_field
+
+    from text_to_graph_ray.functions.bloom import bloom_filter_by_keys
+    from text_to_graph_ray.util import sort_coalesced
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        filter=ds_field("o_totalprice") > min_totalprice,
+    ).select_columns(["o_custkey"])
+    out = bloom_filter_by_keys(cust, orders, "c_custkey", "o_custkey", mode="semi")
+    return sort_coalesced(out, "c_custkey")
+
+
 def user_running_sum(sf_dir: str):
     """Per-user ordered cumulative sum over the event stream (the classic
     sessionless window function): one keyed exchange via coarse buckets, then
