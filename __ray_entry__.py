@@ -546,6 +546,21 @@ def _q_rel_bloom_semijoin(sf_dir):
     return customers_with_orders_bloom(sf_dir)
 
 
+def _q_stats_kmv_distinct(sf_dir):
+    """KMV distinct-count sketch, exact-below-k regime vs COUNT(DISTINCT)."""
+    from text_to_graph_ray.pipelines.analytics import events_distinct_sketch
+
+    return events_distinct_sketch(sf_dir, kind="kmv")
+
+
+def _q_stats_hll_distinct(sf_dir):
+    """HyperLogLog estimate — no SQL oracle can replay the registers, so this
+    is a rows-only driver check; tests pin the error at three cardinalities."""
+    from text_to_graph_ray.pipelines.analytics import events_distinct_sketch
+
+    return events_distinct_sketch(sf_dir, kind="hll")
+
+
 def _q_events_running_sum(sf_dir):
     """Per-user ordered cumulative sum vs a SQL window running sum
     (bit-exact: same accumulation order)."""
@@ -1119,6 +1134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": _q_rel_top_orders,
         "rel_customers_no_orders": _q_rel_customers_no_orders,
         "rel_bloom_semijoin": _q_rel_bloom_semijoin,
+        "stats_kmv_distinct": _q_stats_kmv_distinct,
+        "stats_hll_distinct": _q_stats_hll_distinct,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1259,6 +1276,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
             "ORDER BY c_custkey"
+        ),
+        # stats_hll_distinct has NO oracle on purpose (estimate-only sketch)
+        "stats_kmv_distinct": (
+            "SELECT col, n_distinct FROM ("
+            "SELECT 'event_type' AS col, count(DISTINCT event_type)::BIGINT AS n_distinct FROM events "
+            "UNION ALL "
+            "SELECT 'user_id' AS col, count(DISTINCT user_id)::BIGINT AS n_distinct FROM events"
+            ") ORDER BY col"
         ),
         "events_running_sum": (
             # round(4): see user_running_sum — the window sum's addition

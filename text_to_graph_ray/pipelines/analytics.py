@@ -603,6 +603,20 @@ def customers_with_orders_bloom(sf_dir: str, min_totalprice: float = 400_000.0):
     return sort_coalesced(out, "c_custkey")
 
 
+def events_distinct_sketch(sf_dir: str, kind: str = "kmv"):
+    """Distinct user/event-type counts over the event stream via a mergeable
+    sketch (``functions.sketch``) — fixed-size partials folded on the driver,
+    no distinct-value exchange. ``kind="kmv"`` is exact below k=8192 (the
+    hash-checked query); ``kind="hll"`` is the always-estimate variant
+    (rows-only check; error pinned by tests)."""
+    from text_to_graph_ray.functions.sketch import hll_distinct, kmv_distinct
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    if kind == "kmv":
+        return kmv_distinct(ev, ["event_type", "user_id"], k=8192)
+    return hll_distinct(ev, ["event_type", "user_id"], p=14)
+
+
 def user_running_sum(sf_dir: str):
     """Per-user ordered cumulative sum over the event stream (the classic
     sessionless window function): one keyed exchange via coarse buckets, then
