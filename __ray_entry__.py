@@ -561,6 +561,13 @@ def _q_stats_hll_distinct(sf_dir):
     return events_distinct_sketch(sf_dir, kind="hll")
 
 
+def _q_events_heavy_hitters(sf_dir):
+    """Misra-Gries candidate pass + exact verification vs GROUP BY HAVING."""
+    from text_to_graph_ray.pipelines.analytics import event_heavy_hitters
+
+    return event_heavy_hitters(sf_dir)
+
+
 def _q_events_running_sum(sf_dir):
     """Per-user ordered cumulative sum vs a SQL window running sum
     (bit-exact: same accumulation order)."""
@@ -1136,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bloom_semijoin": _q_rel_bloom_semijoin,
         "stats_kmv_distinct": _q_stats_kmv_distinct,
         "stats_hll_distinct": _q_stats_hll_distinct,
+        "events_heavy_hitters": _q_events_heavy_hitters,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1276,6 +1284,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
             "ORDER BY c_custkey"
+        ),
+        "events_heavy_hitters": (
+            "SELECT event_type, count(*)::BIGINT AS cnt FROM events "
+            "GROUP BY event_type "
+            "HAVING count(*) > 0.10 * (SELECT count(*) FROM events) "
+            "ORDER BY event_type"
         ),
         # stats_hll_distinct has NO oracle on purpose (estimate-only sketch)
         "stats_kmv_distinct": (

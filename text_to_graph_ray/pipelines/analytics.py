@@ -617,6 +617,16 @@ def events_distinct_sketch(sf_dir: str, kind: str = "kmv"):
     return hll_distinct(ev, ["event_type", "user_id"], p=14)
 
 
+def event_heavy_hitters(sf_dir: str, threshold: float = 0.10):
+    """Event types with > threshold of all events — exact counts via the
+    Misra-Gries candidates + verification-pass plan (``sketch.heavy_hitters``):
+    no groupby exchange, two streaming scans."""
+    from text_to_graph_ray.functions.sketch import heavy_hitters
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return heavy_hitters(ev, "event_type", threshold)
+
+
 def user_running_sum(sf_dir: str):
     """Per-user ordered cumulative sum over the event stream (the classic
     sessionless window function): one keyed exchange via coarse buckets, then
