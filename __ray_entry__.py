@@ -568,6 +568,13 @@ def _q_events_heavy_hitters(sf_dir):
     return event_heavy_hitters(sf_dir)
 
 
+def _q_events_pivot(sf_dir):
+    """Wide pivot (one column per event type) vs SQL conditional aggregation."""
+    from text_to_graph_ray.pipelines.analytics import user_event_matrix
+
+    return user_event_matrix(sf_dir)
+
+
 def _q_events_running_sum(sf_dir):
     """Per-user ordered cumulative sum vs a SQL window running sum
     (bit-exact: same accumulation order)."""
@@ -1144,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_kmv_distinct": _q_stats_kmv_distinct,
         "stats_hll_distinct": _q_stats_hll_distinct,
         "events_heavy_hitters": _q_events_heavy_hitters,
+        "events_pivot": _q_events_pivot,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1284,6 +1292,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
             "ORDER BY c_custkey"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "sum(CASE WHEN event_type='click' THEN value ELSE 0 END) AS click, "
+            "sum(CASE WHEN event_type='error' THEN value ELSE 0 END) AS error, "
+            "sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS purchase, "
+            "sum(CASE WHEN event_type='signup' THEN value ELSE 0 END) AS signup, "
+            "sum(CASE WHEN event_type='view' THEN value ELSE 0 END) AS view "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "events_heavy_hitters": (
             "SELECT event_type, count(*)::BIGINT AS cnt FROM events "

@@ -383,3 +383,47 @@ def latest_per_key(ds, keys, order_by, out_schema: pa.Schema, descending=True, n
     return bucket_exchange(
         with_bucket(pre, keys, num_buckets, in_schema=out_schema), pick, out_schema, num_buckets
     )
+
+
+def pivot_wide(ds, key, pivot_col: str, value_col: str, categories, agg: str = "sum",
+               num_buckets: int = 64):
+    """GROUP BY ``key`` with ``pivot_col`` spread into one output column per
+    category (the wide feature-matrix shape: user × event-type sums, doc ×
+    label counts). Decomposable aggs only — ``sum`` / ``count`` / ``min`` /
+    ``max`` — so each batch pre-pivots LOCALLY (vectorized
+    ``DataFrame.pivot_table``) and only (key × categories) partials enter the
+    ONE keyed exchange (``bucketed_aggregate``); at corpus scale the exchange
+    carries per-key partials, not rows.
+
+    ``categories`` is explicit (deterministic output schema — the distributed
+    contract; discover with ``distinct_rows`` first if unknown). Absent
+    (key, category) cells are 0 for sum/count (SQL ``sum(CASE WHEN .. ELSE 0
+    END)`` semantics) and NULL for min/max.
+    """
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(f"agg must be sum/count/min/max, got {agg!r}")
+    merge_op = "sum" if agg in ("sum", "count") else agg
+    cats = list(categories)
+    names = [str(c) for c in cats]
+    key = _as_key_list(key)
+    base = ds.schema().base_schema
+    zero_fill = agg in ("sum", "count")
+    val_t = pa.int64() if agg == "count" else pa.float64()
+    out_schema = pa.schema([(k, base.field(k).type) for k in key] + [(n, val_t) for n in names])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        df = b.select(key + [pivot_col, value_col]).to_pandas()
+        pt = df.pivot_table(index=key, columns=pivot_col, values=value_col, aggfunc=agg,
+                            fill_value=0 if zero_fill else None, dropna=False)
+        pt = pt.reindex(columns=cats, fill_value=0 if zero_fill else None).reset_index()
+        cols = {k: pa.array(pt[k], type=base.field(k).type) for k in key}
+        for n, c in zip(names, cats):
+            cols[n] = pa.array(pt[c].to_numpy(dtype="int64" if agg == "count" else "float64",
+                                              na_value=0) if zero_fill else pt[c], type=val_t)
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_aggregate(partials, key, {n: (n, merge_op) for n in names},
+                              out_schema=out_schema, num_buckets=num_buckets)

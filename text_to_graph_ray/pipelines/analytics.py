@@ -627,6 +627,21 @@ def event_heavy_hitters(sf_dir: str, threshold: float = 0.10):
     return heavy_hitters(ev, "event_type", threshold)
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_matrix(sf_dir: str):
+    """Per-user wide feature matrix: sum(value) per event type as columns
+    (``agg.pivot_wide``) — per-batch local pivot combiner, one keyed
+    exchange of (user × 5) partials."""
+    from text_to_graph_ray.functions.agg import pivot_wide
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    out = pivot_wide(ev, "user_id", "event_type", "value", EVENT_TYPES)
+    return sort_coalesced(out, "user_id")
+
+
 def user_running_sum(sf_dir: str):
     """Per-user ordered cumulative sum over the event stream (the classic
     sessionless window function): one keyed exchange via coarse buckets, then
