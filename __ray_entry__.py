@@ -932,6 +932,29 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(ds, iterations=3)
 
 
+def _q_graph_triangles(sf_dir):
+    """Per-node triangle counts over the mod-500 lineitem graph — canonical
+    wedge enumeration, two distributed hash joins + one bucketed count."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import triangle_counts
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 500, type=pa.int64()), "dst": pa.array(sk % 500, type=pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return triangle_counts(ds)
+
+
 def _q_kg_pagerank_topk(sf_dir):
     """Top-20 PageRank entities of the linked KG (5 iterations over the
     dense-id entity graph, deterministic rank-desc/node-asc ranking, entity
@@ -1180,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_frame": _q_events_window_frame,
         "dedup_decontaminate": _q_dedup_decontaminate,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
         "kg_pagerank_topk": _q_kg_pagerank_topk,
         "events_users_intersect": _q_events_users_intersect,
         "events_users_except": _q_events_users_except,
@@ -1461,6 +1485,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'click' "
             "EXCEPT SELECT user_id, date_trunc('day', ts) FROM events WHERE event_type = 'purchase' "
             "ORDER BY user_id, day"
+        ),
+        "graph_triangles": (
+            "WITH e AS (SELECT DISTINCT least(l_partkey%500, l_suppkey%500)::BIGINT AS a, "
+            "greatest(l_partkey%500, l_suppkey%500)::BIGINT AS b FROM lineitem "
+            "WHERE l_partkey%500 <> l_suppkey%500), "
+            "t AS (SELECT e1.a AS x, e1.b AS y, e2.c AS z FROM e e1 "
+            "JOIN (SELECT a AS m, b AS c FROM e) e2 ON e1.b = e2.m "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.c) "
+            "SELECT node, count(*)::BIGINT AS triangles FROM ("
+            "SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t"
+            ") GROUP BY node ORDER BY node"
         ),
         "graph_pagerank": (
             # 3 unrolled power iterations, SAME semantics as the engine:
