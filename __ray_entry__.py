@@ -568,6 +568,13 @@ def _q_events_heavy_hitters(sf_dir):
     return event_heavy_hitters(sf_dir)
 
 
+def _q_events_ntile(sf_dir):
+    """NTILE(4) per user ordered by (value, event_id) vs the SQL window."""
+    from text_to_graph_ray.pipelines.analytics import user_value_ntiles
+
+    return user_value_ntiles(sf_dir)
+
+
 def _q_events_pivot(sf_dir):
     """Wide pivot (one column per event type) vs SQL conditional aggregation."""
     from text_to_graph_ray.pipelines.analytics import user_event_matrix
@@ -1175,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_hll_distinct": _q_stats_hll_distinct,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_pivot": _q_events_pivot,
+        "events_ntile": _q_events_ntile,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1316,6 +1324,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
             "ORDER BY c_custkey"
+        ),
+        "events_ntile": (
+            "SELECT event_id, user_id, "
+            "NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id)::BIGINT AS tile "
+            "FROM events ORDER BY event_id"
         ),
         "events_pivot": (
             "SELECT user_id, "

@@ -1043,6 +1043,44 @@ def user_day_ranks(sf_dir: str):
     return sort_coalesced(out, "event_id")
 
 
+def user_value_ntiles(sf_dir: str, n_tiles: int = 4):
+    """NTILE(k) per user over the event stream, ordered by (value, event_id)
+    — the quantile-bucket assignment a curation pipeline uses to split a
+    score distribution into per-key quartiles. Deterministic tiebreak on
+    event_id; SQL NTILE fill semantics (first n%k tiles one row larger).
+    Same single coarse-bucket exchange as the rank windows; the per-bucket
+    kernel is one mergesort + vectorized position arithmetic."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    in_schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()), ("value", pa.float64())])
+    out_schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()), ("tile", pa.int64())])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        pos = g.cumcount().to_numpy()
+        n = g["value"].transform("size").to_numpy()
+        big = -(-n // n_tiles)            # ceil(n/k)
+        small = np.maximum(n // n_tiles, 1)
+        rem = n % n_tiles
+        cutoff = rem * big
+        tile = np.where(pos < cutoff, pos // np.maximum(big, 1), rem + (pos - cutoff) // small) + 1
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(), type=pa.int64()),
+            "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+            "tile": pa.array(tile.astype("int64"), type=pa.int64()),
+        })
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_id")
+
+
 def customer_order_counts(sf_dir: str):
     """Distributed LEFT OUTER join + aggregate: every customer with its order
     count, ZERO for customers with no orders. Combiner-first: orders collapse
