@@ -575,6 +575,20 @@ def _q_events_ntile(sf_dir):
     return user_value_ntiles(sf_dir)
 
 
+def _q_events_pct_rank(sf_dir):
+    """PERCENT_RANK + CUME_DIST per user over event day vs the SQL windows."""
+    from text_to_graph_ray.pipelines.analytics import user_day_percentiles
+
+    return user_day_percentiles(sf_dir)
+
+
+def _q_rel_unpivot(sf_dir):
+    """melt (UNPIVOT) of the lineitem measures vs a SQL UNION ALL."""
+    from text_to_graph_ray.pipelines.analytics import lineitem_melted
+
+    return lineitem_melted(sf_dir)
+
+
 def _q_events_pivot(sf_dir):
     """Wide pivot (one column per event type) vs SQL conditional aggregation."""
     from text_to_graph_ray.pipelines.analytics import user_event_matrix
@@ -1183,6 +1197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_pivot": _q_events_pivot,
         "events_ntile": _q_events_ntile,
+        "rel_unpivot": _q_rel_unpivot,
+        "events_pct_rank": _q_events_pct_rank,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1324,6 +1340,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
             "ORDER BY c_custkey"
+        ),
+        "events_pct_rank": (
+            "SELECT event_id, user_id, "
+            "PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts::DATE) AS pct_rank, "
+            "CUME_DIST() OVER (PARTITION BY user_id ORDER BY ts::DATE) AS cume_dist "
+            "FROM events ORDER BY event_id"
+        ),
+        "rel_unpivot": (
+            "SELECT l_orderkey, l_linenumber, measure, val FROM ("
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity::DOUBLE AS val FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount::DOUBLE FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax::DOUBLE FROM lineitem"
+            ") WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber, measure"
         ),
         "events_ntile": (
             "SELECT event_id, user_id, "

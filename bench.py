@@ -139,6 +139,20 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_pipeline_pretraining(sf_dir).count()  # same entry the gate checks
     times["pipeline_pretraining"] = round(time.monotonic() - t0, 3)
 
+    # round-4 families: bloom semijoin (fixed-size broadcast filter) and the
+    # sketch trio (KMV + HLL + heavy hitters — three streamed driver folds)
+    from text_to_graph_ray.pipelines.analytics import customers_with_orders_bloom, event_heavy_hitters, events_distinct_sketch
+
+    t0 = time.monotonic()
+    customers_with_orders_bloom(sf_dir).count()
+    times["rel_bloom_semijoin"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    events_distinct_sketch(sf_dir, kind="kmv")
+    events_distinct_sketch(sf_dir, kind="hll")
+    event_heavy_hitters(sf_dir)
+    times["stats_sketches"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

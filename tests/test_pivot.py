@@ -66,3 +66,34 @@ class TestPivotWide:
         ds, _ = _events(n=100)
         with pytest.raises(ValueError):
             pivot_wide(ds, "k", "cat", "val", CATS, agg="median")
+
+
+class TestMelt:
+    def test_roundtrip_with_pivot(self, ray_session):
+        """melt then pivot_wide(sum) reconstructs the original wide frame
+        (keys unique, so sum is identity)."""
+        from text_to_graph_ray.functions.agg import melt, pivot_wide
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "m1": pa.array([1.5, 2.5, 3.5]),
+            "m2": pa.array([10.0, 20.0, 30.0]),
+        })
+        ds = ray.data.from_arrow(t).repartition(2)
+        long = melt(ds, "id", ["m1", "m2"])
+        assert long.count() == 6
+        wide = pivot_wide(long, "id", "variable", "value", ["m1", "m2"]).sort("id").to_pandas()
+        assert list(wide["m1"]) == [1.5, 2.5, 3.5]
+        assert list(wide["m2"]) == [10.0, 20.0, 30.0]
+
+    def test_int_values_cast_and_order(self, ray_session):
+        from text_to_graph_ray.functions.agg import melt
+
+        t = pa.table({"id": pa.array([7], type=pa.int64()),
+                      "a": pa.array([2], type=pa.int64()),
+                      "b": pa.array([3.0])})
+        got = melt(ray.data.from_arrow(t), "id", ["b", "a"]).to_pandas()
+        # per-row fan-out order follows value_cols order
+        assert list(got["variable"]) == ["b", "a"]
+        assert list(got["value"]) == [3.0, 2.0]
+        assert str(got["value"].dtype) == "float64"

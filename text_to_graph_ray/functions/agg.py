@@ -427,3 +427,33 @@ def pivot_wide(ds, key, pivot_col: str, value_col: str, categories, agg: str = "
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return bucketed_aggregate(partials, key, {n: (n, merge_op) for n in names},
                               out_schema=out_schema, num_buckets=num_buckets)
+
+
+def melt(ds, id_cols, value_cols, var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT — the inverse reshape of ``pivot_wide``: each input row fans
+    out to one (id_cols, variable, value) row per entry in ``value_cols``.
+    Pure per-batch Arrow column slicing + concat (values cast to float64,
+    the common type): no exchange, no row-level Python, output streams at
+    len(value_cols) × input rows."""
+    import pyarrow.compute as pc
+
+    id_cols = _as_key_list(id_cols)
+    value_cols = list(value_cols)
+    base = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(c, base.field(c).type) for c in id_cols]
+        + [(var_name, pa.string()), (value_name, pa.float64())]
+    )
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        parts = []
+        for vc in value_cols:
+            cols = {c: b.column(c) for c in id_cols}
+            cols[var_name] = pa.array([vc] * b.num_rows, type=pa.string())
+            cols[value_name] = pc.cast(b.column(vc), pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fan_out, batch_format="pyarrow")

@@ -1081,6 +1081,68 @@ def user_value_ntiles(sf_dir: str, n_tiles: int = 4):
     return sort_coalesced(out, "event_id")
 
 
+def lineitem_melted(sf_dir: str, order_max: int = 2000):
+    """Long-format reshape of the lineitem measures (``agg.melt`` — the
+    UNPIVOT inverse of pivot_wide), row-filtered at the parquet read to keep
+    the 4x fan-out bounded. Exchange-free: one map stage plus the output
+    sort."""
+    from pyarrow.dataset import field as ds_field
+
+    from text_to_graph_ray.functions.agg import melt
+    from text_to_graph_ray.util import sort_coalesced
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        filter=ds_field("l_orderkey") < order_max,
+    )
+    out = melt(li, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+               var_name="measure", value_name="val")
+    return sort_coalesced(out, ["l_orderkey", "l_linenumber", "measure"])
+
+
+def user_day_percentiles(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per user over event day — the remaining SQL
+    window pair (rank/dense_rank/ntile live in their own queries). Same
+    one-exchange coarse-bucket window plan; both statistics derive from the
+    min/max rank vectors pandas already computes in C, and the divisions are
+    single IEEE ops on identical operands, so they hash-match DuckDB
+    bit-for-bit."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    in_schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64())])
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("pct_rank", pa.float64()), ("cume_dist", pa.float64())]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        work = pd.DataFrame({"event_id": df["event_id"].to_numpy(), "user_id": df["user_id"].to_numpy(), "day": day})
+        g = work.groupby("user_id", sort=False)["day"]
+        rnk_min = g.rank(method="min").to_numpy()
+        rnk_max = g.rank(method="max").to_numpy()
+        n = work.groupby("user_id", sort=False)["day"].transform("size").to_numpy().astype("float64")
+        pr = np.where(n > 1, (rnk_min - 1.0) / (n - 1.0), 0.0)
+        cd = rnk_max / n
+        return pa.table({
+            "event_id": pa.array(work["event_id"], type=pa.int64()),
+            "user_id": pa.array(work["user_id"], type=pa.int64()),
+            "pct_rank": pa.array(pr, type=pa.float64()),
+            "cume_dist": pa.array(cd, type=pa.float64()),
+        })
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_id")
+
+
 def customer_order_counts(sf_dir: str):
     """Distributed LEFT OUTER join + aggregate: every customer with its order
     count, ZERO for customers with no orders. Combiner-first: orders collapse
