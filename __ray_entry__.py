@@ -582,6 +582,13 @@ def _q_events_pct_rank(sf_dir):
     return user_day_percentiles(sf_dir)
 
 
+def _q_stats_quantile_sketch(sf_dir):
+    """Mergeable MRL quantile summary (exact-below-k regime) vs quantile_disc."""
+    from text_to_graph_ray.pipelines.analytics import events_quantile_sketch
+
+    return events_quantile_sketch(sf_dir)
+
+
 def _q_rel_unpivot(sf_dir):
     """melt (UNPIVOT) of the lineitem measures vs a SQL UNION ALL."""
     from text_to_graph_ray.pipelines.analytics import lineitem_melted
@@ -1199,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _q_events_ntile,
         "rel_unpivot": _q_rel_unpivot,
         "events_pct_rank": _q_events_pct_rank,
+        "stats_quantile_sketch": _q_stats_quantile_sketch,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1340,6 +1348,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
             "ORDER BY c_custkey"
+        ),
+        "stats_quantile_sketch": (
+            "SELECT q, value FROM ("
+            "SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events "
+            "UNION ALL SELECT 0.25, quantile_disc(value, 0.25) FROM events "
+            "UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events "
+            "UNION ALL SELECT 0.75, quantile_disc(value, 0.75) FROM events "
+            "UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events "
+            "UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"
+            ") ORDER BY q"
         ),
         "events_pct_rank": (
             "SELECT event_id, user_id, "

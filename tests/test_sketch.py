@@ -126,3 +126,44 @@ class TestHeavyHitters:
         vals = ["hot"] * 600 + [f"cold{i}" for i in range(400)]
         got = heavy_hitters(_ds(vals), "x", threshold=0.25).to_pandas()
         assert list(got["x"]) == ["hot"] and list(got["cnt"]) == [600]
+
+
+class TestQuantileSketch:
+    QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+    def _disc(self, v, q):
+        sv = np.sort(v)
+        return sv[min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)]
+
+    def test_exact_below_k_any_partitioning(self, ray_session):
+        from text_to_graph_ray.functions.sketch import quantile_sketch
+
+        rng = np.random.default_rng(43)
+        v = rng.normal(size=3000)
+        want = [self._disc(v, q) for q in self.QS]
+        for parts in (2, 8, 37):
+            got = quantile_sketch(_ds(v, parts=parts), "x", self.QS, k=4096).to_pandas()
+            assert list(got["value"]) == want, parts
+
+    def test_rank_error_bound_estimate_regime(self, ray_session):
+        """1M values through k=1024 summaries (lossy collapses everywhere):
+        rank error must stay under 1% — measured ~0.02%, bound is loose on
+        purpose (deterministic data+hash, but the margin documents the
+        scheme's O(log(n/k)/k) class, not a lucky constant)."""
+        from text_to_graph_ray.functions.sketch import quantile_sketch
+
+        rng = np.random.default_rng(47)
+        v = rng.normal(size=1_000_000)
+        got = quantile_sketch(_ds(v, parts=32), "x", self.QS, k=1024).to_pandas()
+        sv = np.sort(v)
+        for q, est in zip(self.QS, got["value"]):
+            rank = np.searchsorted(sv, est) / len(v)
+            assert abs(rank - q) < 0.01, (q, rank)
+
+    def test_nulls_dropped(self, ray_session):
+        from text_to_graph_ray.functions.sketch import quantile_sketch
+
+        vals = pa.array([1.0, None, 2.0, None, 3.0, 4.0, 5.0])
+        ds = ray.data.from_arrow(pa.table({"x": vals}))
+        got = quantile_sketch(ds, "x", [0.5], k=64).to_pandas()
+        assert got.loc[0, "value"] == 3.0  # median of the 5 non-null values

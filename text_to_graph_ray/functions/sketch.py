@@ -231,3 +231,112 @@ def heavy_hitters(ds, col: str, threshold: float, k: int | None = None) -> pa.Ta
     keep = sorted((v, c) for v, c in exact.items() if c > cut)
     return pa.table({col: pa.array([v for v, _ in keep], type=col_type),
                      "cnt": pa.array([c for _, c in keep], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Quantile summary (MRL collapse scheme)
+# ---------------------------------------------------------------------------
+
+
+def _collapse(a: np.ndarray, b: np.ndarray, offset: int) -> np.ndarray:
+    """Collapse two sorted weight-2^L buffers into one weight-2^(L+1) buffer:
+    merge (C mergesort via np.sort on the concat) and keep every 2nd element
+    starting at ``offset``. Alternating the offset across collapses is what
+    keeps the rank error at O(levels/k) instead of biasing one direction
+    (Manku-Rajagopalan-Lindsay, SIGMOD'98)."""
+    m = np.sort(np.concatenate([a, b]), kind="mergesort")
+    return m[offset::2]
+
+
+class _MRL:
+    """One buffer per level, weight 2^level per element; promoting collapses
+    cascade like binary-counter carries, so memory is k × log(n/k)."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.levels: dict[int, np.ndarray] = {}
+        self.offsets: dict[int, int] = {}  # per-level alternation state
+        self.n = 0
+
+    def _put(self, level: int, buf: np.ndarray) -> None:
+        while level in self.levels:
+            other = self.levels.pop(level)
+            if len(other) + len(buf) <= self.k:
+                # lossless same-level merge while it fits — this is what
+                # makes the summary EXACT below k total values (and cheaper
+                # everywhere: short tails stop forcing lossy collapses)
+                buf = np.sort(np.concatenate([other, buf]), kind="mergesort")
+                break
+            off = self.offsets.get(level, 0)
+            self.offsets[level] = 1 - off
+            buf = _collapse(other, buf, off)
+            level += 1
+        self.levels[level] = buf
+
+    def add_values(self, vals: np.ndarray) -> None:
+        self.n += len(vals)
+        vals = np.sort(vals, kind="mergesort")
+        for i in range(0, len(vals), self.k):
+            # short tails collapse against full buffers; the halved count
+            # drifts the total weight by < one buffer per level — inherent
+            # to the scheme, bounded by the same O(levels/k) rank error
+            self._put(0, vals[i:i + self.k])
+
+    def merge_buffer(self, level: int, buf: np.ndarray, n: int) -> None:
+        self.n += n
+        self._put(level, buf)
+
+    def query(self, qs) -> np.ndarray:
+        """Rank-weighted quantile_disc: the value whose cumulative weight
+        first reaches ceil(q * n)."""
+        if self.n == 0:
+            return np.array([np.nan] * len(qs))
+        vals = np.concatenate([b for b in self.levels.values()])
+        wts = np.concatenate([np.full(len(b), 1 << lv, dtype=np.int64) for lv, b in self.levels.items()])
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = cum[-1]
+        out = []
+        for q in qs:
+            target = max(1, int(np.ceil(q * total)))
+            out.append(vals[np.searchsorted(cum, target)])
+        return np.array(out)
+
+
+def quantile_sketch(ds, col: str, quantiles, k: int = 4096) -> pa.Table:
+    """Mergeable deterministic quantile summary over ``col`` (MRL collapse
+    scheme): each block contributes a fixed-memory summary (k × #levels
+    float64s), folded on the driver — no sort, no exchange. EXACT-BELOW-k
+    contract per block-collapse structure: while the TOTAL row count is ≤ k
+    the summary holds every value and the result equals quantile_disc (the
+    hash-checked regime, same pattern as kmv_distinct); above it the rank
+    error is O(log(n/k)/k) with deterministic alternating-offset collapses
+    (error pinned by tests at 1M rows). NULLs are dropped (DuckDB quantile
+    semantics). Returns (q, value) sorted by q."""
+    import pyarrow.compute as pc
+
+    qs = list(quantiles)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = _MRL(k)
+        if b.num_rows and col in b.schema.names:
+            arr = b.column(col)
+            arr = arr.filter(pc.is_valid(arr)) if arr.null_count else arr
+            s.add_values(arr.to_numpy(zero_copy_only=False).astype("float64"))
+        lvls = sorted(s.levels)
+        return pa.table({
+            "lvl": pa.array([lvls], type=pa.list_(pa.int32())),
+            "buf": pa.array([[s.levels[lv].tobytes() for lv in lvls]], type=pa.list_(pa.binary())),
+            "n": pa.array([s.n], type=pa.int64()),
+        })
+
+    acc = _MRL(k)
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_size=64, batch_format="pyarrow"):
+        for lvls, bufs, n in zip(batch.column("lvl").to_pylist(), batch.column("buf").to_pylist(), batch.column("n").to_pylist()):
+            # distribute n across the buffers by their weighted sizes
+            for lv, blob in zip(lvls, bufs):
+                buf = np.frombuffer(blob, dtype=np.float64)
+                acc.merge_buffer(lv, buf, len(buf) * (1 << lv))
+    vals = acc.query(qs)
+    return pa.table({"q": pa.array(qs, type=pa.float64()), "value": pa.array(vals, type=pa.float64())})

@@ -642,6 +642,21 @@ def user_event_matrix(sf_dir: str):
     return sort_coalesced(out, "user_id")
 
 
+SKETCH_QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def events_quantile_sketch(sf_dir: str):
+    """Quantiles of the event value via the mergeable MRL summary
+    (``sketch.quantile_sketch``) — per-block fixed-memory partials folded on
+    the driver, no sort exchange. k=131072 keeps both gate scales in the
+    exact-below-k regime (hash-checked vs quantile_disc); the lossy-collapse
+    estimator path is pinned by tests at 1M rows / k=1024."""
+    from text_to_graph_ray.functions.sketch import quantile_sketch
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantile_sketch(ev, "value", SKETCH_QUANTILES, k=131072)
+
+
 def user_running_sum(sf_dir: str):
     """Per-user ordered cumulative sum over the event stream (the classic
     sessionless window function): one keyed exchange via coarse buckets, then
