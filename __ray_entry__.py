@@ -582,6 +582,13 @@ def _q_events_pct_rank(sf_dir):
     return user_day_percentiles(sf_dir)
 
 
+def _q_text_token_heavy_hitters(sf_dir):
+    """Frequent tokens via MG candidates + verification vs GROUP BY HAVING."""
+    from text_to_graph_ray.pipelines.analytics import token_heavy_hitters
+
+    return token_heavy_hitters(sf_dir)
+
+
 def _q_stats_quantile_sketch(sf_dir):
     """Mergeable MRL quantile summary (exact-below-k regime) vs quantile_disc."""
     from text_to_graph_ray.pipelines.analytics import events_quantile_sketch
@@ -1207,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_unpivot": _q_rel_unpivot,
         "events_pct_rank": _q_events_pct_rank,
         "stats_quantile_sketch": _q_stats_quantile_sketch,
+        "text_token_heavy_hitters": _q_text_token_heavy_hitters,
         "events_running_sum": _q_events_running_sum,
         "rel_order_revenue": _q_rel_order_revenue,
         "rel_region_balance": _q_rel_region_balance,
@@ -1348,6 +1356,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
             "ORDER BY c_custkey"
+        ),
+        "text_token_heavy_hitters": (
+            # token filter mirrors python str.split (see text_vocab_topk)
+            "WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), t AS (SELECT token, count(*)::BIGINT AS cnt FROM toks "
+            "WHERE token <> '' GROUP BY token) "
+            "SELECT token, cnt FROM t WHERE cnt > 0.005 * (SELECT sum(cnt) FROM t) "
+            "ORDER BY token"
         ),
         "stats_quantile_sketch": (
             "SELECT q, value FROM ("

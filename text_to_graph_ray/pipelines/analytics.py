@@ -657,6 +657,25 @@ def events_quantile_sketch(sf_dir: str):
     return quantile_sketch(ev, "value", SKETCH_QUANTILES, k=131072)
 
 
+def token_heavy_hitters(sf_dir: str, threshold: float = 0.005):
+    """Corpus-frequent tokens (> threshold of all token occurrences) via the
+    Misra-Gries + verification plan over the exploded token stream — the
+    no-groupby alternative to vocab_topk when only the frequent tail matters
+    (at 100 TB the (token, count) exchange is the cost; here the exchange is
+    zero and the token stream is scanned twice, which is read-bound)."""
+    from text_to_graph_ray.functions.sketch import heavy_hitters
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in b.column("text").to_pylist():
+            toks.extend((t or "").split())
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    return heavy_hitters(docs.map_batches(explode, batch_format="pyarrow"), "token", threshold)
+
+
 def user_running_sum(sf_dir: str):
     """Per-user ordered cumulative sum over the event stream (the classic
     sessionless window function): one keyed exchange via coarse buckets, then
