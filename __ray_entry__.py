@@ -1156,6 +1156,39 @@ def _q_rel_brand_revenue(sf_dir):
     return brand_revenue(sf_dir)
 
 
+def _q_rel_fuzzy_names(sf_dir):
+    """ED<=1 fuzzy self-join on customer names (SymSpell deletion
+    neighborhoods + exact verify). Oracle: independent delta-probe candidate
+    plan + levenshtein."""
+    from text_to_graph_ray.pipelines.analytics import customer_fuzzy_pairs
+
+    return customer_fuzzy_pairs(sf_dir)
+
+
+def _q_rel_corr_stats(sf_dir):
+    """Pearson corr(quantity, discount) per returnflag from integer-exact
+    sufficient statistics; bit-identical IEEE formula on both sides."""
+    from text_to_graph_ray.pipelines.analytics import lineitem_corr
+
+    return lineitem_corr(sf_dir)
+
+
+def _q_stats_value_histogram(sf_dir):
+    """Exact 16-bin fixed-width histogram of events.value; the bin rule is
+    IEEE-op-mirrored in the oracle."""
+    from text_to_graph_ray.pipelines.analytics import events_value_histogram
+
+    return events_value_histogram(sf_dir)
+
+
+def _q_events_mode_type(sf_dir):
+    """Mode event type per user (count desc, type asc tie-break) via count
+    partials + topk_per_group(k=1)."""
+    from text_to_graph_ray.pipelines.analytics import user_mode_event
+
+    return user_mode_event(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1254,6 +1287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_pretraining": _q_pipeline_pretraining,
         "events_json_stats": _q_events_json_stats,
         "rel_brand_revenue": _q_rel_brand_revenue,
+        "rel_fuzzy_names": _q_rel_fuzzy_names,
+        "rel_corr_stats": _q_rel_corr_stats,
+        "stats_value_histogram": _q_stats_value_histogram,
+        "events_mode_type": _q_events_mode_type,
     }
 
 
@@ -1764,5 +1801,55 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "rel_fuzzy_names": (
+            # independent candidate plan (NOT the engine's deletion
+            # neighborhoods): names are 'Customer#' + a fixed-width 9-digit
+            # suffix, so equal length forces substitution-only edits and
+            # hamming<=1 on the digits implies |num_a - num_b| = d*10^p
+            # (d in 1..9, p in 0..8). Probe those 81 deltas by equi-join
+            # (necessary, not sufficient: carries can fake a delta), then
+            # levenshtein verifies exactly. Validated == brute force at sf0.01.
+            "WITH d AS (SELECT dd * pp AS delta FROM "
+            "(SELECT unnest([1,2,3,4,5,6,7,8,9]) AS dd), "
+            "(SELECT unnest([1,10,100,1000,10000,100000,1000000,10000000,100000000]) AS pp)) "
+            "SELECT c1.c_custkey AS a_custkey, c2.c_custkey AS b_custkey "
+            "FROM customer c1 JOIN d ON true "
+            "JOIN customer c2 ON c2.c_custkey = c1.c_custkey + d.delta "
+            "WHERE levenshtein(c1.c_name, c2.c_name) <= 1 "
+            "ORDER BY a_custkey, b_custkey"
+        ),
+        "rel_corr_stats": (
+            # exact integer sufficient statistics (discount x100 is integral),
+            # then the engine's explicit IEEE op sequence verbatim: CAST the
+            # exact ints to DOUBLE, two sqrts, one multiply, one divide —
+            # bit-identical, no rounding tolerance
+            "WITH p AS (SELECT l_returnflag, count(*)::BIGINT AS n, "
+            "sum(CAST(round(l_quantity) AS BIGINT)) AS sx, "
+            "sum(CAST(round(l_discount * 100) AS BIGINT)) AS sy, "
+            "sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS sxy, "
+            "sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx, "
+            "sum(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS syy "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, "
+            "CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL "
+            "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS corr_qd "
+            "FROM p ORDER BY l_returnflag"
+        ),
+        "stats_value_histogram": (
+            # the engine's bin rule IEEE-op-for-op: w = (max-min)/16.0;
+            # bin = least(floor((v-min)/w), 15); lo = min + bin*w
+            "WITH m AS (SELECT min(value) AS mn, max(value) AS mx FROM events WHERE value IS NOT NULL), "
+            "b AS (SELECT LEAST(CAST(FLOOR((value - m.mn) / ((m.mx - m.mn) / 16.0)) AS BIGINT), 15) AS bin "
+            "FROM events, m WHERE value IS NOT NULL) "
+            "SELECT bin, (SELECT mn FROM m) + CAST(bin AS DOUBLE) * ((SELECT (mx - mn) FROM m) / 16.0) AS lo, "
+            "count(*)::BIGINT AS cnt FROM b GROUP BY bin ORDER BY bin"
+        ),
+        "events_mode_type": (
+            "SELECT user_id, event_type AS mode_type, cnt FROM ("
+            "SELECT user_id, event_type, count(*)::BIGINT AS cnt, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id"
         ),
     }

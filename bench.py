@@ -153,6 +153,13 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     event_heavy_hitters(sf_dir)
     times["stats_sketches"] = round(time.monotonic() - t0, 3)
 
+    # ED<=1 fuzzy self-join: deletion-neighborhood exchange + exact verify
+    from text_to_graph_ray.pipelines.analytics import customer_fuzzy_pairs
+
+    t0 = time.monotonic()
+    customer_fuzzy_pairs(sf_dir).count()
+    times["rel_fuzzy_names"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

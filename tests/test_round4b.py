@@ -1,0 +1,144 @@
+"""Round-4 part-2 tests: ED<=1 fuzzy self-join (deletion neighborhoods),
+integer-exact grouped correlation, fixed-width histogram, mode-per-key."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _dp_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+WORDS = [
+    "cat", "cart", "carts", "bat", "hat", "chat", "cast", "cats",
+    "dog", "dig", "dug", "dot", "dots", "fog", "frog",
+    "token", "taken", "tokens", "broken", "",
+    "aa", "ab", "ba", "abc",
+]
+
+
+def test_ed_le1_matches_dp_reference():
+    from text_to_graph_ray.functions.fuzzy import ed_le1
+
+    rng = np.random.default_rng(7)
+    pool = WORDS + ["".join(rng.choice(list("abcd"), size=rng.integers(0, 6))) for _ in range(40)]
+    for a in pool:
+        for b in pool:
+            assert ed_le1(a, b) == (_dp_levenshtein(a, b) <= 1), (a, b)
+
+
+def test_fuzzy_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.fuzzy import fuzzy_self_join_ed1
+
+    ids = list(range(len(WORDS)))
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array(ids, type=pa.int64()), "s": pa.array(WORDS, type=pa.string())})
+    ).repartition(4)
+    got = sorted((r["a"], r["b"]) for r in fuzzy_self_join_ed1(ds, "s", "id").take_all())
+    want = sorted(
+        (i, j)
+        for i in ids
+        for j in ids
+        if i < j and _dp_levenshtein(WORDS[i], WORDS[j]) <= 1
+    )
+    assert got == want
+    assert len(want) > 5  # the fixture actually exercises matches
+
+
+def test_fuzzy_truncation_counter_fires(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.fuzzy import fuzzy_self_join_ed1
+
+    # 30 byte-identical strings: every deletion variant's group holds all 30.
+    # "aaaa" dedupes to exactly 2 variants {aaaa, aaa}; with max_bucket=10
+    # each group drops C(30,2)-C(10,2)=390 pairs -> 780 total, and the kept
+    # pairs from both groups coincide (same min-10 ids) -> C(10,2)=45 rows.
+    n = 30
+    ds = rd.from_arrow(
+        pa.table({"id": pa.array(range(n), type=pa.int64()), "s": pa.array(["aaaa"] * n)})
+    ).repartition(3)
+    stats: dict = {}
+    out = fuzzy_self_join_ed1(ds, "s", "id", max_bucket=10, stats=stats)
+    rows = out.take_all()
+    assert stats["fuzzy_pairs_dropped"] == 780
+    assert len(rows) == 45
+    assert all(0 <= r["a"] < r["b"] < 10 for r in rows)
+
+
+def test_grouped_corr_matches_numpy_and_nulls_degenerate(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.stats import grouped_corr_int
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    key = np.where(rng.random(n) < 0.5, "A", "B")
+    x = rng.integers(1, 51, size=n).astype(np.float64)
+    y = rng.integers(0, 11, size=n).astype(np.float64) / 100.0  # 2-decimal like discount
+    # group C: constant y -> zero variance -> NULL corr
+    key = np.concatenate([key, np.array(["C"] * 50)])
+    x = np.concatenate([x, rng.integers(1, 51, size=50).astype(np.float64)])
+    y = np.concatenate([y, np.full(50, 0.05)])
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(key.tolist()), "x": pa.array(x), "y": pa.array(y)})
+    ).repartition(8)
+    out = {r["k"]: r for r in grouped_corr_int(ds, "k", "x", "y", y_scale=100, out_name="c").take_all()}
+    assert out["C"]["c"] is None
+    for g in ("A", "B"):
+        m = key == g
+        want = np.corrcoef(x[m], np.rint(y[m] * 100))[0, 1]
+        assert out[g]["n"] == int(m.sum())
+        assert abs(out[g]["c"] - want) < 1e-12
+
+
+def test_histogram_exact_drops_nulls_and_closes_top_bin(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.stats import histogram_fixed
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-5.0, 20.0, size=4000).tolist() + [None, None, -5.0, 20.0]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.float64())})).repartition(8)
+    out = histogram_fixed(ds, "v", nbins=8).take_all()
+    clean = np.array([v for v in vals if v is not None], dtype=np.float64)
+    mn, mx = clean.min(), clean.max()
+    w = (mx - mn) / 8.0
+    bins = np.minimum(np.floor((clean - mn) / w), 7).astype(np.int64)
+    ref = np.bincount(bins, minlength=8)
+    got = {r["bin"]: r for r in out}
+    assert sum(r["cnt"] for r in out) == clean.size  # nulls dropped
+    for b in range(8):
+        if ref[b]:
+            assert got[b]["cnt"] == ref[b]
+            assert got[b]["lo"] == mn + float(b) * w
+    assert got[7]["cnt"] >= 1  # v == max lands in the closed top bin
+
+    const = rd.from_arrow(pa.table({"v": pa.array([1.0] * 10)}))
+    with pytest.raises(ValueError, match="degenerate range"):
+        histogram_fixed(const, "v", nbins=4)
+
+
+def test_mode_per_key_tiebreak(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import user_mode_event
+
+    # user 1: clear winner; user 2: exact tie between 'b' and 'a' -> 'a' wins
+    rows = (
+        [(1, "x")] * 3 + [(1, "y")] * 1 + [(2, "b")] * 2 + [(2, "a")] * 2 + [(3, "z")]
+    )
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = {r["user_id"]: (r["mode_type"], r["cnt"]) for r in user_mode_event(str(tmp_path)).take_all()}
+    assert out == {1: ("x", 3), 2: ("a", 2), 3: ("z", 1)}

@@ -1,0 +1,153 @@
+"""Decomposable two-pass statistics: integer-exact grouped correlation and
+fixed-width histograms.
+
+Both ship kilobyte-scale partials per block and fold them on the driver (the
+``functions/sketch.py`` family shape): no keyed exchange, wall time is the
+read. Reference parity: the reference has no numeric analytics; this is part
+of the beyond-reference training-data operator set.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def grouped_corr_int(ds, key: str, x_col: str, y_col: str, y_scale: int = 1, out_name: str = "corr"):
+    """Pearson correlation of ``x`` and ``y`` per group of ``key``, from
+    integer-exact sufficient statistics.
+
+    Contract: ``x`` and ``y * y_scale`` are integral-valued (rounded with
+    ``rint`` on both engines) and each PER-BATCH sufficient sum fits int64 —
+    the cross-block fold runs in arbitrary-precision Python ints on the
+    driver, so block sums never overflow no matter the total row count.
+    ``key`` is low-cardinality (the driver fold sees ``groups x blocks``
+    rows); for a high-cardinality key route the partials through
+    ``agg.bucketed_aggregate`` instead.
+
+    Cross-engine float discipline (NOTES.md, the pagerank rule): the final
+    value is one explicit IEEE op sequence over EXACT integers —
+    ``float(n*sxy - sx*sy) / (sqrt(float(n*sxx - sx^2)) * sqrt(float(n*syy - sy^2)))``
+    — mirrored verbatim in the SQL oracle (CAST exact ints to DOUBLE, two
+    sqrts, one multiply, one divide), so the result hashes bit-identically.
+    """
+    import ray.data as rd
+
+    schema = pa.schema(
+        [
+            (key, pa.string()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxy", pa.int64()),
+            ("sxx", pa.int64()),
+            ("syy", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        import pandas as pd
+
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False) * y_scale).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                key: t.column(key).to_pylist(),
+                "n": np.ones_like(x),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in schema})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:  # exact: Python ints never overflow
+        a = acc.setdefault(r[key], [0, 0, 0, 0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["sy"])
+        a[3] += int(r["sxy"])
+        a[4] += int(r["sxx"])
+        a[5] += int(r["syy"])
+    keys_sorted = sorted(acc)
+    ns, corrs = [], []
+    for k in keys_sorted:
+        n, sx, sy, sxy, sxx, syy = acc[k]
+        num = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        if varx == 0 or vary == 0:
+            corrs.append(None)
+        else:
+            corrs.append(float(num) / (math.sqrt(float(varx)) * math.sqrt(float(vary))))
+        ns.append(n)
+    out = pa.table(
+        {
+            key: pa.array(keys_sorted, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            out_name: pa.array(corrs, type=pa.float64()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+def histogram_fixed(ds, col: str, nbins: int = 16):
+    """Exact fixed-width histogram of a numeric column: one min/max scan,
+    then per-block ``bincount`` partials folded on the driver (``nbins``
+    ints per block cross the wire). NULL/NaN values are dropped (DuckDB
+    aggregate semantics).
+
+    Bin rule, mirrored IEEE-op-for-op in the SQL oracle:
+    ``w = (max - min) / float(nbins)``;
+    ``bin = min(floor((v - min) / w), nbins - 1)`` — the top edge closes the
+    last bin. Raises (loudly) on a constant column: zero-width bins have no
+    defined histogram.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(col), Max(col))
+    mn, mx = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if not (mx > mn):
+        raise ValueError(f"histogram_fixed: degenerate range [{mn}, {mx}] for column {col!r}")
+    w = (mx - mn) / float(nbins)
+
+    schema = pa.schema([("bin", pa.int64()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return schema.empty_table()
+        b = np.minimum(np.floor((v - mn) / w), nbins - 1).astype(np.int64)
+        c = np.bincount(b, minlength=nbins)
+        return pa.table(
+            {"bin": pa.array(np.arange(nbins, dtype=np.int64)), "cnt": pa.array(c, type=pa.int64())},
+            schema=schema,
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros(nbins, dtype=np.int64)
+    for r in rows:
+        total[r["bin"]] += r["cnt"]
+    bins = np.nonzero(total)[0].astype(np.int64)
+    lo = mn + bins.astype(np.float64) * w
+    out = pa.table(
+        {
+            "bin": pa.array(bins),
+            "lo": pa.array(lo, type=pa.float64()),
+            "cnt": pa.array(total[bins], type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)

@@ -1362,3 +1362,98 @@ def brand_revenue(sf_dir: str):
         return pa.table({"p_brand": pa.array(df["p_brand"], type=pa.string()), "rev": pa.array(df["rev"], type=pa.float64())})
 
     return sort_coalesced(agg.map_batches(fix, batch_format="pyarrow"), "p_brand")
+
+
+def customer_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy self-join over customer names
+    (``fuzzy.fuzzy_self_join_ed1``): SymSpell deletion-neighborhood candidate
+    generation (one variant-hash exchange, strings ride along), global pair
+    dedup, exact ED<=1 verification. Oracle: an independent delta-probe plan
+    (hamming<=1 on a fixed-width digit suffix implies the numeric difference
+    is d*10^p) + levenshtein verification — different candidate logic on
+    purpose."""
+    from text_to_graph_ray.functions.fuzzy import fuzzy_self_join_ed1
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = fuzzy_self_join_ed1(cust, text_col="c_name", id_col="c_custkey")
+    return out.map_batches(
+        lambda t: t.rename_columns(["a_custkey", "b_custkey"]), batch_format="pyarrow"
+    )
+
+
+def lineitem_corr(sf_dir: str):
+    """Pearson corr(l_quantity, l_discount) per l_returnflag from
+    integer-exact sufficient statistics (``stats.grouped_corr_int``,
+    discount scaled x100 to an exact int) — kilobyte partials per block,
+    driver fold in Python ints, one explicit IEEE op sequence mirrored in
+    the oracle (bit-identical, no tolerance)."""
+    from text_to_graph_ray.functions.stats import grouped_corr_int
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+    return grouped_corr_int(li, "l_returnflag", "l_quantity", "l_discount", y_scale=100, out_name="corr_qd")
+
+
+def events_value_histogram(sf_dir: str, nbins: int = 16):
+    """Exact fixed-width histogram of the event value
+    (``stats.histogram_fixed``): one min/max scan + per-block bincount
+    partials folded on the driver; the bin rule is IEEE-op-mirrored in the
+    SQL oracle."""
+    from text_to_graph_ray.functions.stats import histogram_fixed
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram_fixed(ev, "value", nbins=nbins)
+
+
+def user_mode_event(sf_dir: str):
+    """Most frequent event type per user (mode), ties to the lexicographically
+    smallest type: per-batch (user, type) count partials ->
+    ``bucketed_aggregate`` sum -> ``topk_per_group(k=1)`` — two coarse
+    exchanges of count rows, never raw events."""
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, topk_per_group
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    cnt_schema = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()), ("cnt", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return cnt_schema.empty_table()
+        df = b.to_pandas()
+        g = df.groupby(["user_id", "event_type"], as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"], type=pa.int64()),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "cnt": pa.array(g["size"], type=pa.int64()),
+            },
+            schema=cnt_schema,
+        )
+
+    pre = ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    counts = bucketed_aggregate(
+        pre,
+        ["user_id", "event_type"],
+        {"cnt": ("cnt", "sum")},
+        out_schema=cnt_schema,
+        in_schema=cnt_schema,
+    )
+    top = topk_per_group(
+        counts,
+        "user_id",
+        "cnt",
+        k=1,
+        descending=True,
+        tiebreak="event_type",
+        out_schema=cnt_schema,
+        in_schema=cnt_schema,
+    )
+    out = top.map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id"), "mode_type": t.column("event_type"), "cnt": t.column("cnt")}
+        ),
+        batch_format="pyarrow",
+    )
+    return sort_coalesced(out, "user_id")
