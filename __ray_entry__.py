@@ -1189,6 +1189,14 @@ def _q_events_mode_type(sf_dir):
     return user_mode_event(sf_dir)
 
 
+def _q_events_new_users(sf_dir):
+    """First-touch new users per day + cumulative count; min-day combiner ->
+    one keyed exchange, day-bounded driver fold."""
+    from text_to_graph_ray.pipelines.analytics import daily_new_users
+
+    return daily_new_users(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1291,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_corr_stats": _q_rel_corr_stats,
         "stats_value_histogram": _q_stats_value_histogram,
         "events_mode_type": _q_events_mode_type,
+        "events_new_users": _q_events_new_users,
     }
 
 
@@ -1851,5 +1860,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, count(*)::BIGINT AS cnt, "
             "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn "
             "FROM events GROUP BY user_id, event_type) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "events_new_users": (
+            # CAST the window sum to BIGINT: DuckDB's HUGEINT window sum
+            # otherwise comes back as float64 and breaks the dtype-kind hash
+            "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id) "
+            "SELECT strftime(d, '%Y-%m-%d') AS d, count(*)::BIGINT AS new_users, "
+            "CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_users "
+            "FROM f GROUP BY d ORDER BY d"
         ),
     }

@@ -142,3 +142,25 @@ def test_mode_per_key_tiebreak(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
     out = {r["user_id"]: (r["mode_type"], r["cnt"]) for r in user_mode_event(str(tmp_path)).take_all()}
     assert out == {1: ("x", 3), 2: ("a", 2), 3: ("z", 1)}
+
+
+def test_daily_new_users_first_touch(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import daily_new_users
+
+    # user 1 spans all three days (counted once, on day 1); user 2 starts
+    # day 2; user 3 only day 3; user 4 appears twice on day 1
+    ts = pd.to_datetime(
+        [
+            "2024-03-01 10:00", "2024-03-02 09:00", "2024-03-03 08:00",  # user 1
+            "2024-03-02 12:00",  # user 2
+            "2024-03-03 01:00",  # user 3
+            "2024-03-01 05:00", "2024-03-01 23:59",  # user 4
+        ]
+    )
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2, 3, 4, 4], "ts": ts})
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = [(r["d"], r["new_users"], r["cum_users"]) for r in daily_new_users(str(tmp_path)).take_all()]
+    assert out == [("2024-03-01", 2, 2), ("2024-03-02", 1, 3), ("2024-03-03", 1, 4)]

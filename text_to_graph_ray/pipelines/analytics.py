@@ -1457,3 +1457,65 @@ def user_mode_event(sf_dir: str):
         batch_format="pyarrow",
     )
     return sort_coalesced(out, "user_id")
+
+
+def daily_new_users(sf_dir: str):
+    """New users per day (first-touch attribution) plus the cumulative user
+    count: per-batch min-day combiner -> ``bucketed_aggregate`` min per user
+    (one keyed exchange of (user, day) rows), then per-day counts fold on the
+    driver (bounded by the day cardinality x blocks) and one cumulative sum.
+    The running total is exact integer arithmetic — no float discipline
+    needed."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    fd_schema = pa.schema([("user_id", pa.int64()), ("d", pa.date32())])
+
+    def first_day_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return fd_schema.empty_table()
+        df = b.to_pandas()
+        df["d"] = df["ts"].dt.date
+        g = df.groupby("user_id", as_index=False)["d"].min()
+        return pa.table(
+            {"user_id": pa.array(g["user_id"], type=pa.int64()), "d": pa.array(g["d"], type=pa.date32())},
+            schema=fd_schema,
+        )
+
+    pre = ev.map_batches(first_day_partial, batch_format="pyarrow", batch_size=None)
+    first = bucketed_aggregate(pre, "user_id", {"d": ("d", "min")}, out_schema=fd_schema, in_schema=fd_schema)
+
+    cnt_schema = pa.schema([("d", pa.date32()), ("c", pa.int64())])
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return cnt_schema.empty_table()
+        df = b.to_pandas()
+        g = df.groupby("d", as_index=False).size()
+        return pa.table(
+            {"d": pa.array(g["d"], type=pa.date32()), "c": pa.array(g["size"], type=pa.int64())},
+            schema=cnt_schema,
+        )
+
+    rows = first.map_batches(day_counts, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:
+        acc[r["d"]] = acc.get(r["d"], 0) + int(r["c"])
+    days = sorted(acc)
+    new = [acc[d] for d in days]
+    cum, tot = [], 0
+    for c in new:
+        tot += c
+        cum.append(tot)
+    out = pa.table(
+        {
+            # ISO strings, not date32: DuckDB DATE comes back datetime64 while
+            # arrow date32 comes back object — strings hash identically
+            "d": pa.array([d.isoformat() for d in days], type=pa.string()),
+            "new_users": pa.array(new, type=pa.int64()),
+            "cum_users": pa.array(cum, type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)
