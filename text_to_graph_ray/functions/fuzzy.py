@@ -8,8 +8,8 @@ Scale shape: each input string ``s`` emits its DEDUPED deletion neighborhood
 (``s`` itself plus the ``len(s)`` strings with one character removed) —
 O(len+1) variant rows per input. ``ED(a, b) <= 1`` implies the two strings
 share at least one variant (delete the edited position from the longer side,
-or from both on a substitution), so ONE coarse-bucket hash exchange on the
-variant string brings every true pair into the same group. Shared-deletion
+or from both on a substitution), so ONE coarse-bucket hash exchange on a
+64-bit hash of the variant brings every true pair into the same group. Shared-deletion
 buckets also admit ED-2 false candidates; a global pair dedup plus an exact
 ED<=1 verification filter removes them. Within-group pair generation is
 bounded by ``max_bucket`` with the dropped-pair sentinel discipline of
@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-_VARIANT_SCHEMA = pa.schema([("v", pa.string()), ("id", pa.int64()), ("s", pa.string())])
+# the exchange carries a 64-bit SipHash of each variant, not the variant
+# string: equal variants hash equal (recall preserved), a hash collision only
+# ADDS a candidate pair that the exact ED<=1 verify removes (~n^2/2^64 — nil),
+# and the int64 key makes the exchange narrower and the per-bucket groupby a
+# C-speed integer groupby instead of a string groupby
+_VARIANT_SCHEMA = pa.schema([("v", pa.int64()), ("id", pa.int64()), ("s", pa.string())])
 _CAND_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("a_s", pa.string()), ("b_s", pa.string())]
 )
@@ -84,9 +89,12 @@ def fuzzy_self_join_ed1(
                 vs.append(v)
                 vid.append(i)
                 vstr.append(s)
+        # one vectorized SipHash pass (fixed key — deterministic across
+        # processes and runs, the with_bucket hasher) over the variant strings
+        vh = pd.util.hash_pandas_object(pd.Series(vs, dtype=object), index=False).to_numpy()
         return pa.table(
             {
-                "v": pa.array(vs, type=pa.string()),
+                "v": pa.array(vh.view("int64"), type=pa.int64()),
                 "id": pa.array(vid, type=pa.int64()),
                 "s": pa.array(vstr, type=pa.string()),
             },
@@ -94,6 +102,13 @@ def fuzzy_self_join_ed1(
         )
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _CAND_SCHEMA.empty_table()
+        # drop singleton variants VECTORIZED before the per-group Python loop:
+        # almost every variant is globally unique, and iterating pandas groups
+        # per singleton was the measured 32-cpu bottleneck (4M strings:
+        # 47.3 s -> see NOTES.md)
+        df = df[df.duplicated("v", keep=False)]
         if len(df) == 0:
             return _CAND_SCHEMA.empty_table()
         a_out, b_out, a_s, b_s = [], [], [], []
