@@ -1197,6 +1197,14 @@ def _q_events_new_users(sf_dir):
     return daily_new_users(sf_dir)
 
 
+def _q_stats_grouped_quantiles(sf_dir):
+    """Per-type quantiles via the grouped mergeable MRL sketch (exact-below-k
+    regime vs per-group quantile_disc)."""
+    from text_to_graph_ray.pipelines.analytics import events_grouped_quantiles
+
+    return events_grouped_quantiles(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1300,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_value_histogram": _q_stats_value_histogram,
         "events_mode_type": _q_events_mode_type,
         "events_new_users": _q_events_new_users,
+        "stats_grouped_quantiles": _q_stats_grouped_quantiles,
     }
 
 
@@ -1868,5 +1877,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(d, '%Y-%m-%d') AS d, count(*)::BIGINT AS new_users, "
             "CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT) AS cum_users "
             "FROM f GROUP BY d ORDER BY d"
+        ),
+        "stats_grouped_quantiles": (
+            "SELECT event_type, q, value FROM ("
+            "SELECT event_type, 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events GROUP BY event_type "
+            "UNION ALL SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type "
+            "UNION ALL SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value FROM events GROUP BY event_type"
+            ") ORDER BY event_type, q"
         ),
     }

@@ -164,3 +164,50 @@ def test_daily_new_users_first_touch(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
     out = [(r["d"], r["new_users"], r["cum_users"]) for r in daily_new_users(str(tmp_path)).take_all()]
     assert out == [("2024-03-01", 2, 2), ("2024-03-02", 1, 3), ("2024-03-03", 1, 4)]
+
+
+class TestGroupedQuantileSketch:
+    def test_exact_below_k_per_group(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.sketch import grouped_quantile_sketch
+
+        rng = np.random.default_rng(5)
+        keys, vals = [], []
+        sizes = {"a": 700, "b": 120, "c": 1}
+        for g, m in sizes.items():
+            keys += [g] * m
+            vals += rng.normal(size=m).tolist()
+        # interleave some NULLs: dropped per group on both sides
+        keys += ["a", "b"]
+        vals += [None, None]
+        ds = rd.from_arrow(pa.table({"g": pa.array(keys), "v": pa.array(vals, type=pa.float64())})).repartition(6)
+        qs = (0.1, 0.5, 0.9)
+        out = {(r["g"], r["q"]): r["value"] for r in grouped_quantile_sketch(ds, "g", "v", qs, k=4096).take_all()}
+        arr = {g: np.sort([v for kk, v in zip(keys, vals) if kk == g and v is not None]) for g in sizes}
+        for g, m in sizes.items():
+            for q in qs:
+                want = arr[g][max(1, int(np.ceil(q * m))) - 1]  # quantile_disc rank rule
+                assert out[(g, q)] == want, (g, q)
+
+    def test_estimate_regime_rank_error_per_group(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.sketch import grouped_quantile_sketch
+
+        rng = np.random.default_rng(9)
+        n = 100_000
+        tbl = pa.table(
+            {
+                "g": pa.array(["x"] * n + ["y"] * n),
+                "v": pa.array(np.concatenate([rng.uniform(0, 1, n), rng.normal(10, 2, n)])),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(16)
+        out = {(r["g"], r["q"]): r["value"] for r in grouped_quantile_sketch(ds, "g", "v", (0.5, 0.9), k=1024).take_all()}
+        data = {"x": np.sort(tbl.column("v").to_numpy()[:n]), "y": np.sort(tbl.column("v").to_numpy()[n:])}
+        for g in ("x", "y"):
+            for q in (0.5, 0.9):
+                got = out[(g, q)]
+                rank = np.searchsorted(data[g], got) / n
+                assert abs(rank - q) < 0.01, (g, q, rank)

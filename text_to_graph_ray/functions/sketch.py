@@ -340,3 +340,95 @@ def quantile_sketch(ds, col: str, quantiles, k: int = 4096) -> pa.Table:
                 acc.merge_buffer(lv, buf, len(buf) * (1 << lv))
     vals = acc.query(qs)
     return pa.table({"q": pa.array(qs, type=pa.float64()), "value": pa.array(vals, type=pa.float64())})
+
+
+def grouped_quantile_sketch(ds, key: str, col: str, quantiles, k: int = 4096, num_buckets: int = 64):
+    """Per-group mergeable quantile summaries: one fixed-memory MRL summary
+    per (batch, group) combiner partial, then ONE coarse-bucket keyed
+    exchange of summary BLOBS (k x #levels float64s per group per block —
+    never raw rows) merged + queried vectorized per bucket. Same contract as
+    ``quantile_sketch``: EXACT below k rows per group (the hash-checked
+    regime vs per-group quantile_disc), O(log(n/k)/k) deterministic rank
+    error above; NULLs dropped. Returns a Dataset of (key, q, value) sorted.
+
+    Scale shape: the exchange ships #groups x #blocks summary rows — for a
+    hot group that is #blocks blobs of k floats landing in one bucket, the
+    same bound the global sketch's driver fold pays, but spread over buckets
+    for high-cardinality keys (where a sort-based exact quantile would be an
+    all-to-all over every raw row)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    qs = [float(q) for q in quantiles]
+    part_schema = pa.schema(
+        [
+            (key, pa.string()),
+            ("lvl", pa.list_(pa.int32())),
+            ("buf", pa.list_(pa.binary())),
+            ("n", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema([(key, pa.string()), ("q", pa.float64()), ("value", pa.float64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        mask = pc.is_valid(b.column(col))
+        if not pc.all(mask).as_py():
+            b = b.filter(mask)
+            if b.num_rows == 0:
+                return part_schema.empty_table()
+        df = pd.DataFrame(
+            {key: b.column(key).to_pylist(), "__v": b.column(col).to_numpy(zero_copy_only=False).astype("float64")}
+        )
+        keys_out, lvls_out, bufs_out, ns_out = [], [], [], []
+        for kv, g in df.groupby(key, sort=False):
+            s = _MRL(k)
+            s.add_values(g["__v"].to_numpy())
+            lvls = sorted(s.levels)
+            keys_out.append(kv)
+            lvls_out.append(lvls)
+            bufs_out.append([s.levels[lv].tobytes() for lv in lvls])
+            ns_out.append(s.n)
+        return pa.table(
+            {
+                key: pa.array(keys_out, type=pa.string()),
+                "lvl": pa.array(lvls_out, type=pa.list_(pa.int32())),
+                "buf": pa.array(bufs_out, type=pa.list_(pa.binary())),
+                "n": pa.array(ns_out, type=pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        keys_out, q_out, v_out = [], [], []
+        for kv, g in df.groupby(key, sort=False):
+            acc = _MRL(k)
+            for lvls, bufs in zip(g["lvl"], g["buf"]):
+                for lv, blob in zip(lvls, bufs):
+                    buf = np.frombuffer(blob, dtype=np.float64)
+                    acc.merge_buffer(int(lv), buf, len(buf) * (1 << int(lv)))
+            vals = acc.query(qs)
+            keys_out.extend([kv] * len(qs))
+            q_out.extend(qs)
+            v_out.extend(vals.tolist())
+        return pa.table(
+            {
+                key: pa.array(keys_out, type=pa.string()),
+                "q": pa.array(q_out, type=pa.float64()),
+                "value": pa.array(v_out, type=pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    out = bucket_exchange(
+        with_bucket(pre, key, num_buckets, in_schema=part_schema), per_bucket, out_schema, num_buckets
+    )
+    return sort_coalesced(out, [key, "q"])

@@ -1519,3 +1519,15 @@ def daily_new_users(sf_dir: str):
         }
     )
     return rd.from_arrow(out)
+
+
+def events_grouped_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.9)):
+    """Per-event-type value quantiles via the mergeable grouped MRL summary
+    (``sketch.grouped_quantile_sketch``): per-(batch, type) fixed-memory
+    combiner partials, one keyed exchange of sketch blobs (never raw rows).
+    k=131072 keeps both gate scales in the exact-below-k-per-group regime
+    (hash-checked vs per-group quantile_disc)."""
+    from text_to_graph_ray.functions.sketch import grouped_quantile_sketch
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantile_sketch(ev, "event_type", "value", qs, k=131072)
