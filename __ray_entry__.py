@@ -1205,6 +1205,14 @@ def _q_stats_grouped_quantiles(sf_dir):
     return events_grouped_quantiles(sf_dir)
 
 
+def _q_rel_fuzzy_lookup(sf_dir):
+    """Two-table ED<=1 fuzzy lookup (even vs odd customer keys); independent
+    signed-delta-probe oracle."""
+    from text_to_graph_ray.pipelines.analytics import customer_fuzzy_lookup
+
+    return customer_fuzzy_lookup(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1309,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type": _q_events_mode_type,
         "events_new_users": _q_events_new_users,
         "stats_grouped_quantiles": _q_stats_grouped_quantiles,
+        "rel_fuzzy_lookup": _q_rel_fuzzy_lookup,
     }
 
 
@@ -1884,5 +1893,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type "
             "UNION ALL SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value FROM events GROUP BY event_type"
             ") ORDER BY event_type, q"
+        ),
+        "rel_fuzzy_lookup": (
+            # signed delta probes (both directions) because the pair is
+            # (even, odd) rather than ordered by key; same exactness argument
+            # as rel_fuzzy_names
+            "WITH d AS (SELECT dd * pp AS delta FROM "
+            "(SELECT unnest([1,2,3,4,5,6,7,8,9]) AS dd), "
+            "(SELECT unnest([1,10,100,1000,10000,100000,1000000,10000000,100000000]) AS pp)), "
+            "sd AS (SELECT delta FROM d UNION ALL SELECT -delta FROM d), "
+            "l AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0), "
+            "r AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1) "
+            "SELECT l.c_custkey AS a_custkey, r.c_custkey AS b_custkey "
+            "FROM l JOIN sd ON true JOIN r ON r.c_custkey = l.c_custkey + sd.delta "
+            "WHERE levenshtein(l.c_name, r.c_name) <= 1 "
+            "ORDER BY a_custkey, b_custkey"
         ),
     }

@@ -211,3 +211,15 @@ class TestGroupedQuantileSketch:
                 got = out[(g, q)]
                 rank = np.searchsorted(data[g], got) / n
                 assert abs(rank - q) < 0.01, (g, q, rank)
+
+
+def test_fuzzy_join_no_matches_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.fuzzy import fuzzy_self_join_ed1
+
+    words = ["alpha", "bbbbbbb", "cccccccccc", "dddd", "eeeeeeeeee"]
+    ds = rd.from_arrow(pa.table({"id": pa.array(range(len(words)), type=pa.int64()), "s": pa.array(words)}))
+    out = fuzzy_self_join_ed1(ds, "s", "id")
+    assert out.count() == 0
+    assert out.schema().names == ["a", "b"]

@@ -186,5 +186,146 @@ def fuzzy_self_join_ed1(
         )
         return t.filter(keep).select(["a", "b"])
 
-    out = uniq.map_batches(verify, batch_format="pyarrow")
+    import ray.data as rd
+
+    # pin the empty-result schema: Ray's map stage passes an all-empty block
+    # through WITHOUT calling verify, so a no-pair corpus would otherwise
+    # yield a schema-less Dataset (the bucket_exchange discipline)
+    out = compact_nonempty(uniq.map_batches(verify, batch_format="pyarrow").materialize())
+    if out.count() == 0:
+        return rd.from_arrow(_OUT_SCHEMA.empty_table())
+    return sort_coalesced(out, ["a", "b"])
+
+
+_VARIANT2_SCHEMA = pa.schema(
+    [("v", pa.int64()), ("side", pa.int8()), ("id", pa.int64()), ("s", pa.string())]
+)
+
+
+def fuzzy_join_ed1(
+    left,
+    right,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 64,
+    max_bucket: int = 200,
+    stats: dict | None = None,
+):
+    """Two-table ED<=1 fuzzy join (entity-resolution lookup): all pairs
+    ``(a from left, b from right)`` whose strings are within edit distance 1.
+    Same plan as ``fuzzy_self_join_ed1`` — hashed deletion-neighborhood
+    exchange, ride-along strings, sentinel-counted hot-variant caps (each
+    side capped at ``max_bucket``), global pair dedup, exact verify — but
+    pair generation crosses SIDES only. Returns (a, b) sorted."""
+    import numpy as np
+    import pandas as pd
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, distinct_rows, with_bucket
+    from text_to_graph_ray.util import compact_nonempty, sort_coalesced
+
+    def variant_rows_for(side: int):
+        def variant_rows(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_pylist()
+            texts = t.column(text_col).to_pylist()
+            vs, vid, vstr = [], [], []
+            for i, s in zip(ids, texts):
+                s = s or ""
+                for v in deletion_variants(s):
+                    vs.append(v)
+                    vid.append(i)
+                    vstr.append(s)
+            vh = pd.util.hash_pandas_object(pd.Series(vs, dtype=object), index=False).to_numpy()
+            return pa.table(
+                {
+                    "v": pa.array(vh.view("int64"), type=pa.int64()),
+                    "side": pa.array(np.full(len(vid), side, dtype=np.int8)),
+                    "id": pa.array(vid, type=pa.int64()),
+                    "s": pa.array(vstr, type=pa.string()),
+                },
+                schema=_VARIANT2_SCHEMA,
+            )
+
+        return variant_rows
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _CAND_SCHEMA.empty_table()
+        df = df[df.duplicated("v", keep=False)]
+        if len(df) == 0:
+            return _CAND_SCHEMA.empty_table()
+        a_out, b_out, a_s, b_s = [], [], [], []
+        dropped = 0
+        for _, g in df.groupby("v", sort=False):
+            ls = g[g["side"] == 0].sort_values("id", kind="mergesort")
+            rs = g[g["side"] == 1].sort_values("id", kind="mergesort")
+            if len(ls) == 0 or len(rs) == 0:
+                continue
+            if len(ls) > max_bucket or len(rs) > max_bucket:
+                dropped += len(ls) * len(rs) - min(len(ls), max_bucket) * min(len(rs), max_bucket)
+                ls, rs = ls.iloc[:max_bucket], rs.iloc[:max_bucket]
+            for la, lsx in zip(ls["id"].to_numpy(), ls["s"].tolist()):
+                for rb, rsx in zip(rs["id"].to_numpy(), rs["s"].tolist()):
+                    a_out.append(int(la))
+                    b_out.append(int(rb))
+                    a_s.append(lsx)
+                    b_s.append(rsx)
+        if dropped:
+            a_out.append(-1 - int(df[BUCKET_COL].iloc[0]))
+            b_out.append(dropped)
+            a_s.append("")
+            b_s.append("")
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "a_s": pa.array(a_s, type=pa.string()),
+                "b_s": pa.array(b_s, type=pa.string()),
+            },
+            schema=_CAND_SCHEMA,
+        )
+
+    lv = left.map_batches(variant_rows_for(0), batch_format="pyarrow")
+    rv = right.map_batches(variant_rows_for(1), batch_format="pyarrow")
+    variants = lv.union(rv)
+    cand = bucket_exchange(
+        with_bucket(variants, "v", num_buckets, in_schema=_VARIANT2_SCHEMA),
+        per_bucket,
+        _CAND_SCHEMA,
+        num_buckets,
+    )
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    sent = cand.map_batches(
+        lambda t: t.filter(pc.less(t.column("a"), 0)), batch_format="pyarrow"
+    ).take_all()
+    dropped_total = int(sum(r["b"] for r in sent))
+    if stats is not None:
+        stats["fuzzy_pairs_dropped"] = dropped_total
+    if dropped_total:
+        print(
+            f"WARNING: fuzzy_join_ed1 truncated {dropped_total} candidate pairs "
+            f"across {len(sent)} hot variants (max_bucket={max_bucket}) — recall loss"
+        )
+        cand = compact_nonempty(
+            cand.map_batches(
+                lambda t: t.filter(pc.greater_equal(t.column("a"), 0)), batch_format="pyarrow"
+            ).materialize()
+        )
+
+    uniq = distinct_rows(cand, ["a", "b", "a_s", "b_s"], _CAND_SCHEMA, num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
+        keep = pa.array(
+            [ed_le1(x, y) for x, y in zip(t.column("a_s").to_pylist(), t.column("b_s").to_pylist())],
+            type=pa.bool_(),
+        )
+        return t.filter(keep).select(["a", "b"])
+
+    out = compact_nonempty(uniq.map_batches(verify, batch_format="pyarrow").materialize())
+    if out.count() == 0:
+        return rd.from_arrow(_OUT_SCHEMA.empty_table())
     return sort_coalesced(out, ["a", "b"])

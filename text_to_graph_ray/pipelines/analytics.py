@@ -1531,3 +1531,31 @@ def events_grouped_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.9)):
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return grouped_quantile_sketch(ev, "event_type", "value", qs, k=131072)
+
+
+def customer_fuzzy_lookup(sf_dir: str):
+    """Two-table ED<=1 fuzzy lookup (``fuzzy.fuzzy_join_ed1``): even-keyed
+    customers matched against odd-keyed ones — the entity-resolution shape
+    (new records vs a canonical table). Oracle: the independent signed
+    delta-probe plan + levenshtein."""
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.fuzzy import fuzzy_join_ed1
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+
+    def side(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            keep = pc.equal(pc.bit_wise_and(t.column("c_custkey"), 1), parity)
+            return t.filter(keep)
+
+        return f
+
+    left = cust.map_batches(side(0), batch_format="pyarrow")
+    right = cust.map_batches(side(1), batch_format="pyarrow")
+    out = fuzzy_join_ed1(left, right, text_col="c_name", id_col="c_custkey")
+    return out.map_batches(
+        lambda t: t.rename_columns(["a_custkey", "b_custkey"]), batch_format="pyarrow"
+    )
