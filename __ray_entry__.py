@@ -1213,6 +1213,32 @@ def _q_rel_fuzzy_lookup(sf_dir):
     return customer_fuzzy_lookup(sf_dir)
 
 
+def _q_events_moving_sum(sf_dir):
+    """Per-user MOVING-FRAME window sum (ROWS BETWEEN 9 PRECEDING AND
+    CURRENT ROW) via cumsum-minus-lagged-cumsum; bit-stable round(4) vs the
+    SQL window frame."""
+    from text_to_graph_ray.pipelines.analytics import user_moving_sum
+
+    return user_moving_sum(sf_dir)
+
+
+def _q_stats_moments_by_flag(sf_dir):
+    """Grouped mean/stddev/skewness/kurtosis from integer-exact power sums;
+    oracle recomputes the identical IEEE op sequence over HUGEINT-exact
+    central-moment numerators."""
+    from text_to_graph_ray.pipelines.analytics import lineitem_moments
+
+    return lineitem_moments(sf_dir)
+
+
+def _q_events_users_per_type_kmv(sf_dir):
+    """Distinct users per event type via the grouped mergeable KMV sketch
+    (exact below k per group) vs COUNT(DISTINCT) GROUP BY."""
+    from text_to_graph_ray.pipelines.analytics import events_users_per_type_kmv
+
+    return events_users_per_type_kmv(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1318,6 +1344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users": _q_events_new_users,
         "stats_grouped_quantiles": _q_stats_grouped_quantiles,
         "rel_fuzzy_lookup": _q_rel_fuzzy_lookup,
+        "events_moving_sum": _q_events_moving_sum,
+        "stats_moments_by_flag": _q_stats_moments_by_flag,
+        "events_users_per_type_kmv": _q_events_users_per_type_kmv,
     }
 
 
@@ -1908,5 +1937,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM l JOIN sd ON true JOIN r ON r.c_custkey = l.c_custkey + sd.delta "
             "WHERE levenshtein(l.c_name, r.c_name) <= 1 "
             "ORDER BY a_custkey, b_custkey"
+        ),
+        "events_moving_sum": (
+            # round(4): same last-ulp argument as events_running_sum — the
+            # engine computes the frame as cumsum-minus-lagged-cumsum
+            "SELECT event_id, user_id, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS moving FROM events"
+        ),
+        "stats_moments_by_flag": (
+            # HUGEINT-exact power sums, then the engine's explicit IEEE op
+            # sequence verbatim (see stats.grouped_moments_int): central
+            # moment numerators A2/A3/A4 are exact integers on both sides,
+            # so every final double is bit-identical with no tolerance
+            "WITH p AS (SELECT l_returnflag, count(*)::HUGEINT AS n, "
+            "sum(CAST(round(l_quantity) AS BIGINT))::HUGEINT AS s1, "
+            "sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT))::HUGEINT AS s2, "
+            "sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT))::HUGEINT AS s3, "
+            "sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT))::HUGEINT AS s4 "
+            "FROM lineitem GROUP BY l_returnflag), "
+            "a AS (SELECT l_returnflag, n, s1, "
+            "n*s2 - s1*s1 AS a2, "
+            "n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS a3, "
+            "n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS a4 FROM p) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+            "CASE WHEN n < 2 THEN NULL WHEN a2 = 0 THEN 0.0 "
+            "ELSE sqrt(CAST(a2 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) END AS sd, "
+            "CASE WHEN n < 2 OR a2 = 0 THEN NULL "
+            "ELSE CAST(a3 AS DOUBLE) / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(a2 AS DOUBLE))) END AS skew_pop, "
+            "CASE WHEN n < 2 OR a2 = 0 THEN NULL "
+            "ELSE CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) - 3.0 END AS kurt_pop "
+            "FROM a ORDER BY l_returnflag"
+        ),
+        "events_users_per_type_kmv": (
+            # exact-below-k regime: every event type has far fewer than 8192
+            # distinct users at oracle scale, so the merged KMV sketch holds
+            # the full distinct hash set and the count is exact
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
     }

@@ -223,3 +223,103 @@ def test_fuzzy_join_no_matches_keeps_schema(ray_session):
     out = fuzzy_self_join_ed1(ds, "s", "id")
     assert out.count() == 0
     assert out.schema().names == ["a", "b"]
+
+
+class TestGroupedKMV:
+    def test_exact_below_k_per_group(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.sketch import grouped_kmv_distinct
+
+        rng = np.random.default_rng(11)
+        keys = rng.choice(["a", "b", "c"], size=5000).tolist()
+        vals = rng.integers(0, 900, size=5000)  # < k distinct per group
+        tbl = pa.table({"g": pa.array(keys), "v": pa.array([str(v) for v in vals])})
+        ds = rd.from_arrow(tbl).repartition(8)
+        out = {r["g"]: r["n_distinct"] for r in grouped_kmv_distinct(ds, "g", "v", k=8192).take_all()}
+        import pandas as pd
+
+        want = pd.DataFrame({"g": keys, "v": vals}).groupby("g")["v"].nunique().to_dict()
+        assert out == want
+
+    def test_estimate_regime_relative_error(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.sketch import grouped_kmv_distinct
+
+        n = 120_000
+        tbl = pa.table(
+            {
+                "g": pa.array(["hot"] * n + ["cold"] * 500),
+                "v": pa.array([str(i) for i in range(n)] + [str(i % 100) for i in range(500)]),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(16)
+        out = {r["g"]: r["n_distinct"] for r in grouped_kmv_distinct(ds, "g", "v", k=1024).take_all()}
+        assert out["cold"] == 100  # still exact
+        assert abs(out["hot"] - n) / n < 0.15  # ~1/sqrt(k-1) regime
+
+
+def test_moving_sum_matches_pandas_rolling(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import user_moving_sum
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "user_id": rng.integers(0, 37, n).astype(np.int64),
+            "value": np.round(rng.uniform(-5, 5, n), 2),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    got = {r["event_id"]: r["moving"] for r in user_moving_sum(str(tmp_path), frame=10).take_all()}
+    sd = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    want = sd.groupby("user_id", sort=False)["value"].rolling(10, min_periods=1).sum().round(4)
+    want_by_id = dict(zip(sd["event_id"], want.to_numpy()))
+    assert len(got) == n
+    for eid, v in want_by_id.items():
+        assert got[eid] == pytest.approx(v, abs=1e-9), eid
+
+
+def test_grouped_moments_matches_exact_reference(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.stats import grouped_moments_int
+
+    rng = np.random.default_rng(21)
+    keys = rng.choice(["p", "q", "r"], size=3000).tolist() + ["solo", "pair", "pair"]
+    vals = rng.integers(-2000, 2000, size=3000).tolist() + [7, 3, 3]
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(keys), "x": pa.array([float(v) for v in vals], type=pa.float64())})
+    ).repartition(6)
+    out = {r["g"]: r for r in grouped_moments_int(ds, "g", "x").to_pandas().to_dict("records")}
+    by_g = {}
+    for g, v in zip(keys, vals):
+        by_g.setdefault(g, []).append(int(v))
+    for g, xs in by_g.items():
+        n, s1 = len(xs), sum(xs)
+        s2, s3, s4 = sum(x * x for x in xs), sum(x**3 for x in xs), sum(x**4 for x in xs)
+        a2 = n * s2 - s1 * s1
+        r = out[g]
+        assert r["n"] == n
+        assert r["mean"] == float(s1) / float(n)
+        if g == "solo":
+            assert r["sd"] is None or (isinstance(r["sd"], float) and math.isnan(r["sd"]))
+            continue
+        if a2 == 0:  # constant group ("pair")
+            assert r["sd"] == 0.0
+            assert r["skew_pop"] is None or math.isnan(r["skew_pop"])
+            continue
+        a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        a4 = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+        assert r["sd"] == math.sqrt(float(a2) / float(n * (n - 1)))
+        rr = math.sqrt(float(a2))
+        assert r["skew_pop"] == float(a3) / (rr * rr * rr)
+        assert r["kurt_pop"] == float(a4) / (float(a2) * float(a2)) * (float(n) * float(n)) - 3.0

@@ -1559,3 +1559,66 @@ def customer_fuzzy_lookup(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["a_custkey", "b_custkey"]), batch_format="pyarrow"
     )
+
+
+def user_moving_sum(sf_dir: str, frame: int = 10):
+    """Per-user MOVING-FRAME window sum (ROWS BETWEEN frame-1 PRECEDING AND
+    CURRENT ROW) over the event stream: same one-keyed-exchange plan as
+    ``user_running_sum``, with the frame computed as a vectorized
+    cumsum-minus-lagged-cumsum per bucket (no per-row or per-user Python
+    dispatch). Order (ts, event_id) matches the SQL frame exactly; round(4)
+    for the same last-ulp reason as the running sum (true values carry 2
+    decimals, both engines' float error is ~1e-11)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("moving", pa.float64())]
+    )
+
+    def per_bucket(df):
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = df.groupby("user_id", sort=False)
+        cs = grp["value"].cumsum()
+        lag = cs.groupby(df["user_id"], sort=False).shift(frame)
+        moving = (cs - lag.fillna(0.0)).round(4)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), type=pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+                "moving": pa.array(moving.to_numpy(), type=pa.float64()),
+            }
+        )
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_id")
+
+
+def lineitem_moments(sf_dir: str):
+    """Grouped mean/stddev/skewness/kurtosis of l_quantity per returnflag
+    from integer-exact power sums (``stats.grouped_moments_int``); the
+    oracle recomputes the same explicit IEEE op sequence over HUGEINT-exact
+    central-moment numerators."""
+    from text_to_graph_ray.functions.stats import grouped_moments_int
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    return grouped_moments_int(li, "l_returnflag", "l_quantity")
+
+
+def events_users_per_type_kmv(sf_dir: str, k: int = 8192):
+    """Distinct users per event type via the grouped mergeable KMV sketch
+    (exact below k per group — the hash-checked regime vs COUNT(DISTINCT)
+    GROUP BY)."""
+    from text_to_graph_ray.functions.sketch import grouped_kmv_distinct
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_kmv_distinct(ev, "event_type", "user_id", k=k)
