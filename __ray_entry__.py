@@ -1239,6 +1239,46 @@ def _q_events_users_per_type_kmv(sf_dir):
     return events_users_per_type_kmv(sf_dir)
 
 
+def _q_events_range_sum(sf_dir):
+    """Per-user TIME-RANGE window sum (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW — timestamp-axis frame incl. ts peers)."""
+    from text_to_graph_ray.pipelines.analytics import user_time_range_sum
+
+    return user_time_range_sum(sf_dir)
+
+
+def _q_events_full_outer_days(sf_dir):
+    """Per-(user, day) clicks FULL OUTER purchases via the generic
+    one-exchange keyed_full_outer operator; missing sides are real NULLs."""
+    from text_to_graph_ray.pipelines.analytics import clicks_purchases_full
+
+    return clicks_purchases_full(sf_dir)
+
+
+def _q_events_user_trace(sf_dir):
+    """Per-user ordered event-type concatenation (string_agg ORDER BY ts,
+    event_id) via the generic ordered_string_agg operator."""
+    from text_to_graph_ray.pipelines.analytics import user_event_type_concat
+
+    return user_event_type_concat(sf_dir)
+
+
+def _q_events_type_entropy(sf_dir):
+    """Shannon entropy (nats) of each user's event-type mix from exact
+    integer counts; round(6) on both engines."""
+    from text_to_graph_ray.pipelines.analytics import user_type_entropy
+
+    return user_type_entropy(sf_dir)
+
+
+def _q_docs_hash_split(sf_dir):
+    """Deterministic md5-based train/test split assignment — per-row
+    assignment (not just sizes) cross-checked against DuckDB md5()."""
+    from text_to_graph_ray.pipelines.analytics import documents_hash_split
+
+    return documents_hash_split(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -1347,6 +1387,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": _q_events_moving_sum,
         "stats_moments_by_flag": _q_stats_moments_by_flag,
         "events_users_per_type_kmv": _q_events_users_per_type_kmv,
+        "events_range_sum": _q_events_range_sum,
+        "events_full_outer_days": _q_events_full_outer_days,
+        "events_user_trace": _q_events_user_trace,
+        "events_type_entropy": _q_events_type_entropy,
+        "docs_hash_split": _q_docs_hash_split,
     }
 
 
@@ -1976,5 +2021,42 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_range_sum": (
+            # RANGE frame: timestamp-axis window INCLUDING ts peers ordered
+            # after the current row; round(4) = the running-sum ulp argument
+            "SELECT event_id, user_id, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS range_sum "
+            "FROM events"
+        ),
+        "events_full_outer_days": (
+            "SELECT COALESCE(c.user_id, p.user_id) AS user_id, COALESCE(c.d, p.d) AS d, "
+            "c.n_clicks, p.n_purchases FROM "
+            "(SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS DOUBLE) AS n_clicks "
+            "FROM events WHERE event_type = 'click' GROUP BY 1, 2) c "
+            "FULL OUTER JOIN "
+            "(SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS DOUBLE) AS n_purchases "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p "
+            "ON c.user_id = p.user_id AND c.d = p.d ORDER BY 1, 2"
+        ),
+        "events_user_trace": (
+            "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS trace "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_type_entropy": (
+            # counts are exact ints on both engines; the <=5-term float sum's
+            # association-order noise (~1e-16) dies at round(6)
+            "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT user_id, sum(cnt)::BIGINT AS n, "
+            "round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy "
+            "FROM c GROUP BY user_id ORDER BY user_id"
+        ),
+        "docs_hash_split": (
+            # md5 over the DECIMAL id string on both engines — per-row
+            # assignment is the check, not just the split fraction
+            "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' "
+            "THEN 'test' ELSE 'train' END AS split FROM documents ORDER BY doc_id"
         ),
     }

@@ -1,0 +1,123 @@
+"""Round-4 part-4 tests: generic full-outer join, time-RANGE window frame
+(ts-peer semantics), ordered string_agg, grouped entropy, md5 hash split."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+class TestKeyedFullOuter:
+    def _sides(self, rd):
+        left = rd.from_arrow(
+            pa.table({"k": pa.array(["a", "b", "c"]), "lv": pa.array([1, 2, 3], type=pa.int64())})
+        )
+        right = rd.from_arrow(
+            pa.table({"k": pa.array(["b", "c", "d"]), "rv": pa.array([20, 30, 40], type=pa.int64())})
+        )
+        return left, right
+
+    def test_exclusive_rows_surface_with_nulls(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.joins import keyed_full_outer
+
+        left, right = self._sides(rd)
+        out = keyed_full_outer(left, right, "k", "lv", "rv").to_pandas().set_index("k").sort_index()
+        assert list(out.index) == ["a", "b", "c", "d"]
+        assert out.loc["a", "lv"] == 1.0 and np.isnan(out.loc["a", "rv"])
+        assert out.loc["b", "lv"] == 2.0 and out.loc["b", "rv"] == 20.0
+        assert np.isnan(out.loc["d", "lv"]) and out.loc["d", "rv"] == 40.0
+
+    def test_nonunique_keys_raise(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.joins import keyed_full_outer
+
+        left = rd.from_arrow(pa.table({"k": pa.array(["a", "a"]), "lv": pa.array([1, 2], type=pa.int64())}))
+        right = rd.from_arrow(pa.table({"k": pa.array(["a"]), "rv": pa.array([9], type=pa.int64())}))
+        with pytest.raises(Exception):  # surfaces as RayTaskError(ValueError)
+            keyed_full_outer(left, right, "k", "lv", "rv").materialize()
+
+
+def test_time_range_sum_includes_ts_peers(ray_session, tmp_path):
+    """The defining difference from a ROWS frame: rows tied on ts see the
+    SAME frame — including peers ordered after them — and the window edge
+    (ts - 1h exactly) is INSIDE the frame."""
+    from text_to_graph_ray.pipelines.analytics import user_time_range_sum
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        # user 1: two ts-ties at +0s, one at +30min, one at exactly +1h from the ties
+        (0, base, 1, 1.0),
+        (1, base, 1, 2.0),
+        (2, base + pd.Timedelta("30min"), 1, 4.0),
+        (3, base + pd.Timedelta("1h"), 1, 8.0),
+        # user 2: isolated events > 1h apart
+        (4, base, 2, 5.0),
+        (5, base + pd.Timedelta("2h"), 2, 7.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    got = {r["event_id"]: r["range_sum"] for r in user_time_range_sum(str(tmp_path)).take_all()}
+    # peers 0 and 1 share the frame {0,1} -> both 3.0 (a ROWS frame would give 1.0 then 3.0)
+    assert got[0] == 3.0 and got[1] == 3.0
+    assert got[2] == 7.0
+    # event 3 at exactly +1h still includes the boundary rows 0,1 (closed interval)
+    assert got[3] == 15.0
+    assert got[4] == 5.0 and got[5] == 7.0
+
+
+def test_ordered_string_agg_order_and_ties(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import ordered_string_agg
+
+    t = pa.table(
+        {
+            "k": pa.array(["u", "u", "u", "v"]),
+            "o1": pa.array([2, 1, 1, 5], type=pa.int64()),
+            "o2": pa.array([0, 9, 1, 0], type=pa.int64()),
+            "s": pa.array(["c", "b", "a", "z"]),
+        }
+    )
+    out = {r["k"]: r["trace"] for r in ordered_string_agg(
+        rd.from_arrow(t).repartition(3), "k", "s", ["o1", "o2"], out_name="trace"
+    ).take_all()}
+    assert out == {"u": "a,b,c", "v": "z"}
+
+
+def test_grouped_entropy_known_values(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.stats import grouped_entropy
+
+    keys = ["uni"] * 40 + ["one"] * 7 + ["two"] * 30
+    cats = (["a", "b", "c", "d"] * 10) + (["x"] * 7) + (["p"] * 10 + ["q"] * 20)
+    ds = rd.from_arrow(pa.table({"g": pa.array(keys), "c": pa.array(cats)})).repartition(5)
+    out = {r["g"]: (r["n"], r["entropy"]) for r in grouped_entropy(ds, "g", "c").take_all()}
+    assert out["uni"] == (40, round(math.log(4), 6))  # uniform over 4 cats
+    assert out["one"] == (7, 0.0)  # single category
+    want_two = round(math.log(30) - (10 * math.log(10) + 20 * math.log(20)) / 30, 6)
+    assert out["two"] == (30, want_two)
+
+
+def test_hash_split_matches_hashlib_and_fraction(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.sample import hash_split
+
+    ids = list(range(5000))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())})).repartition(4)
+    out = {r["doc_id"]: r["split"] for r in hash_split(ds, "doc_id", thresh_hex="1999").take_all()}
+    n_test = 0
+    for i in ids:
+        want = "test" if hashlib.md5(str(i).encode()).hexdigest()[:4] < "1999" else "train"
+        assert out[i] == want
+        n_test += want == "test"
+    assert abs(n_test / 5000 - 0x1999 / 0x10000) < 0.02

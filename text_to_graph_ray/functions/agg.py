@@ -457,3 +457,37 @@ def melt(ds, id_cols, value_cols, var_name: str = "variable", value_name: str = 
         return pa.concat_tables(parts)
 
     return ds.map_batches(fan_out, batch_format="pyarrow")
+
+
+def ordered_string_agg(ds, key, val_col: str, order_by, sep: str = ",", out_name: str = "agg",
+                       num_buckets: int = 64, in_schema: pa.Schema | None = None):
+    """Per-key ORDERED string concatenation (SQL ``string_agg(val, sep ORDER
+    BY ...)``): one coarse-bucket keyed exchange, then a vectorized
+    per-bucket sort + per-group join. The concat itself is inherently
+    per-group (it produces one Python string per key), but the sort and
+    grouping around it are C-speed and each group's bytes are touched once.
+
+    Scale shape: output rows = distinct keys; a key's full value list must
+    fit one bucket task (same contract as any keyed groupby — a key whose
+    concatenation wouldn't fit in task memory wouldn't fit in the SQL result
+    row either)."""
+    keys = _as_key_list(key)
+    order_by = _as_key_list(order_by)
+    out_schema = pa.schema([(k, _schema_of(ds, in_schema).field(k).type) for k in keys] + [(out_name, pa.string())])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(keys + order_by, kind="mergesort")
+        g = df.groupby(keys, as_index=False, sort=False)[val_col].agg(sep.join)
+        return pa.table({f.name: pa.array(g[f.name if f.name != out_name else val_col], type=f.type) for f in out_schema},
+                        schema=out_schema)
+
+    return bucket_exchange(with_bucket(ds, keys, num_buckets, in_schema=in_schema), per_bucket, out_schema, num_buckets)
+
+
+def _schema_of(ds, in_schema):
+    if in_schema is not None:
+        return in_schema
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))

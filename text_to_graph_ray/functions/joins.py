@@ -300,3 +300,68 @@ def filter_by_keys(left, right, key: str, right_key: str | None = None, mode: st
         return b.filter(pc.invert(m) if invert else m)
 
     return left.map_batches(flt, batch_format="pyarrow")
+
+
+def keyed_full_outer(left, right, keys, left_vals, right_vals, num_buckets: int = 64):
+    """Generic FULL OUTER equi-join of two KEYED-UNIQUE datasets in ONE
+    exchange — no join actors: each side is tagged onto a shared schema
+    (the other side's value columns nulled), unioned, coarse-bucketed on the
+    key, and pivoted back to one row per key inside a vectorized per-bucket
+    kernel. Keys present on only one side surface with the other side's
+    values NULL, exactly like SQL ``FULL OUTER JOIN`` over two aggregate
+    subqueries (value columns are emitted float64 so the missing side is a
+    real NULL/NaN, matching the nullable dtype DuckDB hands back).
+
+    Contract: ``keys`` are unique per side (both inputs are aggregate
+    outputs; asserted per bucket), value columns are numeric. Scale shape:
+    the exchange carries |left| + |right| aggregate rows — never a corpus —
+    and a key's rows meet in exactly one bucket task (the asof/range-join
+    partitioning assumption).
+    """
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    left_vals = [left_vals] if isinstance(left_vals, str) else list(left_vals)
+    right_vals = [right_vals] if isinstance(right_vals, str) else list(right_vals)
+    key_fields = [(k, _arrow_schema(left).field(k).type) for k in keys]
+    combined = pa.schema(
+        key_fields + [(c, pa.float64()) for c in left_vals + right_vals]
+    )
+
+    def tag(side_vals, other_vals):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return combined.empty_table()
+            cols = {k: t.column(k) for k in keys}
+            for c in side_vals:
+                cols[c] = pc.cast(t.column(c), pa.float64())
+            for c in other_vals:
+                cols[c] = pa.nulls(t.num_rows, type=pa.float64())
+            return pa.table(cols, schema=combined)
+
+        return fn
+
+    unioned = left.map_batches(tag(left_vals, right_vals), batch_format="pyarrow").union(
+        right.map_batches(tag(right_vals, left_vals), batch_format="pyarrow")
+    )
+    out_schema = combined
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        # sum(min_count=1): each (key, column) holds at most one non-null row
+        # per the uniqueness contract, so this is "take the value or NULL"
+        g = df.groupby(keys, as_index=False, sort=False, dropna=False)
+        if g.size()["size"].max() > 2:
+            raise ValueError("keyed_full_outer: keys are not unique per side")
+        out = g.sum(min_count=1)
+        return pa.table(
+            {f.name: pa.array(out[f.name], type=f.type) for f in out_schema}, schema=out_schema
+        )
+
+    return bucket_exchange(
+        with_bucket(unioned, keys, num_buckets, in_schema=combined), per_bucket, out_schema, num_buckets
+    )

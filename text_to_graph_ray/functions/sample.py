@@ -42,3 +42,28 @@ def stratified_sample(ds, key_col: str, n_per_key: int, id_col: str = "doc_id"):
         return pa_from_pandas(g.sort_values(id_col).head(n_per_key))
 
     return ds.groupby(key_col).map_groups(take_first, batch_format="pandas").sort([key_col, id_col])
+
+
+def hash_split(ds, id_col: str = "doc_id", thresh_hex: str = "1999",
+               labels: tuple = ("test", "train"), out_col: str = "split"):
+    """Deterministic train/test assignment by CONTENT-INDEPENDENT id hash:
+    a row lands in ``labels[0]`` iff the first 4 hex chars of
+    ``md5(str(id))`` sort below ``thresh_hex`` (md5 is uniform, so the split
+    fraction is int(thresh_hex,16)/65536 — '1999' ~ 10%). md5-on-the-decimal
+    -string is chosen because BOTH engines have it natively (hashlib here,
+    DuckDB ``md5()`` in the oracle), so the exact per-row assignment — not
+    just the split sizes — is cross-checked. Embarrassingly parallel: no
+    exchange, the split column is computed inside the scan.
+
+    hashlib-per-row is C-speed per call and this is a once-per-corpus pass;
+    the same measured argument as exact_dedup_keep_min's kernel note."""
+    import hashlib
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([(id_col, pa.int64()), (out_col, pa.string())]).empty_table()
+        ids = b.column(id_col).to_pylist()
+        lab = [labels[0] if hashlib.md5(str(i).encode()).hexdigest()[:4] < thresh_hex else labels[1] for i in ids]
+        return pa.table({id_col: pa.array(ids, type=pa.int64()), out_col: pa.array(lab, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(id_col)

@@ -244,3 +244,58 @@ def grouped_moments_int(ds, key: str, x_col: str):
         }
     )
     return rd.from_arrow(out)
+
+
+def grouped_entropy(ds, key: str, cat_col: str, num_buckets: int = 64, key_type: pa.DataType = None):
+    """Shannon entropy (nats) of ``cat_col``'s distribution per group of
+    ``key``, combiner-first: per-batch exact (key, cat) counts collapse the
+    corpus to vocabulary-sized partials, ONE coarse-bucket exchange merges
+    them, and H = ln(n) - sum(c*ln(c))/n is computed from EXACT integer
+    counts inside the bucket task.
+
+    Cross-engine float discipline: the counts are exact on both engines; the
+    only float noise is the association order of the <=|categories| -term
+    sum (~1e-16), killed by round(6) — mirrored in the SQL oracle
+    ``round(ln(sum(cnt)) - sum(cnt*ln(cnt))/sum(cnt), 6)``.
+    Returns (key, n, entropy) sorted by key."""
+    import pandas as pd
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    key_type = key_type or pa.string()
+    part_schema = pa.schema([(key, key_type), (cat_col, pa.string()), ("cnt", pa.int64())])
+    out_schema = pa.schema([(key, key_type), ("n", pa.int64()), ("entropy", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame({key: t.column(key).to_pylist(), cat_col: t.column(cat_col).to_pylist()})
+        g = df.groupby([key, cat_col], as_index=False, sort=False).size().rename(columns={"size": "cnt"})
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in part_schema}, schema=part_schema)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        m = df.groupby([key, cat_col], as_index=False, sort=False)["cnt"].sum()
+        keys_out, ns, hs = [], [], []
+        for kv, g in m.groupby(key, sort=False):
+            c = g["cnt"].to_numpy(dtype=np.int64)
+            n = int(c.sum())
+            h = math.log(n) - float(np.sum(c * np.log(c))) / float(n)
+            keys_out.append(kv)
+            ns.append(n)
+            hs.append(round(h, 6))
+        return pa.table(
+            {key: pa.array(keys_out, type=out_schema.field(key).type), "n": pa.array(ns, type=pa.int64()),
+             "entropy": pa.array(hs, type=pa.float64())},
+            schema=out_schema,
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    out = bucket_exchange(
+        with_bucket(pre, key, num_buckets, in_schema=part_schema), per_bucket, out_schema, num_buckets
+    )
+    return sort_coalesced(out, key)

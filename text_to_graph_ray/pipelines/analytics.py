@@ -1622,3 +1622,135 @@ def events_users_per_type_kmv(sf_dir: str, k: int = 8192):
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     return grouped_kmv_distinct(ev, "event_type", "user_id", k=k)
+
+
+def user_time_range_sum(sf_dir: str, window_s: int = 3600):
+    """Per-user TIME-RANGE window sum (SQL ``RANGE BETWEEN INTERVAL window
+    PRECEDING AND CURRENT ROW``): unlike a ROWS frame the window is defined
+    on the timestamp AXIS and includes ALL ts-peers of the current row, even
+    ones ordered after it. One keyed exchange; inside each bucket the frame
+    is cumsum + two searchsorted probes per user slice (hi = right-bisect on
+    the row's own ts picks up peers; lo = left-bisect on ts - window keeps
+    the boundary row IN, matching SQL's closed interval). round(4): same
+    last-ulp argument as user_running_sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+    out_schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()), ("range_sum", pa.float64())])
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def per_bucket(df):
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        val = df["value"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        out = np.empty(len(df), dtype=np.float64)
+        # contiguous user slices after the sort; per-slice vectorized probes
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[starts, len(uid)]
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            t, cs = ts[s:e], np.cumsum(val[s:e])
+            lo = np.searchsorted(t, t - win_us, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            out[s:e] = cs[hi - 1] - np.where(lo > 0, cs[lo - 1], 0.0)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "range_sum": pa.array(np.round(out, 4), type=pa.float64()),
+            }
+        )
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_id")
+
+
+def clicks_purchases_full(sf_dir: str):
+    """Per-(user, day) click counts FULL OUTER JOIN purchase counts — the
+    generic one-exchange full-outer operator (``joins.keyed_full_outer``)
+    over two combiner-aggregated sides; days where a user clicked without
+    purchasing (and vice versa) surface with a real NULL on the missing
+    side."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.joins import keyed_full_outer
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"])
+    in_schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("event_type", pa.string())])
+
+    def side(evtype: str, out_name: str):
+        def prep(t: pa.Table) -> pa.Table:
+            part = pa.schema([("user_id", pa.int64()), ("d", pa.string())])
+            if t.num_rows == 0:
+                return part.empty_table()
+            t = t.filter(pc.equal(t.column("event_type"), evtype))
+            return pa.table(
+                {"user_id": t.column("user_id"), "d": pc.strftime(t.column("ts"), format="%Y-%m-%d")},
+                schema=part,
+            )
+
+        filtered = ev.map_batches(prep, batch_format="pyarrow")
+        return bucketed_aggregate(
+            filtered,
+            ["user_id", "d"],
+            {out_name: ("user_id", "size")},
+            out_schema=pa.schema([("user_id", pa.int64()), ("d", pa.string()), (out_name, pa.int64())]),
+            in_schema=pa.schema([("user_id", pa.int64()), ("d", pa.string())]),
+        )
+
+    joined = keyed_full_outer(
+        side("click", "n_clicks"), side("purchase", "n_purchases"),
+        ["user_id", "d"], "n_clicks", "n_purchases",
+    )
+    return sort_coalesced(joined, ["user_id", "d"])
+
+
+def user_event_type_concat(sf_dir: str):
+    """Per-user ordered event-type trace (SQL ``string_agg(event_type, ','
+    ORDER BY ts, event_id)``) via the generic ordered_string_agg operator."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import ordered_string_agg
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("event_type", pa.string())]
+    )
+    out = ordered_string_agg(
+        ev, "user_id", "event_type", ["ts", "event_id"], sep=",", out_name="trace", in_schema=in_schema
+    )
+    return sort_coalesced(out, "user_id")
+
+
+def user_type_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each user's event-type mix — exact integer
+    counts through the combiner, round(6) on the final float (see
+    stats.grouped_entropy)."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.stats import grouped_entropy
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return grouped_entropy(ev, "user_id", "event_type", key_type=pa.int64())
+
+
+def documents_hash_split(sf_dir: str):
+    """Deterministic md5 train/test split assignment per document (see
+    sample.hash_split; ~10% test at thresh '1999')."""
+    from text_to_graph_ray.functions.sample import hash_split
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(docs, "doc_id", thresh_hex="1999")
