@@ -1239,6 +1239,31 @@ def _q_events_users_per_type_kmv(sf_dir):
     return events_users_per_type_kmv(sf_dir)
 
 
+def _q_graph_bfs(sf_dir):
+    """Bounded BFS min-depth (3 hops from seeds {0,1,2}) over the mod-1000
+    lineitem graph — per round one streamed edge pass through the guarded
+    semi filter + node-set-sized distinct/anti exchanges; oracle is a
+    recursive CTE with min(depth)."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import bfs_depths
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 1000, type=pa.int64()), "dst": pa.array(sk % 1000, type=pa.int64())})
+
+    edges = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return bfs_depths(edges, seeds=[0, 1, 2], max_depth=3)
+
+
 def _q_events_range_sum(sf_dir):
     """Per-user TIME-RANGE window sum (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW — timestamp-axis frame incl. ts peers)."""
@@ -1387,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": _q_events_moving_sum,
         "stats_moments_by_flag": _q_stats_moments_by_flag,
         "events_users_per_type_kmv": _q_events_users_per_type_kmv,
+        "graph_bfs": _q_graph_bfs,
         "events_range_sum": _q_events_range_sum,
         "events_full_outer_days": _q_events_full_outer_days,
         "events_user_trace": _q_events_user_trace,
@@ -2021,6 +2047,19 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "graph_bfs": (
+            # UNION (not UNION ALL) recursion: dedup on (node, depth) bounds
+            # the walk table at nodes x depths; min(depth) = first discovery
+            "WITH RECURSIVE e AS (SELECT DISTINCT l_partkey % 1000 AS src, "
+            "l_suppkey % 1000 AS dst FROM lineitem), "
+            "walk(node, depth) AS ("
+            "SELECT CAST(node AS BIGINT), CAST(depth AS BIGINT) FROM "
+            "(VALUES (0, 0), (1, 0), (2, 0)) AS t(node, depth) "
+            "UNION "
+            "SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node "
+            "WHERE w.depth < 3) "
+            "SELECT node, min(depth)::BIGINT AS depth FROM walk GROUP BY node ORDER BY node"
         ),
         "events_range_sum": (
             # RANGE frame: timestamp-axis window INCLUDING ts peers ordered

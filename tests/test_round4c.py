@@ -121,3 +121,31 @@ def test_hash_split_matches_hashlib_and_fraction(ray_session):
         assert out[i] == want
         n_test += want == "test"
     assert abs(n_test / 5000 - 0x1999 / 0x10000) < 0.02
+
+
+class TestBfsDepths:
+    def test_chain_cycle_unreachable_and_min_depth(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.graph import bfs_depths
+
+        # 0->1->2->3->4 chain; 2->0 back-edge (cycle); 1->3 shortcut
+        # (3 is reachable at depth 2 via the shortcut, not 3); 8->9 unreachable
+        edges = pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3, 2, 1, 8], type=pa.int64()),
+                "dst": pa.array([1, 2, 3, 4, 0, 3, 9], type=pa.int64()),
+            }
+        )
+        out = {r["node"]: r["depth"] for r in bfs_depths(rd.from_arrow(edges), seeds=[0], max_depth=3).take_all()}
+        assert out == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3}
+
+    def test_early_stop_and_seed_without_edges(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.graph import bfs_depths
+
+        edges = pa.table({"src": pa.array([5], type=pa.int64()), "dst": pa.array([6], type=pa.int64())})
+        # seed 7 has no out-edges; frontier empties after round 1 << max_depth
+        out = {r["node"]: r["depth"] for r in bfs_depths(rd.from_arrow(edges), seeds=[5, 7], max_depth=10).take_all()}
+        assert out == {5: 0, 7: 0, 6: 1}

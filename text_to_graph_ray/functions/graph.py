@@ -422,3 +422,66 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
     from text_to_graph_ray.util import sort_coalesced
 
     return sort_coalesced(counts, "node")
+
+
+def bfs_depths(edges_ds, seeds, max_depth: int = 3, src_col: str = "src", dst_col: str = "dst",
+               node_type: pa.DataType = None):
+    """Directed breadth-first MIN-DEPTH from a seed set, bounded to
+    ``max_depth`` rounds: returns (node, depth) for every node reachable in
+    <= max_depth hops (seeds at depth 0, first-discovery depth thereafter —
+    the recursive-CTE ``min(depth)`` semantics).
+
+    Scale shape per round: ONE streamed pass over the (never-materialized-
+    on-the-driver) edge table — a guarded semi filter keeps edges whose src
+    is in the frontier (``joins.filter_by_keys``: frontier broadcast below
+    its row guard, distributed semi hash join above), then an exact
+    distributed DISTINCT of the dst nodes and a guarded anti filter against
+    the visited set. Frontier/visited are node sets — vocabulary-sized, not
+    edge-sized — so the driver never holds more than counters; at 100 TB of
+    edges each round costs one scan plus node-set-sized exchanges, and the
+    loop stops early when a frontier comes back empty.
+
+    ``seeds`` is a small Python list by contract (query entry points)."""
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+    from text_to_graph_ray.functions.joins import filter_by_keys
+
+    node_type = node_type or pa.int64()
+    node_schema = pa.schema([("node", node_type)])
+    out_schema = pa.schema([("node", node_type), ("depth", pa.int64())])
+
+    def with_depth(nodes, d: int):
+        def add(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            return pa.table(
+                {"node": t.column("node"), "depth": pa.array([d] * t.num_rows, type=pa.int64())},
+                schema=out_schema,
+            )
+
+        return nodes.map_batches(add, batch_format="pyarrow")
+
+    frontier = rd.from_arrow(pa.table({"node": pa.array(list(seeds), type=node_type)}, schema=node_schema))
+    visited = frontier  # node sets only; depths tracked per-round
+    out_parts = [with_depth(frontier, 0).materialize()]
+    for d in range(1, max_depth + 1):
+        hit = filter_by_keys(edges_ds, frontier, key=src_col, right_key="node", mode="semi")
+        dsts = hit.map_batches(
+            lambda t: pa.table({"node": t.column(dst_col)}, schema=node_schema)
+            if t.num_rows else node_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        reached = distinct_rows(dsts, "node", node_schema)
+        frontier = filter_by_keys(reached, visited, key="node", mode="anti").materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+        out_parts.append(with_depth(frontier, d).materialize())
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return sort_coalesced(out, "node")
