@@ -1264,6 +1264,30 @@ def _q_graph_bfs(sf_dir):
     return bfs_depths(edges, seeds=[0, 1, 2], max_depth=3)
 
 
+def _q_rel_copart_pairs(sf_dir):
+    """Supplier pairs that co-ship >= 140 distinct parts (bipartite
+    co-occurrence projection): exact distinct (part, supplier), vectorized
+    triu-pair fan-out per part group, pair-keyed count exchange."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.agg import cooccurrence_pairs
+
+    def prep(b):
+        import pyarrow as pa
+
+        sch = pa.schema([("g", pa.int64()), ("item", pa.int64())])
+        if b.num_rows == 0:
+            return sch.empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"g": pa.array(pk, type=pa.int64()), "item": pa.array(sk, type=pa.int64())}, schema=sch)
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return cooccurrence_pairs(li, "g", "item", min_count=140)
+
+
 def _q_events_range_sum(sf_dir):
     """Per-user TIME-RANGE window sum (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW — timestamp-axis frame incl. ts peers)."""
@@ -1413,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_moments_by_flag": _q_stats_moments_by_flag,
         "events_users_per_type_kmv": _q_events_users_per_type_kmv,
         "graph_bfs": _q_graph_bfs,
+        "rel_copart_pairs": _q_rel_copart_pairs,
         "events_range_sum": _q_events_range_sum,
         "events_full_outer_days": _q_events_full_outer_days,
         "events_user_trace": _q_events_user_trace,
@@ -2047,6 +2072,12 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "rel_copart_pairs": (
+            "WITH gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS item FROM lineitem) "
+            "SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n "
+            "FROM gi a JOIN gi b ON a.g = b.g AND a.item < b.item "
+            "GROUP BY 1, 2 HAVING count(*) >= 140 ORDER BY 1, 2"
         ),
         "graph_bfs": (
             # UNION (not UNION ALL) recursion: dedup on (node, depth) bounds

@@ -149,3 +149,33 @@ class TestBfsDepths:
         # seed 7 has no out-edges; frontier empties after round 1 << max_depth
         out = {r["node"]: r["depth"] for r in bfs_depths(rd.from_arrow(edges), seeds=[5, 7], max_depth=10).take_all()}
         assert out == {5: 0, 7: 0, 6: 1}
+
+
+class TestCooccurrencePairs:
+    def test_counts_threshold_and_dedup(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.agg import cooccurrence_pairs
+
+        # groups: g1={1,2,3}, g2={1,2}, g3={1,2} (with a duplicate mention),
+        # g4={3} (singleton: no pairs)
+        t = pa.table(
+            {
+                "g": pa.array(["g1", "g1", "g1", "g2", "g2", "g3", "g3", "g3", "g4"]),
+                "item": pa.array([1, 2, 3, 1, 2, 1, 2, 2, 3], type=pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(3)
+        out = {(r["a"], r["b"]): r["n"] for r in cooccurrence_pairs(ds, "g", "item", min_count=2).take_all()}
+        assert out == {(1, 2): 3}  # (1,3)/(2,3) co-occur once -> filtered
+        out_all = {(r["a"], r["b"]): r["n"] for r in cooccurrence_pairs(ds, "g", "item", min_count=1).take_all()}
+        assert out_all == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+
+    def test_hot_group_fails_loudly(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.agg import cooccurrence_pairs
+
+        t = pa.table({"g": pa.array(["hot"] * 50), "item": pa.array(range(50), type=pa.int64())})
+        with pytest.raises(Exception, match="max_items_per_group"):
+            cooccurrence_pairs(rd.from_arrow(t), "g", "item", max_items_per_group=10).materialize()

@@ -491,3 +491,85 @@ def _schema_of(ds, in_schema):
         return in_schema
     s = ds.schema()
     return pa.schema(list(zip(s.names, s.types)))
+
+
+def cooccurrence_pairs(ds, group_col: str, item_col: str, min_count: int = 2,
+                       max_items_per_group: int = 10_000, num_buckets: int = 64,
+                       in_schema: pa.Schema | None = None):
+    """Item pairs that co-occur in >= ``min_count`` groups (co-citation /
+    market-basket projection of a bipartite (group, item) table) — the
+    classic self-join-explosion operator with the explosion kept under
+    control:
+
+    1. exact distributed DISTINCT (group, item) — the per-batch combiner
+       collapses repeat mentions before anything fans out;
+    2. one exchange keyed on group; each group's sorted item set fans out to
+       its C(m, 2) pairs VECTORIZED (np.triu_indices, no Python pair loop).
+       A group above ``max_items_per_group`` FAILS LOUDLY (ValueError naming
+       the group) — at real scale a hot group means a degenerate key (the
+       range_join discipline: never silently truncate);
+    3. one exchange keyed on the pair counts them; ``min_count`` filters
+       inside the bucket kernel.
+
+    Scale shape: the pair exchange is sum-of-C(m,2) rows — the operator's
+    irreducible output-side cost, bounded by the max_items guard; nothing is
+    ever collected on the driver. Pairs are ordered a < b by the item
+    type's natural order. Returns (a, b, n) sorted by (a, b)."""
+    import numpy as np
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    sch = _schema_of(ds, in_schema)
+    g_type, i_type = sch.field(group_col).type, sch.field(item_col).type
+    gi_schema = pa.schema([(group_col, g_type), (item_col, i_type)])
+    pair_schema = pa.schema([("a", i_type), ("b", i_type)])
+    out_schema = pa.schema([("a", i_type), ("b", i_type), ("n", pa.int64())])
+
+    gi = distinct_rows(ds.select_columns([group_col, item_col]), [group_col, item_col], gi_schema)
+
+    def fan_pairs(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pair_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        a_parts, b_parts = [], []
+        for gv, gg in df.groupby(group_col, sort=False):
+            items = np.sort(gg[item_col].to_numpy())
+            m = len(items)
+            if m > max_items_per_group:
+                raise ValueError(
+                    f"cooccurrence_pairs: group {gv!r} has {m} items "
+                    f"(> max_items_per_group={max_items_per_group}); "
+                    "raise the guard or pre-filter degenerate groups"
+                )
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            a_parts.append(items[i])
+            b_parts.append(items[j])
+        if not a_parts:
+            return pair_schema.empty_table()
+        return pa.table(
+            {"a": pa.array(np.concatenate(a_parts), type=i_type),
+             "b": pa.array(np.concatenate(b_parts), type=i_type)},
+            schema=pair_schema,
+        )
+
+    pairs = bucket_exchange(
+        with_bucket(gi, group_col, num_buckets, in_schema=gi_schema), fan_pairs, pair_schema, num_buckets
+    )
+
+    def count_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        g = df.drop(columns=[BUCKET_COL]).groupby(["a", "b"], as_index=False, sort=False).size()
+        g = g[g["size"] >= min_count]
+        return pa.table(
+            {"a": pa.array(g["a"], type=i_type), "b": pa.array(g["b"], type=i_type),
+             "n": pa.array(g["size"], type=pa.int64())},
+            schema=out_schema,
+        )
+
+    counted = bucket_exchange(
+        with_bucket(pairs, ["a", "b"], num_buckets, in_schema=pair_schema), count_bucket, out_schema, num_buckets
+    )
+    return sort_coalesced(counted, ["a", "b"])
