@@ -1288,6 +1288,30 @@ def _q_rel_copart_pairs(sf_dir):
     return cooccurrence_pairs(li, "g", "item", min_count=140)
 
 
+def _q_events_user_streaks(sf_dir):
+    """Longest consecutive-active-day run per user (gaps & islands):
+    vectorized day-minus-rank anchors, one keyed exchange."""
+    from text_to_graph_ray.pipelines.analytics import user_longest_streak
+
+    return user_longest_streak(sf_dir)
+
+
+def _q_stats_quantiles_cont(sf_dir):
+    """Per-type interpolated quantiles (quantile_cont) — exact row-shipping
+    keyed quantile, DuckDB-mirrored interpolation, round(6)."""
+    from text_to_graph_ray.pipelines.analytics import events_quantiles_cont
+
+    return events_quantiles_cont(sf_dir)
+
+
+def _q_docs_weighted_sample(sf_dir):
+    """Deterministic weighted sample (replicated-ticket minwise md5 draw);
+    the oracle recomputes the identical integer tickets in SQL."""
+    from text_to_graph_ray.pipelines.analytics import documents_weighted_sample
+
+    return documents_weighted_sample(sf_dir)
+
+
 def _q_events_range_sum(sf_dir):
     """Per-user TIME-RANGE window sum (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW — timestamp-axis frame incl. ts peers)."""
@@ -1438,6 +1462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_per_type_kmv": _q_events_users_per_type_kmv,
         "graph_bfs": _q_graph_bfs,
         "rel_copart_pairs": _q_rel_copart_pairs,
+        "events_user_streaks": _q_events_user_streaks,
+        "stats_quantiles_cont": _q_stats_quantiles_cont,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "events_range_sum": _q_events_range_sum,
         "events_full_outer_days": _q_events_full_outer_days,
         "events_user_trace": _q_events_user_trace,
@@ -2072,6 +2099,30 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_user_streaks": (
+            # gaps & islands: day - row_number is constant within a streak
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+            "r AS (SELECT user_id, d, row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM d), "
+            "runs AS (SELECT user_id, d - CAST(rn AS INTEGER) AS anchor, count(*)::BIGINT AS len "
+            "FROM r GROUP BY 1, 2) "
+            "SELECT user_id, max(len)::BIGINT AS longest_streak FROM runs GROUP BY user_id ORDER BY user_id"
+        ),
+        "stats_quantiles_cont": (
+            # round(6) absorbs the one-ulp interpolation-association delta
+            "SELECT event_type, q, value FROM ("
+            "SELECT event_type, 0.25 AS q, round(quantile_cont(value, 0.25), 6) AS value FROM events GROUP BY event_type "
+            "UNION ALL SELECT event_type, 0.5, round(quantile_cont(value, 0.5), 6) FROM events GROUP BY event_type "
+            "UNION ALL SELECT event_type, 0.9, round(quantile_cont(value, 0.9), 6) FROM events GROUP BY event_type"
+            ") ORDER BY event_type, q"
+        ),
+        "docs_weighted_sample": (
+            # identical integer tickets: md5 over 'id:j' decimal strings,
+            # first 8 hex chars as int, min over the row's wt tickets
+            "WITH w AS (SELECT doc_id, 1 + (n_chars % 4) AS wt FROM documents), "
+            "t AS (SELECT doc_id, wt, min(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)) AS tkey "
+            "FROM w CROSS JOIN range(4) AS r(j) WHERE r.j < w.wt GROUP BY doc_id, wt) "
+            "SELECT doc_id, CAST(wt AS BIGINT) AS wt, tkey FROM t ORDER BY tkey, doc_id LIMIT 50"
         ),
         "rel_copart_pairs": (
             "WITH gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS item FROM lineitem) "

@@ -179,3 +179,76 @@ class TestCooccurrencePairs:
         t = pa.table({"g": pa.array(["hot"] * 50), "item": pa.array(range(50), type=pa.int64())})
         with pytest.raises(Exception, match="max_items_per_group"):
             cooccurrence_pairs(rd.from_arrow(t), "g", "item", max_items_per_group=10).materialize()
+
+
+def test_grouped_quantiles_cont_interpolation_and_nulls(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.quantiles import grouped_quantiles_cont
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 2),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0, None, 1.0, 2.0], type=pa.float64()),
+        }
+    )
+    out = {(r["g"], r["q"]): r["value"] for r in grouped_quantiles_cont(
+        rd.from_arrow(t).repartition(3), "g", "v", (0.25, 0.5)
+    ).take_all()}
+    # group a: values [10,20,30,40] (null dropped); q=.25 -> pos .75 -> 17.5
+    assert out[("a", 0.25)] == 17.5
+    assert out[("a", 0.5)] == 25.0
+    assert out[("b", 0.5)] == 1.5
+
+
+def test_user_longest_streak_islands(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import user_longest_streak
+
+    def day(d):
+        return pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+
+    # user 1: days 0,1,2, 5,6, 10 -> longest 3; duplicates on day 1
+    # user 2: single day -> 1
+    rows = [(1, day(0)), (1, day(1)), (1, day(1)), (1, day(2)), (1, day(5)),
+            (1, day(6)), (1, day(10)), (2, day(4))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = {r["user_id"]: r["longest_streak"] for r in user_longest_streak(str(tmp_path)).take_all()}
+    assert out == {1: 3, 2: 1}
+
+
+class TestWeightedTopk:
+    def test_deterministic_and_matches_reference(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.sample import weighted_topk
+
+        n = 2000
+        wts = [(i % 4) + 1 for i in range(n)]
+        ds = rd.from_arrow(pa.table({"id": pa.array(range(n), type=pa.int64()),
+                                     "w": pa.array(wts, type=pa.int64())})).repartition(4)
+        got = [(r["id"], r["w"], r["tkey"]) for r in weighted_topk(ds, "id", "w", k=30).take_all()]
+        ref = []
+        for i in range(n):
+            tk = min(int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) for j in range(wts[i]))
+            ref.append((tk, i))
+        ref.sort()
+        want = [(i, wts[i], tk) for tk, i in ref[:30]]
+        assert got == want
+        # heavier rows should be over-represented in the winners
+        mean_w = sum(w for _, w, _ in got) / len(got)
+        assert mean_w > 2.5  # population mean is 2.5; winners skew heavier
+
+    def test_weight_guard_raises(self, ray_session):
+        import ray.data as rd
+
+        from text_to_graph_ray.functions.sample import weighted_topk
+
+        ds = rd.from_arrow(pa.table({"id": pa.array([1], type=pa.int64()),
+                                     "w": pa.array([0], type=pa.int64())}))
+        with pytest.raises(Exception, match="outside"):
+            weighted_topk(ds, "id", "w", k=5).materialize()

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -113,3 +114,64 @@ def exact_quantiles(ds, col: str, qs: list[float], presorted: bool = False):
             "cont": pa.array(cont, type=pa.float64()),
         }
     )
+
+
+def grouped_quantiles_cont(ds, key: str, col: str, qs, key_type=None, num_buckets: int = 64):
+    """EXACT per-group interpolated quantiles (SQL ``quantile_cont``): a
+    keyed exact quantile is inherently a per-group sort, so this ships the
+    raw (key, value) rows through ONE coarse-bucket exchange and interpolates
+    vectorized per group — use ``sketch.grouped_quantile_sketch`` when an
+    estimate is acceptable at scale (that one ships fixed-size blobs).
+
+    Interpolation mirrors DuckDB: pos = q*(n-1); v = lo + (hi-lo)*frac;
+    round(6) absorbs the one-ulp formula-association difference. NULLs are
+    dropped per group on both engines. Returns (key, q, value) sorted."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    key_type = key_type or pa.string()
+    qs = [float(q) for q in qs]
+    part_schema = pa.schema([(key, key_type), (col, pa.float64())])
+    out_schema = pa.schema([(key, key_type), ("q", pa.float64()), ("value", pa.float64())])
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        b = b.filter(pc.is_valid(b.column(col)))
+        return pa.table(
+            {key: b.column(key), col: pc.cast(b.column(col), pa.float64())}, schema=part_schema
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        keys_out, q_out, v_out = [], [], []
+        for kv, g in df.groupby(key, sort=False):
+            v = np.sort(g[col].to_numpy())
+            n = len(v)
+            for q in qs:
+                pos = q * (n - 1)
+                idx = int(pos)
+                frac = pos - idx
+                val = v[idx] if frac == 0.0 else v[idx] + (v[idx + 1] - v[idx]) * frac
+                keys_out.append(kv)
+                q_out.append(q)
+                v_out.append(round(float(val), 6))
+        return pa.table(
+            {
+                key: pa.array(keys_out, type=key_type),
+                "q": pa.array(q_out, type=pa.float64()),
+                "value": pa.array(v_out, type=pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    pre = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    out = bucket_exchange(
+        with_bucket(pre, key, num_buckets, in_schema=part_schema), per_bucket, out_schema, num_buckets
+    )
+    return sort_coalesced(out, [key, "q"])

@@ -67,3 +67,44 @@ def hash_split(ds, id_col: str = "doc_id", thresh_hex: str = "1999",
         return pa.table({id_col: pa.array(ids, type=pa.int64()), out_col: pa.array(lab, type=pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow").sort(id_col)
+
+
+def weighted_topk(ds, id_col: str, weight_col: str, k: int = 50, max_weight: int = 64):
+    """Deterministic weighted sample of k rows (replicated-ticket minwise
+    scheme): every row gets ``weight`` integer tickets, ticket j's value is
+    the first 8 hex chars of ``md5(f"{id}:{j}")`` as an int, the row's key
+    is its MINIMUM ticket, and the k smallest keys win — heavier rows hold
+    more lottery tickets, so selection probability rises with weight while
+    the whole draw stays integer-exact and engine-independent (the oracle
+    recomputes the identical tickets with DuckDB's md5()).
+
+    Contract: ``weight_col`` is an integer in [1, max_weight] (guarded
+    loudly). Scale shape: keys are computed inside the scan; a per-block
+    top-k combiner keeps only k rows per block before the final global
+    sort + limit, so the sort input is k x #blocks rows, never the corpus.
+    Returns (id, weight, tkey) ordered by (tkey, id)."""
+    import hashlib
+
+    out_schema = pa.schema([(id_col, pa.int64()), (weight_col, pa.int64()), ("tkey", pa.int64())])
+
+    def keys_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        ids = b.column(id_col).to_pylist()
+        ws = b.column(weight_col).to_pylist()
+        tkeys = []
+        for i, w in zip(ids, ws):
+            if not 1 <= w <= max_weight:
+                raise ValueError(f"weighted_topk: weight {w} for id {i} outside [1, {max_weight}]")
+            tkeys.append(min(int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) for j in range(w)))
+        order = sorted(range(len(ids)), key=lambda x: (tkeys[x], ids[x]))[:k]
+        return pa.table(
+            {
+                id_col: pa.array([ids[x] for x in order], type=pa.int64()),
+                weight_col: pa.array([ws[x] for x in order], type=pa.int64()),
+                "tkey": pa.array([tkeys[x] for x in order], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(keys_topk, batch_format="pyarrow").sort(["tkey", id_col]).limit(k)

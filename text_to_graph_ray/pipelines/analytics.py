@@ -1754,3 +1754,78 @@ def documents_hash_split(sf_dir: str):
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return hash_split(docs, "doc_id", thresh_hex="1999")
+
+
+def user_longest_streak(sf_dir: str):
+    """Longest run of CONSECUTIVE active days per user (the gaps-and-islands
+    pattern): exact distinct (user, day) through the combiner, one keyed
+    exchange, then fully-vectorized island detection per bucket — day number
+    minus per-user rank is constant within a streak, so a groupby-size over
+    that anchor finds every island with no per-user Python loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, distinct_rows, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    day_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+    out_schema = pa.schema([("user_id", pa.int64()), ("longest_streak", pa.int64())])
+
+    def to_days(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return day_schema.empty_table()
+        days = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[D]").astype("int64")
+        return pa.table({"user_id": b.column("user_id"), "day": pa.array(days, type=pa.int64())}, schema=day_schema)
+
+    days = distinct_rows(ev.map_batches(to_days, batch_format="pyarrow"), ["user_id", "day"], day_schema)
+
+    def per_bucket(df):
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "day"], kind="mergesort")
+        rnk = df.groupby("user_id", sort=False).cumcount()
+        df = df.assign(anchor=df["day"].to_numpy() - rnk.to_numpy())
+        runs = df.groupby(["user_id", "anchor"], sort=False).size().reset_index(name="len")
+        best = runs.groupby("user_id", sort=False)["len"].max().reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(best["user_id"].to_numpy(), type=pa.int64()),
+                "longest_streak": pa.array(best["len"].to_numpy(), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    out = bucket_exchange(with_bucket(days, "user_id", 64, in_schema=day_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "user_id")
+
+
+def events_quantiles_cont(sf_dir: str, qs: tuple = (0.25, 0.5, 0.9)):
+    """Per-event-type INTERPOLATED quantiles (SQL quantile_cont) — the exact
+    row-shipping path (a keyed exact quantile is a sort); the sketch variant
+    covers the estimate-at-scale regime."""
+    from text_to_graph_ray.functions.quantiles import grouped_quantiles_cont
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles_cont(ev, "event_type", "value", qs)
+
+
+def documents_weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted sample over documents: weight = 1 + n_chars%4
+    (content-derived small int), replicated-ticket minwise draw, k smallest
+    keys win (see sample.weighted_topk)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.sample import weighted_topk
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def add_wt(b: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()), ("wt", pa.int64())])
+        if b.num_rows == 0:
+            return sch.empty_table()
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"doc_id": b.column("doc_id"), "wt": pa.array(nc % 4 + 1, type=pa.int64())}, schema=sch)
+
+    return weighted_topk(docs.map_batches(add_wt, batch_format="pyarrow"), "doc_id", "wt", k=k)
