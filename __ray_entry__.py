@@ -1312,6 +1312,33 @@ def _q_docs_weighted_sample(sf_dir):
     return documents_weighted_sample(sf_dir)
 
 
+def _q_docs_jsonl_stats(sf_dir):
+    """Per-(source, lang) catalog stats computed from a JSONL ingest
+    (ray.data.read_json over a deterministic conversion of the documents
+    table); the oracle reads the SAME file with DuckDB read_json_auto."""
+    from text_to_graph_ray.sources.formats import _ensure_converted, read_jsonl, source_stats_from
+
+    path = _ensure_converted(sf_dir, "jsonl")
+    return source_stats_from(read_jsonl(path, columns=["source", "lang", "n_chars"]))
+
+
+def _q_docs_csv_stats(sf_dir):
+    """Same catalog aggregate from a CSV ingest (ray.data.read_csv);
+    oracle reads the same file with DuckDB read_csv_auto."""
+    from text_to_graph_ray.sources.formats import _ensure_converted, read_csv, source_stats_from
+
+    path = _ensure_converted(sf_dir, "csv")
+    return source_stats_from(read_csv(path, columns=["source", "lang", "n_chars"]))
+
+
+def _q_events_window_distinct(sf_dir):
+    """Distinct users per (tumbling hour, event type): window compute in the
+    scan + the distinct-pair combiner exchange (nunique_per_group)."""
+    from text_to_graph_ray.pipelines.analytics import window_distinct_users
+
+    return window_distinct_users(sf_dir)
+
+
 def _q_events_range_sum(sf_dir):
     """Per-user TIME-RANGE window sum (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW — timestamp-axis frame incl. ts peers)."""
@@ -1463,6 +1490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": _q_graph_bfs,
         "rel_copart_pairs": _q_rel_copart_pairs,
         "events_user_streaks": _q_events_user_streaks,
+        "events_window_distinct": _q_events_window_distinct,
+        "docs_jsonl_stats": _q_docs_jsonl_stats,
+        "docs_csv_stats": _q_docs_csv_stats,
         "stats_quantiles_cont": _q_stats_quantiles_cont,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "events_range_sum": _q_events_range_sum,
@@ -1481,9 +1511,13 @@ def oracle_sql() -> dict[str, str]:
     from text_to_graph_ray.expected import ensure_conformance_expected, ensure_doc_expected, ensure_kg_scored_expected
     from text_to_graph_ray.fixtures import ensure_fixture
 
+    from text_to_graph_ray.sources.formats import _ensure_converted
+
     d = _synth(_SF01)
     ks = ensure_kg_scored_expected(_SF01)
     e = ensure_doc_expected(_SF01)
+    _fmt_jsonl = _ensure_converted(_SF01, "jsonl")
+    _fmt_csv = _ensure_converted(_SF01, "csv")
     c = ensure_conformance_expected()
     fx = ensure_fixture()
     exp_linked = f"{d}/expected_triples_linked.parquet"
@@ -2099,6 +2133,19 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "docs_jsonl_stats": (
+            f"SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars "
+            f"FROM read_json_auto('{_fmt_jsonl}') GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "docs_csv_stats": (
+            f"SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars "
+            f"FROM read_csv_auto('{_fmt_csv}') GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_window_distinct": (
+            "SELECT epoch_us(ts) // 3600000000 AS w, event_type, "
+            "count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_user_streaks": (
             # gaps & islands: day - row_number is constant within a streak

@@ -252,3 +252,25 @@ class TestWeightedTopk:
                                      "w": pa.array([0], type=pa.int64())}))
         with pytest.raises(Exception, match="outside"):
             weighted_topk(ds, "id", "w", k=5).materialize()
+
+
+def test_format_ingest_matches_parquet_path(ray_session, tmp_path):
+    """JSONL and CSV readers produce the identical catalog aggregate as the
+    parquet path over the same documents table."""
+    import duckdb
+
+    from text_to_graph_ray.sources.formats import read_csv, read_jsonl, source_stats_from
+    from text_to_graph_ray.util import read_parquet_clean
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    jl = tmp_path / "docs.jsonl"
+    cs = tmp_path / "docs.csv"
+    con.sql(f"COPY (SELECT doc_id, source, lang, n_chars FROM read_parquet('{src}') ORDER BY doc_id) TO '{jl}' (FORMAT JSON)")
+    con.sql(f"COPY (SELECT doc_id, source, lang, n_chars FROM read_parquet('{src}') ORDER BY doc_id) TO '{cs}' (FORMAT CSV, HEADER)")
+    want = source_stats_from(read_parquet_clean(src, columns=["source", "lang", "n_chars"])).take_all()
+    got_j = source_stats_from(read_jsonl(str(jl), columns=["source", "lang", "n_chars"])).take_all()
+    got_c = source_stats_from(read_csv(str(cs), columns=["source", "lang", "n_chars"])).take_all()
+    key = lambda r: (r["source"], r["lang"], r["n_docs"], r["chars"])  # noqa: E731
+    assert sorted(map(key, got_j)) == sorted(map(key, want))
+    assert sorted(map(key, got_c)) == sorted(map(key, want))

@@ -1829,3 +1829,32 @@ def documents_weighted_sample(sf_dir: str, k: int = 50):
         return pa.table({"doc_id": b.column("doc_id"), "wt": pa.array(nc % 4 + 1, type=pa.int64())}, schema=sch)
 
     return weighted_topk(docs.map_batches(add_wt, batch_format="pyarrow"), "doc_id", "wt", k=k)
+
+
+def window_distinct_users(sf_dir: str, window_s: int = 3600):
+    """Distinct users per (tumbling window, event type) — the windowed
+    COUNT(DISTINCT) composition: windowing is a pure column compute inside
+    the scan, then ``agg.nunique_per_group`` does its distinct-pair combiner
+    + one keyed exchange. Scale shape: the exchange carries the DISTINCT
+    (window, type, user) triples, not the event rows."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import nunique_per_group
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"])
+    sch = pa.schema([("w", pa.int64()), ("event_type", pa.string()), ("user_id", pa.int64())])
+
+    def win(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sch.empty_table()
+        epoch = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype("int64")
+        w = epoch // (window_s * 1_000_000)
+        return pa.table(
+            {"w": pa.array(w, type=pa.int64()), "event_type": b.column("event_type"), "user_id": b.column("user_id")},
+            schema=sch,
+        )
+
+    out = nunique_per_group(ev.map_batches(win, batch_format="pyarrow"), ["w", "event_type"], "user_id",
+                            out_name="n_users")
+    return sort_coalesced(out, ["w", "event_type"])
