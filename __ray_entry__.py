@@ -1312,6 +1312,28 @@ def _q_docs_weighted_sample(sf_dir):
     return documents_weighted_sample(sf_dir)
 
 
+def _q_text_chunks(sf_dir):
+    """Sliding-window text chunking (256-char windows, 64 overlap) — pure
+    per-batch fan-out, one row per (doc, chunk) with offset/len/count."""
+    from text_to_graph_ray.functions.text import sliding_chunks
+    from text_to_graph_ray.util import sort_coalesced
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(sliding_chunks, batch_format="pyarrow")
+    return sort_coalesced(out, ["doc_id", "chunk_idx"])
+
+
+def _q_text_normalize(sf_dir):
+    """Curation text normalization (lowercase + ASCII-whitespace collapse +
+    trim), checked end-to-end by sha-256 of the normalized body on both
+    engines."""
+    from text_to_graph_ray.functions.text import normalize_text
+    from text_to_graph_ray.util import sort_coalesced
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sort_coalesced(docs.map_batches(normalize_text, batch_format="pyarrow"), "doc_id")
+
+
 def _q_docs_jsonl_stats(sf_dir):
     """Per-(source, lang) catalog stats computed from a JSONL ingest
     (ray.data.read_json over a deterministic conversion of the documents
@@ -1492,6 +1514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": _q_events_user_streaks,
         "events_window_distinct": _q_events_window_distinct,
         "docs_jsonl_stats": _q_docs_jsonl_stats,
+        "text_chunks": _q_text_chunks,
+        "text_normalize": _q_text_normalize,
         "docs_csv_stats": _q_docs_csv_stats,
         "stats_quantiles_cont": _q_stats_quantiles_cont,
         "docs_weighted_sample": _q_docs_weighted_sample,
@@ -2133,6 +2157,20 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "text_chunks": (
+            # integer ceil: 1 + (n - 65) // 192 == 1 + ceil((n-256)/192)
+            "WITH d AS (SELECT doc_id, length(coalesce(text, '')) AS n FROM documents), "
+            "k AS (SELECT doc_id, n, CASE WHEN n > 256 THEN 1 + (n - 65) // 192 ELSE 1 END AS n_chunks FROM d) "
+            "SELECT doc_id, c AS chunk_idx, c * 192 AS off, LEAST(256, n - c * 192) AS chunk_len, n_chunks "
+            "FROM k JOIN generate_series(0, 1023) AS t(c) ON t.c < k.n_chunks ORDER BY doc_id, chunk_idx"
+        ),
+        "text_normalize": (
+            # byte-identical pattern on both RE2-compatible engines; sha256
+            # of the normalized body checks the transform end-to-end
+            "SELECT doc_id, length(norm)::BIGINT AS norm_len, sha256(norm) AS norm_sha FROM ("
+            "SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), "
+            "'[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS norm FROM documents) ORDER BY doc_id"
         ),
         "docs_jsonl_stats": (
             f"SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars "

@@ -414,3 +414,74 @@ def redact_pii(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") 
             "n_redactions": pc.cast(total, pa.int64()),
         }
     )
+
+
+def sliding_chunks(batch: pa.Table, size: int = 256, overlap: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Sliding-window text chunking for embedding pipelines (the documents-
+    table counterpart of the code-aware chunker in stages/chunker.py): fixed
+    ``size``-char windows advancing by ``size - overlap``, last window
+    clipped at the end of the doc — the standard RAG/embedding pre-pass.
+    Pure per-batch fan-out (flat_map shape, no exchange); one output row per
+    (doc, chunk) with the chunk's offset, length and exact window count
+    n_chunks = 1 + ceil(max(0, len - size) / step).
+
+    SQL-mirrored boundary rule: a doc shorter than (or equal to) one window
+    emits exactly ONE chunk, even when empty."""
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("chunk_idx", pa.int64()), ("off", pa.int64()),
+         ("chunk_len", pa.int64()), ("n_chunks", pa.int64())]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    step = size - overlap
+    ids_out, idx_out, off_out, len_out, n_out = [], [], [], [], []
+    for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        n = len(t or "")
+        n_chunks = 1 + max(0, -(-(n - size) // step)) if n > size else 1
+        for c in range(n_chunks):
+            off = c * step
+            ids_out.append(i)
+            idx_out.append(c)
+            off_out.append(off)
+            len_out.append(min(size, n - off))
+            n_out.append(n_chunks)
+    return pa.table(
+        {id_col: pa.array(ids_out, type=pa.int64()), "chunk_idx": pa.array(idx_out, type=pa.int64()),
+         "off": pa.array(off_out, type=pa.int64()), "chunk_len": pa.array(len_out, type=pa.int64()),
+         "n_chunks": pa.array(n_out, type=pa.int64())},
+        schema=out_schema,
+    )
+
+
+_WS_RE = None
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Curation-grade text normalization: lowercase + collapse every
+    whitespace run to one space + strip ends. Emits the normalized length
+    and the normalized text's sha-256 (hex) so the full transform is
+    hash-checked without shipping normalized bodies through the gate.
+    Explicit ASCII whitespace class (NOT ``\\s``: Python's ``\\s`` also
+    matches unicode spaces, RE2's does not) so both engines run the
+    byte-identical pattern — the redact_pii cross-engine regex discipline."""
+    import hashlib
+    import re
+
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+    out_schema = pa.schema([(id_col, pa.int64()), ("norm_len", pa.int64()), ("norm_sha", pa.string())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    ids = batch.column(id_col).to_pylist()
+    lens, shas = [], []
+    for t in batch.column(text_col).to_pylist():
+        norm = _WS_RE.sub(" ", (t or "").lower()).strip(" ")  # plain-space strip == SQL trim()
+        lens.append(len(norm))
+        shas.append(hashlib.sha256(norm.encode("utf-8")).hexdigest())
+    return pa.table(
+        {id_col: pa.array(ids, type=pa.int64()), "norm_len": pa.array(lens, type=pa.int64()),
+         "norm_sha": pa.array(shas, type=pa.string())},
+        schema=out_schema,
+    )
