@@ -1312,6 +1312,38 @@ def _q_docs_weighted_sample(sf_dir):
     return documents_weighted_sample(sf_dir)
 
 
+def _q_rel_quantity_zscore(sf_dir):
+    """Per-row z-score of l_quantity against its returnflag group (two-pass
+    feature normalization: exact integer power sums -> broadcast (mean, sd)
+    -> standardize inside the scan; bit-identical, no tolerance)."""
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.stats import grouped_zscore
+    from text_to_graph_ray.util import sort_coalesced
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    )
+
+    def prep(b):
+        import numpy as np
+        import pyarrow as pa
+
+        sch = pa.schema([("rid", pa.int64()), ("l_returnflag", pa.string()), ("l_quantity", pa.float64())])
+        if b.num_rows == 0:
+            return sch.empty_table()
+        ok = np.asarray(b.column("l_orderkey").to_pylist(), dtype=np.int64)
+        ln = np.asarray(b.column("l_linenumber").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {"rid": pa.array(ok * 10 + ln, type=pa.int64()), "l_returnflag": b.column("l_returnflag"),
+             "l_quantity": b.column("l_quantity")},
+            schema=sch,
+        )
+
+    out = grouped_zscore(li.map_batches(prep, batch_format="pyarrow"), "l_returnflag", "l_quantity", "rid")
+    return sort_coalesced(out, "rid")
+
+
 def _q_text_chunks(sf_dir):
     """Sliding-window text chunking (256-char windows, 64 overlap) — pure
     per-batch fan-out, one row per (doc, chunk) with offset/len/count."""
@@ -1515,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_distinct": _q_events_window_distinct,
         "docs_jsonl_stats": _q_docs_jsonl_stats,
         "text_chunks": _q_text_chunks,
+        "rel_quantity_zscore": _q_rel_quantity_zscore,
         "text_normalize": _q_text_normalize,
         "docs_csv_stats": _q_docs_csv_stats,
         "stats_quantiles_cont": _q_stats_quantiles_cont,
@@ -2157,6 +2190,21 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "rel_quantity_zscore": (
+            # HUGEINT-exact power sums -> ONE IEEE op sequence for mean/sd,
+            # per-row (x - mean)/sd has no association freedom: bit-identical
+            "WITH p AS (SELECT l_returnflag, count(*)::HUGEINT AS n, "
+            "sum(CAST(round(l_quantity) AS BIGINT))::HUGEINT AS s1, "
+            "sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT))::HUGEINT AS s2 "
+            "FROM lineitem GROUP BY 1), "
+            "s AS (SELECT l_returnflag, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+            "CASE WHEN n < 2 OR n*s2 - s1*s1 = 0 THEN NULL "
+            "ELSE sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) END AS sd FROM p) "
+            "SELECT l.l_orderkey * 10 + l.l_linenumber AS rid, l.l_returnflag, "
+            "CASE WHEN s.sd IS NULL THEN NULL "
+            "ELSE (CAST(round(l.l_quantity) AS DOUBLE) - s.mean) / s.sd END AS z "
+            "FROM lineitem l JOIN s USING (l_returnflag) ORDER BY rid"
         ),
         "text_chunks": (
             # integer ceil: 1 + (n - 65) // 192 == 1 + ceil((n-256)/192)

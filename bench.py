@@ -160,6 +160,20 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     customer_fuzzy_pairs(sf_dir).count()
     times["rel_fuzzy_names"] = round(time.monotonic() - t0, 3)
 
+    # round-4 part-4 families: pair-explosion projection, bounded BFS, and
+    # the time-RANGE window frame
+    t0 = time.monotonic()
+    _e._q_rel_copart_pairs(sf_dir).count()
+    times["rel_copart_pairs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_graph_bfs(sf_dir).count()
+    times["graph_bfs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_events_range_sum(sf_dir).count()
+    times["events_range_sum"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

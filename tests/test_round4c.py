@@ -313,3 +313,29 @@ def test_normalize_text_whitespace_semantics():
     assert out.loc[1, "norm_sha"] == hashlib.sha256(b"hello world").hexdigest()
     assert out.loc[2, "norm_len"] == 3  # \v and \f collapse to one space
     assert out.loc[3, "norm_len"] == 0
+
+
+def test_grouped_zscore_formula_and_degenerate_groups(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.stats import grouped_zscore
+
+    t = pa.table(
+        {
+            "id": pa.array(range(7), type=pa.int64()),
+            "g": pa.array(["a", "a", "a", "const", "const", "solo", "a"]),
+            "x": pa.array([10.0, 20.0, 30.0, 5.0, 5.0, 9.0, 40.0], type=pa.float64()),
+        }
+    )
+    out = {r["id"]: r["z"] for r in grouped_zscore(
+        rd.from_arrow(t).repartition(3), "g", "x", "id"
+    ).take_all()}
+    xs = [10, 20, 30, 40]
+    n, s1, s2 = 4, sum(xs), sum(v * v for v in xs)
+    mean = s1 / n
+    sd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    assert out[0] == (10.0 - mean) / sd and out[6] == (40.0 - mean) / sd
+    assert out[3] is None and out[4] is None  # zero variance
+    assert out[5] is None  # n < 2

@@ -299,3 +299,68 @@ def grouped_entropy(ds, key: str, cat_col: str, num_buckets: int = 64, key_type:
         with_bucket(pre, key, num_buckets, in_schema=part_schema), per_bucket, out_schema, num_buckets
     )
     return sort_coalesced(out, key)
+
+
+def grouped_zscore(ds, key: str, x_col: str, id_col: str, key_type: pa.DataType = None):
+    """Per-row z-score standardization against the row's GROUP mean/stddev —
+    the canonical two-pass feature-normalization shape: pass 1 computes exact
+    integer power sums per group (same contract as ``grouped_moments_int``:
+    integral-valued x, per-batch sums fit int64), the vocabulary-sized
+    (group -> mean, sd) table is broadcast via ``ray.put``, and pass 2
+    standardizes inside the scan — the corpus itself never shuffles.
+
+    Cross-engine float discipline: mean = S1/n and sd = sqrt(A2/(n*(n-1)))
+    are each ONE IEEE op sequence from exact ints, and z = (x - mean)/sd is
+    per-row arithmetic with no association freedom — bit-identical to the
+    SQL mirror, no rounding tolerance. Groups with n < 2 or zero variance
+    emit NULL z. Returns (id, key, z)."""
+    import ray
+    import ray.data as rd
+
+    key_type = key_type or pa.string()
+    schema = pa.schema([(key, key_type), ("n", pa.int64()), ("s1", pa.int64()), ("s2", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        import pandas as pd
+
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({key: t.column(key).to_pylist(), "n": np.ones_like(x), "s1": x, "s2": x * x})
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in schema})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:  # exact Python-int fold, vocabulary-sized
+        a = acc.setdefault(r[key], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["s1"])
+        a[2] += int(r["s2"])
+    stats = {}
+    for kv, (n, s1, s2) in acc.items():
+        a2 = n * s2 - s1 * s1
+        if n < 2 or a2 == 0:
+            stats[kv] = (float(s1) / float(n) if n else 0.0, None)
+        else:
+            stats[kv] = (float(s1) / float(n), math.sqrt(float(a2) / float(n * (n - 1))))
+    ref = ray.put(stats)
+
+    out_schema = pa.schema([(id_col, pa.int64()), (key, key_type), ("z", pa.float64())])
+
+    def standardize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        st = ray.get(ref)
+        keys = t.column(key).to_pylist()
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        z = []
+        for kv, xi in zip(keys, x):
+            mean, sd = st[kv]
+            z.append(None if sd is None else (float(xi) - mean) / sd)
+        return pa.table(
+            {id_col: t.column(id_col), key: t.column(key), "z": pa.array(z, type=pa.float64())},
+            schema=out_schema,
+        )
+
+    return ds.map_batches(standardize, batch_format="pyarrow")
