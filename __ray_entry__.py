@@ -1264,10 +1264,21 @@ def _q_graph_bfs(sf_dir):
     return bfs_depths(edges, seeds=[0, 1, 2], max_depth=3)
 
 
+def _copart_min_count(sf_dir: str) -> int:
+    """Data-derived co-occurrence threshold (~median pair count at any sf):
+    parquet-footer row count only, no scan."""
+    import pyarrow.parquet as pq
+
+    return max(2, pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows // 170)
+
+
 def _q_rel_copart_pairs(sf_dir):
-    """Supplier pairs that co-ship >= 140 distinct parts (bipartite
-    co-occurrence projection): exact distinct (part, supplier), vectorized
-    triu-pair fan-out per part group, pair-keyed count exchange."""
+    """Supplier-bucket pairs that co-occur in >= n_orders/170 orders
+    (bipartite co-occurrence projection): exact distinct (order, supplier
+    bucket), vectorized triu-pair fan-out per order (groups bounded at 7
+    lineitems — group COUNT scales with the corpus, fan-out per group does
+    not), pair-keyed count exchange. The threshold derives from the data
+    size so the filter stays in the distribution's middle at every sf."""
     import numpy as np
 
     from text_to_graph_ray.functions.agg import cooccurrence_pairs
@@ -1278,14 +1289,14 @@ def _q_rel_copart_pairs(sf_dir):
         sch = pa.schema([("g", pa.int64()), ("item", pa.int64())])
         if b.num_rows == 0:
             return sch.empty_table()
-        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        ok = np.asarray(b.column("l_orderkey").to_pylist(), dtype=np.int64)
         sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
-        return pa.table({"g": pa.array(pk, type=pa.int64()), "item": pa.array(sk, type=pa.int64())}, schema=sch)
+        return pa.table({"g": pa.array(ok, type=pa.int64()), "item": pa.array(sk % 50, type=pa.int64())}, schema=sch)
 
-    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]).map_batches(
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]).map_batches(
         prep, batch_format="pyarrow"
     )
-    return cooccurrence_pairs(li, "g", "item", min_count=140)
+    return cooccurrence_pairs(li, "g", "item", min_count=_copart_min_count(sf_dir))
 
 
 def _q_events_user_streaks(sf_dir):
@@ -2258,10 +2269,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(wt AS BIGINT) AS wt, tkey FROM t ORDER BY tkey, doc_id LIMIT 50"
         ),
         "rel_copart_pairs": (
-            "WITH gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS item FROM lineitem) "
+            "WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_suppkey % 50 AS item FROM lineitem) "
             "SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n "
             "FROM gi a JOIN gi b ON a.g = b.g AND a.item < b.item "
-            "GROUP BY 1, 2 HAVING count(*) >= 140 ORDER BY 1, 2"
+            f"GROUP BY 1, 2 HAVING count(*) >= {_copart_min_count(_SF01)} ORDER BY 1, 2"
         ),
         "graph_bfs": (
             # UNION (not UNION ALL) recursion: dedup on (node, depth) bounds
