@@ -1355,6 +1355,16 @@ def _q_rel_quantity_zscore(sf_dir):
     return sort_coalesced(out, "rid")
 
 
+def _q_rel_spearman(sf_dir):
+    """Spearman rank correlation of l_quantity vs l_discount per returnflag:
+    doubled average ranks are exact int64, so the statistic is one IEEE op
+    sequence over exact integer sums — bit-identical to the SQL mirror."""
+    from text_to_graph_ray.functions.stats import grouped_spearman_int
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_discount"])
+    return grouped_spearman_int(li, "l_returnflag", "l_quantity", "l_discount", y_scale=100)
+
+
 def _q_text_chunks(sf_dir):
     """Sliding-window text chunking (256-char windows, 64 overlap) — pure
     per-batch fan-out, one row per (doc, chunk) with offset/len/count."""
@@ -1559,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_stats": _q_docs_jsonl_stats,
         "text_chunks": _q_text_chunks,
         "rel_quantity_zscore": _q_rel_quantity_zscore,
+        "rel_spearman": _q_rel_spearman,
         "text_normalize": _q_text_normalize,
         "docs_csv_stats": _q_docs_csv_stats,
         "stats_quantiles_cont": _q_stats_quantiles_cont,
@@ -2201,6 +2212,24 @@ def oracle_sql() -> dict[str, str]:
             # the full distinct hash set and the count is exact
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "rel_spearman": (
+            # 2*avg_rank = 2*rank() + tie_count - 1 (exact BIGINT), then the
+            # engine's exact-int Pearson sequence over doubled ranks
+            "WITH r AS (SELECT l_returnflag AS k, "
+            "2 * rank() OVER (PARTITION BY l_returnflag ORDER BY round(l_quantity)) "
+            "+ count(*) OVER (PARTITION BY l_returnflag, round(l_quantity)) - 1 AS rx, "
+            "2 * rank() OVER (PARTITION BY l_returnflag ORDER BY round(l_discount * 100)) "
+            "+ count(*) OVER (PARTITION BY l_returnflag, round(l_discount * 100)) - 1 AS ry "
+            "FROM lineitem), "
+            "p AS (SELECT k, count(*)::HUGEINT AS n, sum(rx)::HUGEINT AS sx, sum(ry)::HUGEINT AS sy, "
+            "sum(rx * ry)::HUGEINT AS sxy, sum(rx * rx)::HUGEINT AS sxx, sum(ry * ry)::HUGEINT AS syy "
+            "FROM r GROUP BY k) "
+            "SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL "
+            "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS spearman "
+            "FROM p ORDER BY 1"
         ),
         "rel_quantity_zscore": (
             # HUGEINT-exact power sums -> ONE IEEE op sequence for mean/sd,

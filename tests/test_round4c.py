@@ -339,3 +339,30 @@ def test_grouped_zscore_formula_and_degenerate_groups(ray_session):
     assert out[0] == (10.0 - mean) / sd and out[6] == (40.0 - mean) / sd
     assert out[3] is None and out[4] is None  # zero variance
     assert out[5] is None  # n < 2
+
+
+def test_grouped_spearman_matches_pandas_and_handles_ties(ray_session):
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.stats import grouped_spearman_int
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    x = rng.integers(0, 20, n)  # heavy ties
+    y = (x * 3 + rng.integers(0, 15, n)).astype(float)  # positively rank-correlated
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * n + ["const"] * 5),
+            "x": pa.array(np.r_[x, [7] * 5].astype(float), type=pa.float64()),
+            "y": pa.array(np.r_[y, [1.0, 2.0, 3.0, 4.0, 5.0]], type=pa.float64()),
+        }
+    )
+    out = {r["g"]: r["spearman"] for r in grouped_spearman_int(
+        rd.from_arrow(t).repartition(4), "g", "x", "y"
+    ).take_all()}
+    rx = pd.Series(x).rank(method="average")
+    ry = pd.Series(np.rint(y)).rank(method="average")
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert out["a"] == pytest.approx(want, abs=1e-12)
+    assert 0.5 < out["a"] < 1.0
+    assert out["const"] is None  # zero rank variance in x

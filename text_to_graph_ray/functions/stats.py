@@ -364,3 +364,70 @@ def grouped_zscore(ds, key: str, x_col: str, id_col: str, key_type: pa.DataType 
         )
 
     return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+def grouped_spearman_int(ds, key: str, x_col: str, y_col: str, y_scale: int = 1,
+                         num_buckets: int = 64, max_group_rows: int = 1_200_000):
+    """Spearman rank correlation per group — Pearson over AVERAGE ranks,
+    which are exact half-integers, so DOUBLED ranks are exact int64 and the
+    whole statistic inherits the integer-sufficient-statistics discipline:
+    one keyed exchange, per-group vectorized average-ranking (pandas
+    ``rank(method='average')``, C speed), exact integer sums, ONE explicit
+    IEEE op sequence mirrored in the SQL oracle (2*avg_rank = 2*rank() +
+    tie_count - 1 there) — bit-identical, no tolerance.
+
+    Contract: x and y*y_scale integral-valued (``rint`` both engines); a
+    group's rows land in one bucket task (keyed-groupby contract) and
+    sum(4*rank^2) must fit int64 — guarded loudly at ``max_group_rows``
+    (~4n^3 < 2^63). Returns (key, n, spearman) sorted by key."""
+    import pandas as pd
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    part_schema = pa.schema([(key, pa.string()), ("x", pa.int64()), ("y", pa.int64())])
+    out_schema = pa.schema([(key, pa.string()), ("n", pa.int64()), ("spearman", pa.float64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        x = np.rint(t.column(x_col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(t.column(y_col).to_numpy(zero_copy_only=False) * y_scale).astype(np.int64)
+        return pa.table(
+            {key: t.column(key), "x": pa.array(x, type=pa.int64()), "y": pa.array(y, type=pa.int64())},
+            schema=part_schema,
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL])
+        keys_out, ns, rs = [], [], []
+        for kv, g in df.groupby(key, sort=False):
+            n = len(g)
+            if n > max_group_rows:
+                raise ValueError(f"grouped_spearman_int: group {kv!r} has {n} rows (> {max_group_rows})")
+            rx = (2.0 * g["x"].rank(method="average")).to_numpy().astype(np.int64)
+            ry = (2.0 * g["y"].rank(method="average")).to_numpy().astype(np.int64)
+            sx, sy = int(rx.sum()), int(ry.sum())
+            sxy = int(np.sum(rx * ry, dtype=np.int64))
+            sxx = int(np.sum(rx * rx, dtype=np.int64))
+            syy = int(np.sum(ry * ry, dtype=np.int64))
+            varx, vary = n * sxx - sx * sx, n * syy - sy * sy  # exact Python ints
+            keys_out.append(kv)
+            ns.append(n)
+            if varx == 0 or vary == 0:
+                rs.append(None)
+            else:
+                rs.append(float(n * sxy - sx * sy) / (math.sqrt(float(varx)) * math.sqrt(float(vary))))
+        return pa.table(
+            {key: pa.array(keys_out, type=pa.string()), "n": pa.array(ns, type=pa.int64()),
+             "spearman": pa.array(rs, type=pa.float64())},
+            schema=out_schema,
+        )
+
+    pre = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = bucket_exchange(
+        with_bucket(pre, key, num_buckets, in_schema=part_schema), per_bucket, out_schema, num_buckets
+    )
+    return sort_coalesced(out, key)
