@@ -1387,6 +1387,15 @@ def _q_text_normalize(sf_dir):
     return sort_coalesced(docs.map_batches(normalize_text, batch_format="pyarrow"), "doc_id")
 
 
+def _q_docs_parquet_profile(sf_dir):
+    """Column-chunk storage profile from the parquet footer only (no data
+    pages read) — the catalog op behind prune-at-the-read decisions; oracle
+    is DuckDB parquet_metadata() over the same file."""
+    from text_to_graph_ray.sources.formats import parquet_profile
+
+    return parquet_profile(f"{sf_dir}/documents.parquet")
+
+
 def _q_docs_jsonl_stats(sf_dir):
     """Per-(source, lang) catalog stats computed from a JSONL ingest
     (ray.data.read_json over a deterministic conversion of the documents
@@ -1567,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": _q_events_user_streaks,
         "events_window_distinct": _q_events_window_distinct,
         "docs_jsonl_stats": _q_docs_jsonl_stats,
+        "docs_parquet_profile": _q_docs_parquet_profile,
         "text_chunks": _q_text_chunks,
         "rel_quantity_zscore": _q_rel_quantity_zscore,
         "rel_spearman": _q_rel_spearman,
@@ -2259,6 +2269,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(norm)::BIGINT AS norm_len, sha256(norm) AS norm_sha FROM ("
             "SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), "
             "'[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS norm FROM documents) ORDER BY doc_id"
+        ),
+        "docs_parquet_profile": (
+            f"SELECT path_in_schema AS column, count(*)::BIGINT AS n_chunks, "
+            f"sum(num_values)::BIGINT AS n_values, "
+            f"sum(total_compressed_size)::BIGINT AS compressed_bytes, "
+            f"sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes "
+            f"FROM parquet_metadata('{_SF01}/documents.parquet') GROUP BY 1 ORDER BY 1"
         ),
         "docs_jsonl_stats": (
             f"SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars "

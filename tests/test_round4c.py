@@ -366,3 +366,20 @@ def test_grouped_spearman_matches_pandas_and_handles_ties(ray_session):
     assert out["a"] == pytest.approx(want, abs=1e-12)
     assert 0.5 < out["a"] < 1.0
     assert out["const"] is None  # zero rank variance in x
+
+
+def test_parquet_profile_aggregates_row_groups(tmp_path):
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.sources.formats import parquet_profile
+
+    t = pa.table({"a": pa.array(range(1000), type=pa.int64()), "b": pa.array(["x"] * 1000)})
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, p, row_group_size=100)  # 10 row groups
+    out = parquet_profile(str(p)).to_pandas().set_index("column")
+    assert list(out.index) == ["a", "b"]
+    assert (out["n_chunks"] == 10).all()
+    assert (out["n_values"] == 1000).all()
+    md = pq.ParquetFile(p).metadata
+    want_comp = sum(md.row_group(i).column(0).total_compressed_size for i in range(10))
+    assert out.loc["a", "compressed_bytes"] == want_comp

@@ -109,3 +109,38 @@ def source_stats_from(ds):
         return pa_from_pandas(df[["source", "lang", "n_docs", "chars"]])
 
     return sort_coalesced(agg.map_batches(finish, batch_format="pandas"), ["source", "lang"])
+
+
+def parquet_profile(path: str) -> pa.Table:
+    """Column-chunk storage profile from the parquet FOOTER only — the
+    catalog op behind every prune-at-the-read decision (which columns are
+    worth projecting away, how compressed each is, whether row groups are
+    sized for the scan): per column, chunk count, value count, compressed
+    and uncompressed byte totals. Metadata-only: no data pages are read, no
+    Ray stage is launched — cost is O(columns x row_groups) footer entries,
+    the same source dedup._metadata_row_count uses for plan sizing. Returns
+    an Arrow table sorted by column name; oracle = DuckDB parquet_metadata()
+    over the same file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict = {}
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            a = agg.setdefault(c.path_in_schema, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += c.num_values
+            a[2] += c.total_compressed_size
+            a[3] += c.total_uncompressed_size
+    names = sorted(agg)
+    return pa.table(
+        {
+            "column": pa.array(names, type=pa.string()),
+            "n_chunks": pa.array([agg[n][0] for n in names], type=pa.int64()),
+            "n_values": pa.array([agg[n][1] for n in names], type=pa.int64()),
+            "compressed_bytes": pa.array([agg[n][2] for n in names], type=pa.int64()),
+            "uncompressed_bytes": pa.array([agg[n][3] for n in names], type=pa.int64()),
+        }
+    )
