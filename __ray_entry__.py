@@ -1423,6 +1423,37 @@ def _q_events_window_distinct(sf_dir):
     return window_distinct_users(sf_dir)
 
 
+def _q_graph_sssp(sf_dir):
+    """Weighted shortest paths <= 3 hops from seeds {0,1,2} (Bellman-Ford
+    rounds; integer weights, exact arithmetic): per round one streamed edge
+    pass with the dist table guard-broadcast (distributed join fallback),
+    then a coarse-bucket min-merge. Oracle: recursive CTE min(d)."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import sssp_bounded
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())])
+        if b.num_rows == 0:
+            return sch.empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        ln = np.asarray(b.column("l_linenumber").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {"src": pa.array(pk % 1000, type=pa.int64()), "dst": pa.array(sk % 1000, type=pa.int64()),
+             "w": pa.array(1 + (ln % 5), type=pa.int64())},
+            schema=sch,
+        )
+
+    edges = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_linenumber"]
+    ).map_batches(to_edges, batch_format="pyarrow")
+    return sssp_bounded(edges, seeds=[0, 1, 2], max_hops=3)
+
+
 def _q_events_range_sum(sf_dir):
     """Per-user TIME-RANGE window sum (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW — timestamp-axis frame incl. ts peers)."""
@@ -1572,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_moments_by_flag": _q_stats_moments_by_flag,
         "events_users_per_type_kmv": _q_events_users_per_type_kmv,
         "graph_bfs": _q_graph_bfs,
+        "graph_sssp": _q_graph_sssp,
         "rel_copart_pairs": _q_rel_copart_pairs,
         "events_user_streaks": _q_events_user_streaks,
         "events_window_distinct": _q_events_window_distinct,
@@ -2319,6 +2351,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.item AS a, b.item AS b, count(*)::BIGINT AS n "
             "FROM gi a JOIN gi b ON a.g = b.g AND a.item < b.item "
             f"GROUP BY 1, 2 HAVING count(*) >= {_copart_min_count(_SF01)} ORDER BY 1, 2"
+        ),
+        "graph_sssp": (
+            # min over paths of <= 3 edges == 3 Bellman-Ford rounds; UNION
+            # dedups (node, d, hops) so the walk table stays bounded
+            "WITH RECURSIVE e AS (SELECT DISTINCT l_partkey % 1000 AS src, "
+            "l_suppkey % 1000 AS dst, 1 + (l_linenumber % 5) AS w FROM lineitem), "
+            "walk(node, d, hops) AS ("
+            "SELECT CAST(node AS BIGINT), CAST(d AS BIGINT), 0 FROM "
+            "(VALUES (0, 0), (1, 0), (2, 0)) AS t(node, d) "
+            "UNION "
+            "SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.node "
+            "WHERE w.hops < 3) "
+            "SELECT node, min(d)::BIGINT AS dist FROM walk GROUP BY node ORDER BY node"
         ),
         "graph_bfs": (
             # UNION (not UNION ALL) recursion: dedup on (node, depth) bounds

@@ -14,6 +14,7 @@ Used by ``dedup.near_dup_survivors`` (doc-id pair graph) and the
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -485,3 +486,100 @@ def bfs_depths(edges_ds, seeds, max_depth: int = 3, src_col: str = "src", dst_co
     for p in out_parts[1:]:
         out = out.union(p)
     return sort_coalesced(out, "node")
+
+
+def sssp_bounded(edges_ds, seeds, max_hops: int = 3, src_col: str = "src", dst_col: str = "dst",
+                 w_col: str = "w", num_buckets: int = 64, dist_broadcast_max: int = 2_000_000):
+    """Single-source(-set) shortest path with INTEGER edge weights, bounded
+    to ``max_hops`` relaxation rounds (Bellman-Ford): returns (node, dist)
+    where dist is the minimum total weight over paths of <= max_hops edges
+    — exactly the recursive-CTE ``min(d)`` semantics, and exact arithmetic
+    (int64 adds, no float discipline needed).
+
+    Scale shape per round: ONE streamed pass over the edge table. While the
+    dist table fits ``dist_broadcast_max`` it is broadcast once via
+    ``ray.put`` (sorted arrays, per-batch lookup is a vectorized
+    searchsorted); above the guard the candidates come from a distributed
+    hash join instead (the same guarded-small-side discipline as
+    defs_broadcast_max / BROADCAST_JOIN_MAX_ROWS — both plans are
+    value-identical, test forces the threshold to 0). Candidates meet the
+    previous dists in one coarse-bucket min-merge; convergence before
+    max_hops stops the loop early via distributed (count, sum) invariants —
+    the driver only ever holds counters."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.functions.joins import filter_by_keys
+    from text_to_graph_ray.util import sort_coalesced
+
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def min_merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return dist_schema.empty_table()
+        g = df.drop(columns=[BUCKET_COL]).groupby("node", as_index=False, sort=False)["dist"].min()
+        return pa.table({"node": pa.array(g["node"], type=pa.int64()), "dist": pa.array(g["dist"], type=pa.int64())},
+                        schema=dist_schema)
+
+    def candidates_broadcast(dist):
+        blocks = [b for b in ray.get(dist.to_arrow_refs()) if b.num_rows and "node" in b.schema.names]
+        dm = pa.concat_tables(blocks) if blocks else dist_schema.empty_table()
+        nodes = np.asarray(dm.column("node").to_pylist(), dtype=np.int64)
+        order = np.argsort(nodes)
+        ref = ray.put((nodes[order], np.asarray(dm.column("dist").to_pylist(), dtype=np.int64)[order]))
+        hit = filter_by_keys(edges_ds, dist, key=src_col, right_key="node", mode="semi")
+
+        def cand(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return dist_schema.empty_table()
+            snodes, sdists = ray.get(ref)
+            src = np.asarray(t.column(src_col).to_pylist(), dtype=np.int64)
+            w = np.asarray(t.column(w_col).to_pylist(), dtype=np.int64)
+            base = sdists[np.searchsorted(snodes, src)]  # all present: semi-filtered
+            return pa.table(
+                {"node": t.column(dst_col), "dist": pa.array(base + w, type=pa.int64())}, schema=dist_schema
+            )
+
+        return hit.map_batches(cand, batch_format="pyarrow")
+
+    def candidates_join(dist):
+        from text_to_graph_ray.functions.dedup import join_partitions_for
+
+        joined = edges_ds.join(
+            dist, join_type="inner", num_partitions=join_partitions_for(),
+            on=(src_col,), right_on=("node",), partition_size_hint=16 << 20,
+        )
+
+        def cand(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return dist_schema.empty_table()
+            w = np.asarray(t.column(w_col).to_pylist(), dtype=np.int64)
+            base = np.asarray(t.column("dist").to_pylist(), dtype=np.int64)
+            return pa.table(
+                {"node": t.column(dst_col), "dist": pa.array(base + w, type=pa.int64())}, schema=dist_schema
+            )
+
+        return joined.map_batches(cand, batch_format="pyarrow")
+
+    dist = rd.from_arrow(
+        pa.table({"node": pa.array(list(seeds), type=pa.int64()),
+                  "dist": pa.array([0] * len(seeds), type=pa.int64())}, schema=dist_schema)
+    ).materialize()
+
+    for _ in range(max_hops):
+        n_dist = dist.count()
+        cands = (candidates_broadcast if n_dist <= dist_broadcast_max else candidates_join)(dist)
+        merged = bucket_exchange(
+            with_bucket(dist.union(cands), "node", num_buckets, in_schema=dist_schema),
+            min_merge, dist_schema, num_buckets,
+        ).materialize()
+        # distributed convergence invariants: dists only decrease, nodes only
+        # appear — (count, sum) unchanged iff nothing relaxed this round
+        changed = (merged.count() != n_dist) or ((merged.sum("dist") or 0) != (dist.sum("dist") or 0))
+        dist = merged
+        if not changed:
+            break
+
+    return sort_coalesced(dist, "node")
