@@ -232,6 +232,19 @@ def _q_dedup_best_survivors(sf_dir):
     return survivors_best_quality(ds, threshold=0.5)
 
 
+def _q_text_segment_dedup(sf_dir):
+    """Corpus-level exact segment dedup (MassiveText/Gopher line dedup
+    reshaped for single-line docs): 16-token segments, globally-first
+    occurrence survives, ordered reassembly. Two keyed exchanges (digest
+    winner pick + doc reassembly); fires on the injected near/exact-dup
+    docs. Oracle: row_number window over exploded segments + ordered
+    string_agg."""
+    from text_to_graph_ray.functions.text import segment_dedup
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return segment_dedup(ds)
+
+
 def _q_text_redact_pii(sf_dir):
     """Vectorized PII redaction (round 4): emails / IPv4 / phone patterns via
     RE2 kernels; counts taken on the progressively-redacted text. The synth
@@ -1621,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trace": _q_events_user_trace,
         "events_type_entropy": _q_events_type_entropy,
         "docs_hash_split": _q_docs_hash_split,
+        "text_segment_dedup": _q_text_segment_dedup,
     }
 
 
@@ -2294,6 +2308,24 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT doc_id, n, CASE WHEN n > 256 THEN 1 + (n - 65) // 192 ELSE 1 END AS n_chunks FROM d) "
             "SELECT doc_id, c AS chunk_idx, c * 192 AS off, LEAST(256, n - c * 192) AS chunk_len, n_chunks "
             "FROM k JOIN generate_series(0, 1023) AS t(c) ON t.c < k.n_chunks ORDER BY doc_id, chunk_idx"
+        ),
+        "text_segment_dedup": (
+            # 16-token segments (token = string_split(' '), the decontam
+            # contract); winner = first (doc_id, seg_idx) per exact segment
+            # text; docs losing every segment drop out via GROUP BY
+            "WITH segs AS ("
+            " SELECT doc_id, seg_idx, array_to_string(toks[seg_idx*16+1 : seg_idx*16+16], ' ') AS seg, n_segs"
+            " FROM ("
+            "  SELECT doc_id, toks, n_segs, unnest(generate_series(0, n_segs-1)) AS seg_idx"
+            "  FROM (SELECT doc_id, string_split(coalesce(text,''), ' ') AS toks,"
+            "               ((len(string_split(coalesce(text,''),' ')) + 15) // 16)::BIGINT AS n_segs"
+            "        FROM documents))"
+            "), win AS ("
+            " SELECT doc_id, seg_idx, seg, n_segs FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) WHERE rn = 1)"
+            " SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,"
+            " count(*)::BIGINT AS n_kept, any_value(n_segs) AS n_segs"
+            " FROM win GROUP BY doc_id ORDER BY doc_id"
         ),
         "text_normalize": (
             # byte-identical pattern on both RE2-compatible engines; sha256

@@ -485,3 +485,96 @@ def normalize_text(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
          "norm_sha": pa.array(shas, type=pa.string())},
         schema=out_schema,
     )
+
+
+def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int = 64):
+    """Corpus-level EXACT segment dedup — the MassiveText/Gopher "remove
+    exact duplicate lines across the corpus" curation op, reshaped for
+    single-line corpora: each document is cut into consecutive
+    ``seg_tokens``-token segments (token = ``' '``-split — the engine's
+    established ``string_split`` contract, see decontam._doc_grams), a
+    segment whose exact text appears anywhere EARLIER in the corpus
+    (ordered by ``(doc_id, seg_idx)``) is removed, and the survivors
+    re-join in order.
+
+    Plan (two keyed exchanges, corpus never collected):
+
+    1. explode: one scan emits (doc_id, seg_idx, seg, sha256-as-4xint64,
+       n_segs) per segment. The digest rides as four int64 columns — full
+       256-bit identity in 32 fixed bytes (the exact_dedup raw-digest
+       discipline) AND a native-int key for the vectorized SipHash
+       bucketing / drop_duplicates kernels.
+    2. ``latest_per_key(descending=False)`` keeps the single globally-first
+       (doc_id, seg_idx) row per digest; its per-batch combiner means the
+       exchange carries at most one candidate row per digest per upstream
+       batch. Winners CARRY their segment text, so no join back to the
+       corpus is needed (for very long segments flip to an id-only
+       exchange + fetch join — dedup.py's sigjoin pattern).
+    3. one doc_id-keyed bucket exchange reassembles: sort by seg_idx,
+       per-group join — vectorized groupby around an inherently per-group
+       string concat (ordered_string_agg's shape).
+
+    Output: (doc_id, text_dedup, n_kept, n_segs) sorted by doc_id. A doc
+    whose EVERY segment was seen earlier drops out (mirrors SQL GROUP BY
+    over surviving segments; callers holding the id universe left-join).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, latest_per_key, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    hcols = ["__h1", "__h2", "__h3", "__h4"]
+    seg_schema = pa.schema(
+        [(c, pa.int64()) for c in hcols]
+        + [(id_col, pa.int64()), ("seg_idx", pa.int64()), ("seg", pa.string()), ("n_segs", pa.int64())]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return seg_schema.empty_table()
+        ids = b.column(id_col).to_pylist()
+        o_id, o_idx, o_seg, o_n, digs = [], [], [], [], []
+        for did, t in zip(ids, b.column(text_col).to_pylist()):
+            toks = (t or "").split(" ")
+            n = (len(toks) + seg_tokens - 1) // seg_tokens
+            for i in range(n):
+                seg = " ".join(toks[i * seg_tokens : (i + 1) * seg_tokens])
+                o_id.append(did)
+                o_idx.append(i)
+                o_seg.append(seg)
+                o_n.append(n)
+                digs.append(hashlib.sha256(seg.encode("utf-8")).digest())
+        h = np.frombuffer(b"".join(digs), dtype="<i8").reshape(-1, 4) if digs else np.empty((0, 4), dtype="<i8")
+        cols = {c: pa.array(h[:, j], type=pa.int64()) for j, c in enumerate(hcols)}
+        cols[id_col] = pa.array(o_id, type=pa.int64())
+        cols["seg_idx"] = pa.array(o_idx, type=pa.int64())
+        cols["seg"] = pa.array(o_seg, type=pa.string())
+        cols["n_segs"] = pa.array(o_n, type=pa.int64())
+        return pa.table(cols, schema=seg_schema)
+
+    segs = ds.map_batches(explode, batch_format="pyarrow")
+    winners = latest_per_key(
+        segs, keys=hcols, order_by=[id_col, "seg_idx"], out_schema=seg_schema,
+        descending=False, num_buckets=num_buckets,
+    )
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("text_dedup", pa.string()), ("n_kept", pa.int64()), ("n_segs", pa.int64())]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values([id_col, "seg_idx"], kind="mergesort")
+        g = df.groupby(id_col, sort=False).agg(
+            text_dedup=("seg", " ".join), n_kept=("seg", "size"), n_segs=("n_segs", "first")
+        ).reset_index()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in out_schema}, schema=out_schema)
+
+    out = bucket_exchange(
+        with_bucket(winners, [id_col], num_buckets, in_schema=seg_schema), per_bucket, out_schema, num_buckets
+    )
+    return sort_coalesced(out, id_col)
