@@ -245,6 +245,27 @@ def _q_text_segment_dedup(sf_dir):
     return segment_dedup(ds)
 
 
+def _q_rel_bucketed_join(sf_dir):
+    """Bucket-map join (round 4): both sides hash-bucketed by custkey at
+    WRITE time (one exchange each, reusable by every later join/groupby on
+    the same key), then an exchange-free per-bucket inner join — one task
+    per bucket reads exactly its own bucket files from both sides. Oracle:
+    plain SQL inner join."""
+    import os
+
+    from text_to_graph_ray.sources.bucketed import bucketed_join, write_bucketed
+    from text_to_graph_ray.util import sort_coalesced
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/graft_bucketed/{tag}"
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    write_bucketed(cust, "c_custkey", f"{root}/customer", num_buckets=32)
+    write_bucketed(orders, "o_custkey", f"{root}/orders", num_buckets=32)
+    out = bucketed_join(f"{root}/customer", f"{root}/orders", on=("c_custkey", "o_custkey"))
+    return sort_coalesced(out, "o_orderkey")
+
+
 def _q_text_redact_pii(sf_dir):
     """Vectorized PII redaction (round 4): emails / IPv4 / phone patterns via
     RE2 kernels; counts taken on the progressively-redacted text. The synth
@@ -1635,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_entropy": _q_events_type_entropy,
         "docs_hash_split": _q_docs_hash_split,
         "text_segment_dedup": _q_text_segment_dedup,
+        "rel_bucketed_join": _q_rel_bucketed_join,
     }
 
 
@@ -2308,6 +2330,10 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT doc_id, n, CASE WHEN n > 256 THEN 1 + (n - 65) // 192 ELSE 1 END AS n_chunks FROM d) "
             "SELECT doc_id, c AS chunk_idx, c * 192 AS off, LEAST(256, n - c * 192) AS chunk_len, n_chunks "
             "FROM k JOIN generate_series(0, 1023) AS t(c) ON t.c < k.n_chunks ORDER BY doc_id, chunk_idx"
+        ),
+        "rel_bucketed_join": (
+            "SELECT c_custkey, c_name, c_acctbal, o_orderkey, o_totalprice "
+            "FROM customer JOIN orders ON c_custkey = o_custkey ORDER BY o_orderkey"
         ),
         "text_segment_dedup": (
             # 16-token segments (token = string_split(' '), the decontam

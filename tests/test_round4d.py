@@ -62,3 +62,60 @@ class TestSegmentDedup:
         out = segment_dedup(_docs_ds([(1, ""), (2, "")]), seg_tokens=16).to_pandas()
         assert list(out.doc_id) == [1]
         assert out.text_dedup.item() == ""
+
+
+class TestBucketedJoin:
+    def _write_sides(self, tmp_path, num_buckets=8, n=200):
+        import ray
+
+        from text_to_graph_ray.sources.bucketed import write_bucketed
+
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array(range(n), type=pa.int64()),
+                      "name": pa.array([f"n{i}" for i in range(n)])})
+        )
+        # right side: two rows per key for even keys, none for odd -> join
+        # must fan out matches and drop non-matching keys
+        rk = [i for i in range(n) if i % 2 == 0 for _ in range(2)]
+        right = ray.data.from_arrow(
+            pa.table({"rk": pa.array(rk, type=pa.int64()),
+                      "val": pa.array(range(len(rk)), type=pa.int64())})
+        )
+        write_bucketed(left, "k", str(tmp_path / "left"), num_buckets=num_buckets)
+        write_bucketed(right, "rk", str(tmp_path / "right"), num_buckets=num_buckets)
+        return left, right
+
+    def test_join_matches_pandas_oracle(self, ray_session, tmp_path):
+        from text_to_graph_ray.sources.bucketed import bucketed_join
+
+        left, right = self._write_sides(tmp_path)
+        got = (
+            bucketed_join(str(tmp_path / "left"), str(tmp_path / "right"), on=("k", "rk"))
+            .to_pandas().sort_values(["k", "val"]).reset_index(drop=True)
+        )
+        want = (
+            left.to_pandas().merge(right.to_pandas(), left_on="k", right_on="rk")
+            .drop(columns=["rk"]).sort_values(["k", "val"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "name", "val"]], want[["k", "name", "val"]])
+
+    def test_bucket_count_mismatch_raises(self, ray_session, tmp_path):
+        import ray
+
+        from text_to_graph_ray.sources.bucketed import bucketed_join, write_bucketed
+
+        self._write_sides(tmp_path, num_buckets=8)
+        other = ray.data.from_arrow(pa.table({"rk": pa.array([1], type=pa.int64())}))
+        write_bucketed(other, "rk", str(tmp_path / "right16"), num_buckets=16)
+        with pytest.raises(ValueError, match="bucket-count mismatch"):
+            bucketed_join(str(tmp_path / "left"), str(tmp_path / "right16"), on=("k", "rk"))
+
+    def test_manifest_counts_and_write_idempotent(self, ray_session, tmp_path):
+        from text_to_graph_ray.sources.bucketed import write_bucketed
+        import ray
+
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(range(100), type=pa.int64())}))
+        m1 = write_bucketed(ds, "k", str(tmp_path / "t"), num_buckets=4)
+        m2 = write_bucketed(ds, "k", str(tmp_path / "t"), num_buckets=4)  # overwrite
+        assert m1.rows.sum() == 100 and m2.rows.sum() == 100
+        pd.testing.assert_frame_equal(m1, m2)
