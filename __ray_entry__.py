@@ -266,6 +266,52 @@ def _q_rel_bucketed_join(sf_dir):
     return sort_coalesced(out, "o_orderkey")
 
 
+def _q_events_zorder_scan(sf_dir):
+    """Z-order clustered layout + footer-pruned rectangle scan (round 4):
+    events rewritten once clustered by morton(user_id, ts); a
+    (user-range x time-range) aggregate then reads only the row groups
+    whose footer min/max intersect the rectangle (~70% pruned at sf0.01)
+    and exact-filters the survivors. Money kept integer (cents) so the
+    aggregate is association-order-free. Oracle: plain SQL filter +
+    aggregate over the ORIGINAL file — the layout must never change
+    results."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.sources.zorder import pd_ts_to_us, pruned_read, write_zordered
+    from text_to_graph_ray.util import sort_coalesced
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/graft_zorder/{tag}/events"
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    write_zordered(ev, "user_id", "ts", path, rows_per_file=2000, row_group_size=250)
+    t1, t2 = pd_ts_to_us(pd.Timestamp("2024-01-08")), pd_ts_to_us(pd.Timestamp("2024-01-16"))
+    ds = pruned_read(path, [("user_id", 20, 60, "both"), ("ts", t1, t2, "left")])
+
+    out_schema = pa.schema([("event_type", pa.string()), ("n", pa.int64()), ("sum_cents", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        import numpy as np
+
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "n": 1,
+            "sum_cents": np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0).astype("int64"),
+        })
+        g = df.groupby("event_type", as_index=False, sort=False).sum()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in out_schema}, schema=out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = bucketed_aggregate(
+        partials, ["event_type"], {"n": ("n", "sum"), "sum_cents": ("sum_cents", "sum")},
+        out_schema=out_schema, num_buckets=8, in_schema=out_schema,
+    )
+    return sort_coalesced(agg, "event_type")
+
+
 def _q_text_redact_pii(sf_dir):
     """Vectorized PII redaction (round 4): emails / IPv4 / phone patterns via
     RE2 kernels; counts taken on the progressively-redacted text. The synth
@@ -1657,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _q_docs_hash_split,
         "text_segment_dedup": _q_text_segment_dedup,
         "rel_bucketed_join": _q_rel_bucketed_join,
+        "events_zorder_scan": _q_events_zorder_scan,
     }
 
 
@@ -2334,6 +2381,15 @@ def oracle_sql() -> dict[str, str]:
         "rel_bucketed_join": (
             "SELECT c_custkey, c_name, c_acctbal, o_orderkey, o_totalprice "
             "FROM customer JOIN orders ON c_custkey = o_custkey ORDER BY o_orderkey"
+        ),
+        "events_zorder_scan": (
+            # the oracle scans the ORIGINAL events file: the clustered layout
+            # must be result-invariant; cents keep the sum integer-exact
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents "
+            "FROM events WHERE user_id BETWEEN 20 AND 60 "
+            "AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16' "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "text_segment_dedup": (
             # 16-token segments (token = string_split(' '), the decontam

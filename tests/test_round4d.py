@@ -119,3 +119,65 @@ class TestBucketedJoin:
         m2 = write_bucketed(ds, "k", str(tmp_path / "t"), num_buckets=4)  # overwrite
         assert m1.rows.sum() == 100 and m2.rows.sum() == 100
         pd.testing.assert_frame_equal(m1, m2)
+
+
+class TestZOrder:
+    def test_morton_kernel_known_values(self):
+        import numpy as np
+
+        from text_to_graph_ray.sources.zorder import morton2
+
+        x = np.array([0, 1, 0, 3], dtype=np.uint32)
+        y = np.array([0, 0, 1, 3], dtype=np.uint32)
+        # x bits land on odd positions, y on even: (1,0)->2, (0,1)->1, (3,3)->15
+        assert list(morton2(x, y)) == [0, 2, 1, 15]
+
+    def _events(self, n=8000):
+        import numpy as np
+
+        # two independent uniform dims -> a rectangle covering ~1/16 of the
+        # space should prune hard under z-order, not at all unsorted
+        rng = np.random.RandomState(7)
+        return pa.table({
+            "u": pa.array(rng.randint(0, 1000, size=n), type=pa.int64()),
+            "t": pa.array(rng.randint(0, 1_000_000, size=n), type=pa.int64()),
+            "v": pa.array(np.arange(n), type=pa.int64()),
+        })
+
+    def test_pruning_beats_unsorted_and_results_exact(self, ray_session, tmp_path):
+        import ray
+
+        from text_to_graph_ray.sources.zorder import pruned_read, write_zordered
+
+        t = self._events()
+        ds = ray.data.from_arrow(t).repartition(8)
+        write_zordered(ds, "u", "t", str(tmp_path / "z"), rows_per_file=1000, row_group_size=125)
+        ranges = [("u", 100, 349, "both"), ("t", 200_000, 450_000, "left")]
+        zs, us = {}, {}
+        got = pruned_read(str(tmp_path / "z"), ranges, stats=zs).to_pandas()
+
+        # unsorted baseline: same writer, same granule, no clustering
+        import pyarrow.parquet as pq
+
+        (tmp_path / "flat").mkdir()
+        pq.write_table(t, str(tmp_path / "flat" / "part-0.parquet"), row_group_size=125)
+        flat = pruned_read(str(tmp_path / "flat"), ranges, stats=us).to_pandas()
+
+        df = t.to_pandas()
+        want = df[(df.u >= 100) & (df.u <= 349) & (df.t >= 200_000) & (df.t < 450_000)]
+        assert sorted(got.v) == sorted(want.v) == sorted(flat.v)
+        # z-order must read well under half the granules; the random layout
+        # cannot prune a ~1/16-selectivity rectangle at 125-row granules
+        assert zs["rg_kept"] < 0.5 * zs["rg_total"], zs
+        assert us["rg_kept"] > 0.9 * us["rg_total"], us
+
+    def test_empty_rectangle(self, ray_session, tmp_path):
+        import ray
+
+        from text_to_graph_ray.sources.zorder import pruned_read, write_zordered
+
+        ds = ray.data.from_arrow(self._events(500))
+        write_zordered(ds, "u", "t", str(tmp_path / "z2"), rows_per_file=200, row_group_size=50)
+        st = {}
+        out = pruned_read(str(tmp_path / "z2"), [("u", 5000, 6000, "both")], stats=st).to_pandas()
+        assert len(out) == 0 and st["rg_kept"] == 0
