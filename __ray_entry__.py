@@ -1352,6 +1352,65 @@ def _copart_min_count(sf_dir: str) -> int:
     return max(2, pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows // 170)
 
 
+def _kcore_mod(sf_dir: str) -> int:
+    """Data-derived node-space size (~avg degree 6 at any sf): parquet-footer
+    row count only, no scan — the rel_copart_pairs discipline."""
+    import pyarrow.parquet as pq
+
+    return max(2, pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows // 3)
+
+
+def _kcore_sql(mod: int, k: int = 8, rounds: int = 4) -> str:
+    """Unrolled bounded-peel oracle: d_r/a_r/e_{r+1} CTE per round — the SQL
+    mirror of kcore_bounded's exactly-``rounds``-peels contract. CTEs are
+    MATERIALIZED: each e_r is referenced ~5x by the next level, so inlining
+    recomputes e0 O(5^rounds) times (measured: timeout vs 0.6 s at sf0.1)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least(l_orderkey % {mod}, l_partkey % {mod}) AS a, "
+        f"greatest(l_orderkey % {mod}, l_partkey % {mod}) AS b FROM lineitem "
+        f"WHERE l_orderkey % {mod} <> l_partkey % {mod})"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}) GROUP BY node)"
+            f", a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})"
+            f", e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r} "
+            f"JOIN a{r} x ON e{r}.a = x.node JOIN a{r} y ON e{r}.b = y.node)"
+        )
+    parts.append(
+        f" SELECT node, count(*)::BIGINT AS deg FROM "
+        f"(SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY node ORDER BY node"
+    )
+    return "".join(parts)
+
+
+def _q_graph_kcore(sf_dir):
+    """Bounded k-core peeling (4 rounds, k=8) over the data-sized mod graph
+    (avg degree ~6 at every sf, so the peel cascades at any scale): per
+    round one degree count + two guarded semi filters; early fixpoint stop
+    is result-identical to the unrolled-SQL oracle."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import kcore_bounded
+
+    mod = _kcore_mod(sf_dir)
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        ok = np.asarray(b.column("l_orderkey").to_pylist(), dtype=np.int64)
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(ok % mod, type=pa.int64()), "dst": pa.array(pk % mod, type=pa.int64())})
+
+    edges = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return kcore_bounded(edges, k=8, max_rounds=4)
+
+
 def _q_rel_copart_pairs(sf_dir):
     """Supplier-bucket pairs that co-occur in >= n_orders/170 orders
     (bipartite co-occurrence projection): exact distinct (order, supplier
@@ -1704,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_segment_dedup": _q_text_segment_dedup,
         "rel_bucketed_join": _q_rel_bucketed_join,
         "events_zorder_scan": _q_events_zorder_scan,
+        "graph_kcore": _q_graph_kcore,
     }
 
 
@@ -2466,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM gi a JOIN gi b ON a.g = b.g AND a.item < b.item "
             f"GROUP BY 1, 2 HAVING count(*) >= {_copart_min_count(_SF01)} ORDER BY 1, 2"
         ),
+        "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_sssp": (
             # min over paths of <= 3 edges == 3 Bellman-Ford rounds; UNION
             # dedups (node, d, hops) so the walk table stays bounded

@@ -583,3 +583,86 @@ def sssp_bounded(edges_ds, seeds, max_hops: int = 3, src_col: str = "src", dst_c
             break
 
     return sort_coalesced(dist, "node")
+
+
+def kcore_bounded(edges_ds, k: int = 8, max_rounds: int = 4, src_col: str = "src",
+                  dst_col: str = "dst", num_buckets: int = 64):
+    """Bounded k-core peeling over an undirected graph: ``max_rounds``
+    iterations of "drop every node with degree < k, then drop edges touching
+    a dropped node" — the standard graph-sparsification / community-seed
+    primitive. Exactly ``max_rounds`` peels are applied (the bfs_depths
+    bounded-rounds contract — an unrolled-SQL-expressible semantics); if the
+    peel reaches a FIXPOINT earlier (no edge removed in a round) the loop
+    stops, which is result-identical because further peels are no-ops. At
+    fixpoint the output is the true k-core.
+
+    Scale shape per round: one streamed endpoint fan-out + ONE coarse-bucket
+    degree count (node-set-sized output), then two guarded semi filters of
+    the edge table against the alive node set (``joins.filter_by_keys``:
+    broadcast under its row guard, distributed semi hash join above).
+    Convergence is checked with distributed counts — the driver holds
+    counters only, never nodes or edges.
+
+    Returns (node, deg) over the surviving edge set, sorted by node; an
+    empty Dataset when the whole graph peels away.
+    """
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, distinct_rows
+    from text_to_graph_ray.functions.joins import filter_by_keys
+    from text_to_graph_ray.util import compact_nonempty, sort_coalesced
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        s, d = pc.cast(t.column(src_col), pa.int64()), pc.cast(t.column(dst_col), pa.int64())
+        out = pa.table({"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return node_schema.empty_table()
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )}, schema=node_schema)
+
+    def degrees(edges):
+        return bucketed_aggregate(
+            edges.map_batches(endpoints, batch_format="pyarrow"), "node",
+            {"deg": ("node", "size")}, out_schema=deg_schema, num_buckets=num_buckets,
+            in_schema=node_schema,
+        )
+
+    edges = compact_nonempty(
+        distinct_rows(edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"], edge_schema).materialize()
+    )
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        def alive_only(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return node_schema.empty_table()
+            keep = t.filter(pc.greater_equal(t.column("deg"), k))
+            return pa.table({"node": keep.column("node")}, schema=node_schema)
+
+        alive = degrees(edges).map_batches(alive_only, batch_format="pyarrow")
+        pruned = filter_by_keys(
+            filter_by_keys(edges, alive, key="a", right_key="node", mode="semi"),
+            alive, key="b", right_key="node", mode="semi",
+        ).materialize()
+        pruned = compact_nonempty(pruned)
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:  # fixpoint: further peels are no-ops
+            break
+        edges, n_edges = pruned, n_pruned
+
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(deg_schema.empty_table())
+    return sort_coalesced(degrees(edges), "node")
