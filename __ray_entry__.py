@@ -312,6 +312,67 @@ def _q_events_zorder_scan(sf_dir):
     return sort_coalesced(agg, "event_type")
 
 
+def _q_events_cdc_merge(sf_dir):
+    """CDC MERGE (upsert + tombstone delete) applied to the events table:
+    change rows derived IDENTICALLY on both engines (%7 -> v1 update,
+    %14 -> v2 update that must beat v1, %35 -> delete tombstone); money in
+    integer cents so every value is exact. One keyed exchange via the
+    side-tagged latest_per_key. Oracle: QUALIFY row_number over
+    (side DESC, ver DESC) + NOT deleted."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import merge_upsert
+    from text_to_graph_ray.util import sort_coalesced
+
+    sch = pa.schema([("event_id", pa.int64()), ("cents", pa.int64()),
+                     ("ver", pa.int64()), ("deleted", pa.bool_())])
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def rows(ids, cents, ver, deleted):
+        n = len(ids)
+        return pa.table({
+            "event_id": pa.array(ids, type=pa.int64()), "cents": pa.array(cents, type=pa.int64()),
+            "ver": pa.array([ver] * n, type=pa.int64()), "deleted": pa.array([deleted] * n, type=pa.bool_()),
+        }, schema=sch)
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sch.empty_table()
+        ids = np.asarray(b.column("event_id").to_pylist(), dtype=np.int64)
+        cents = np.round(np.asarray(b.column("value").to_pylist()) * 100.0).astype(np.int64)
+        return rows(ids, cents, 0, False)
+
+    def change_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sch.empty_table()
+        ids = np.asarray(b.column("event_id").to_pylist(), dtype=np.int64)
+        cents = np.round(np.asarray(b.column("value").to_pylist()) * 100.0).astype(np.int64)
+        m7, m14, m35 = ids % 7 == 0, ids % 14 == 0, ids % 35 == 0
+        return pa.concat_tables([
+            rows(ids[m7], cents[m7] + 111, 1, False),
+            rows(ids[m14], cents[m14] + 222, 2, False),
+            rows(ids[m35], cents[m35], 3, True),
+        ])
+
+    merged = merge_upsert(
+        ev.map_batches(base_rows, batch_format="pyarrow"),
+        ev.map_batches(change_rows, batch_format="pyarrow"),
+        key="event_id", order_by=["ver"], deleted_col="deleted", out_schema=sch,
+    )
+    return sort_coalesced(merged.select_columns(["event_id", "cents", "ver"]), "event_id")
+
+
+def _q_docs_quota_sample(sf_dir):
+    """Per-source quota sampling (cap 3 docs per source — source balancing):
+    md5-ranked deterministic winners, combiner-bounded exchange. Oracle:
+    row_number window over the identical DuckDB md5 keys."""
+    from text_to_graph_ray.functions.sample import quota_per_group
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return quota_per_group(ds, "source", n=3)
+
+
 def _q_text_redact_pii(sf_dir):
     """Vectorized PII redaction (round 4): emails / IPv4 / phone patterns via
     RE2 kernels; counts taken on the progressively-redacted text. The synth
@@ -1764,6 +1825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bucketed_join": _q_rel_bucketed_join,
         "events_zorder_scan": _q_events_zorder_scan,
         "graph_kcore": _q_graph_kcore,
+        "events_cdc_merge": _q_events_cdc_merge,
+        "docs_quota_sample": _q_docs_quota_sample,
     }
 
 
@@ -2527,6 +2590,28 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY 1, 2 HAVING count(*) >= {_copart_min_count(_SF01)} ORDER BY 1, 2"
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
+        "events_cdc_merge": (
+            # change set derived identically on both engines; winner = max
+            # (side, ver); tombstones (ver 3) drop the key
+            "WITH base AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents, "
+            "0::BIGINT AS ver, false AS deleted FROM events), "
+            "ch AS ("
+            " SELECT event_id, cents + 111 AS cents, 1::BIGINT AS ver, false AS deleted FROM base WHERE event_id % 7 = 0"
+            " UNION ALL SELECT event_id, cents + 222, 2::BIGINT, false FROM base WHERE event_id % 14 = 0"
+            " UNION ALL SELECT event_id, cents, 3::BIGINT, true FROM base WHERE event_id % 35 = 0), "
+            "u AS (SELECT *, 0 AS side FROM base UNION ALL SELECT *, 1 AS side FROM ch), "
+            "w AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY event_id ORDER BY side DESC, ver DESC) AS rn FROM u) WHERE rn = 1) "
+            "SELECT event_id, cents, ver FROM w WHERE NOT deleted ORDER BY event_id"
+        ),
+        "docs_quota_sample": (
+            "SELECT source, doc_id, hkey FROM ("
+            " SELECT source, doc_id, hkey, row_number() OVER "
+            " (PARTITION BY source ORDER BY hkey, doc_id) AS rn FROM ("
+            "  SELECT source, doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hkey"
+            "  FROM documents)) "
+            "WHERE rn <= 3 ORDER BY source, hkey, doc_id"
+        ),
         "graph_sssp": (
             # min over paths of <= 3 edges == 3 Bellman-Ford rounds; UNION
             # dedups (node, d, hops) so the walk table stays bounded

@@ -227,3 +227,81 @@ class TestKCore:
         tri = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 2)]
         out = kcore_bounded(self._edges(tri), k=2, max_rounds=3).to_pandas()
         assert list(out.node) == [0, 1, 2] and list(out.deg) == [2, 2, 2]
+
+
+class TestMergeUpsert:
+    def _mk(self, rows):
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([r[0] for r in rows], type=pa.int64()),
+            "v": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ver": pa.array([r[2] for r in rows], type=pa.int64()),
+            "deleted": pa.array([r[3] for r in rows], type=pa.bool_()),
+        }))
+
+    def test_upsert_latest_and_tombstone(self, ray_session):
+        from text_to_graph_ray.functions.agg import merge_upsert
+
+        base = self._mk([(1, 10, 0, False), (2, 20, 0, False), (3, 30, 0, False), (4, 40, 0, False)])
+        # k=1 two change versions (v2 wins), k=2 tombstone, k=5 insert-only
+        ch = self._mk([(1, 11, 1, False), (1, 12, 2, False), (2, 0, 1, True), (5, 50, 1, False)])
+        out = (
+            merge_upsert(base, ch, key="k", order_by=["ver"], deleted_col="deleted")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(out.k) == [1, 3, 4, 5]
+        assert list(out.v) == [12, 30, 40, 50]
+
+    def test_change_beats_base_even_with_lower_ver(self, ray_session):
+        from text_to_graph_ray.functions.agg import merge_upsert
+
+        # side dominates ver: a ver-0 change still overrides a ver-9 base row
+        base = self._mk([(1, 10, 9, False)])
+        ch = self._mk([(1, 99, 0, False)])
+        out = merge_upsert(base, ch, key="k", order_by=["ver"], deleted_col="deleted").to_pandas()
+        assert list(out.v) == [99]
+
+    def test_no_changes_is_identity(self, ray_session):
+        from text_to_graph_ray.functions.agg import merge_upsert
+
+        base = self._mk([(i, i * 10, 0, False) for i in range(20)])
+        empty = self._mk([])
+        out = (
+            merge_upsert(base, empty, key="k", order_by=["ver"], deleted_col="deleted")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, base.to_pandas().sort_values("k").reset_index(drop=True))
+
+
+class TestQuotaPerGroup:
+    def test_cap_and_determinism(self, ray_session):
+        import hashlib
+
+        import ray
+
+        from text_to_graph_ray.functions.sample import quota_per_group
+
+        t = pa.table({
+            "doc_id": pa.array(range(100), type=pa.int64()),
+            "source": pa.array([f"s{i % 4}" for i in range(100)]),
+        })
+        out = quota_per_group(ray.data.from_arrow(t), "source", n=5).to_pandas()
+        assert (out.groupby("source").size() == 5).all()
+        # winners = the 5 smallest md5 keys per group (independent recompute)
+        df = t.to_pandas()
+        df["hkey"] = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in df.doc_id]
+        want = df.sort_values(["hkey", "doc_id"]).groupby("source").head(5)
+        assert set(zip(out.source, out.doc_id)) == set(zip(want.source, want.doc_id))
+        # partition invariance
+        rep = quota_per_group(ray.data.from_arrow(t).repartition(9), "source", n=5).to_pandas()
+        pd.testing.assert_frame_equal(out, rep)
+
+    def test_group_smaller_than_quota_kept_whole(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.sample import quota_per_group
+
+        t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "source": pa.array(["a", "a"])})
+        out = quota_per_group(ray.data.from_arrow(t), "source", n=10).to_pandas()
+        assert len(out) == 2

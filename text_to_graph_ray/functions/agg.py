@@ -573,3 +573,58 @@ def cooccurrence_pairs(ds, group_col: str, item_col: str, min_count: int = 2,
         with_bucket(pairs, ["a", "b"], num_buckets, in_schema=pair_schema), count_bucket, out_schema, num_buckets
     )
     return sort_coalesced(counted, ["a", "b"])
+
+
+def merge_upsert(base_ds, changes_ds, key, order_by, deleted_col: str | None = None,
+                 out_schema: pa.Schema | None = None, num_buckets: int = 64):
+    """Apply a CDC change set to a base table (SQL ``MERGE``): per key the
+    winner is the LATEST change row under ``order_by`` when any change
+    exists, else the base row; if ``deleted_col`` is given, a winning change
+    with it true removes the key entirely (tombstone). Both inputs must
+    share a schema (same columns/types).
+
+    Plan: tag each side (changes above base), union, and reuse
+    ``latest_per_key`` over (side, order_by) descending — its per-batch
+    combiner means the ONE keyed exchange carries at most one candidate row
+    per key per upstream batch from either side; a vectorized tombstone
+    filter finishes. The keep-latest-version curation op generalized to
+    real upserts + deletes.
+
+    Determinism contract (latest_per_key's): (side, order_by) must totally
+    order each key's rows."""
+    import pyarrow.compute as pc
+
+    keys = _as_key_list(key)
+    order_by = _as_key_list(order_by)
+    side_col = "__side"
+    if out_schema is None:
+        s = base_ds.schema()
+        out_schema = pa.schema(list(zip(s.names, s.types)))
+    tagged_schema = pa.schema(list(out_schema) + [pa.field(side_col, pa.int64())])
+
+    def tag(side: int):
+        def add(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return tagged_schema.empty_table()
+            return t.select(out_schema.names).append_column(
+                side_col, pa.array([side] * t.num_rows, type=pa.int64())
+            )
+
+        return add
+
+    tagged = base_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        changes_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    winners = latest_per_key(
+        tagged, keys=keys, order_by=[side_col] + order_by, out_schema=tagged_schema,
+        descending=True, num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        if deleted_col is not None:
+            t = t.filter(pc.invert(pc.cast(t.column(deleted_col), pa.bool_())))
+        return t.select(out_schema.names)
+
+    return winners.map_batches(finish, batch_format="pyarrow")

@@ -108,3 +108,36 @@ def weighted_topk(ds, id_col: str, weight_col: str, k: int = 50, max_weight: int
         )
 
     return ds.map_batches(keys_topk, batch_format="pyarrow").sort(["tkey", id_col]).limit(k)
+
+
+def quota_per_group(ds, group_col: str, n: int, id_col: str = "doc_id"):
+    """Deterministic per-group quota sampling — cap every group at ``n``
+    rows (the source-balancing curation op: no single domain/source may
+    dominate the corpus). Rank key = first-8-hex ``md5(str(id))`` as int
+    (content-independent and engine-independent: DuckDB's ``md5()``
+    recomputes the identical key), keep the n SMALLEST keys per group with
+    an id tiebreak. ``topk_per_group``'s per-batch combiner bounds the one
+    keyed exchange at n rows per group per upstream batch. Returns
+    (group, id, hkey) ordered by (group, hkey, id)."""
+    import hashlib
+
+    from text_to_graph_ray.functions.agg import topk_per_group
+    from text_to_graph_ray.util import sort_coalesced
+
+    s = ds.schema()
+    gtype = dict(zip(s.names, s.types))[group_col]
+    schema = pa.schema([(group_col, gtype), (id_col, pa.int64()), ("hkey", pa.int64())])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        ids = b.column(id_col).to_pylist()
+        hk = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids]
+        return pa.table({group_col: b.column(group_col), id_col: pa.array(ids, type=pa.int64()),
+                         "hkey": pa.array(hk, type=pa.int64())}, schema=schema)
+
+    top = topk_per_group(
+        ds.map_batches(keyed, batch_format="pyarrow"), [group_col], "hkey", k=n,
+        descending=False, tiebreak=id_col, out_schema=schema, in_schema=schema,
+    )
+    return sort_coalesced(top, [group_col, "hkey", id_col])
