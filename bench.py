@@ -174,6 +174,25 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_events_range_sum(sf_dir).count()
     times["events_range_sum"] = round(time.monotonic() - t0, 3)
 
+    # round-4 part-5 families: corpus-level segment dedup, bounded k-core
+    # peeling, CDC merge-upsert, and the bucketed storage join (the timed
+    # span includes BOTH bucketed writes — the once-per-layout exchange)
+    t0 = time.monotonic()
+    _e._q_text_segment_dedup(sf_dir).count()
+    times["text_segment_dedup"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_graph_kcore(sf_dir).count()
+    times["graph_kcore"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_events_cdc_merge(sf_dir).count()
+    times["events_cdc_merge"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_rel_bucketed_join(sf_dir).count()
+    times["rel_bucketed_join"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 
