@@ -135,11 +135,11 @@ def main():
     print(f"zorder: 10M rows write {t_write:.1f}s; pruned scan {nf} rows in "
           f"{time.monotonic() - t0:.1f}s, row groups {st['rg_kept']}/{st['rg_total']}", flush=True)
 
-    # 4. bounded k-core: 10M edges / 1M nodes (avg deg 20), k=24, 4 rounds
+    # 4. bounded k-core: 10M edges / 1M nodes (avg deg 20), k=12: below the ER 14-core cascade threshold so a core survives
     edges = synth_edges(10_000_000, 1_000_000).materialize()
     t0 = time.monotonic()
-    nk = kcore_bounded(edges, k=24, max_rounds=4).count()
-    print(f"kcore: 10M edges 4 rounds -> {nk} nodes, {time.monotonic() - t0:.1f}s", flush=True)
+    nk = kcore_bounded(edges, k=12, max_rounds=4).count()
+    print(f"kcore: 10M edges k=12 4 rounds -> {nk} nodes, {time.monotonic() - t0:.1f}s", flush=True)
 
     # 5. CDC merge: 10M base + 1M changes (every 10th key, 10% tombstones)
     base = synth_kv(10_000_000, 10_000_000).map_batches(
