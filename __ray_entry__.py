@@ -373,6 +373,37 @@ def _q_docs_quota_sample(sf_dir):
     return quota_per_group(ds, "source", n=3)
 
 
+def _q_rel_winsorized(sf_dir):
+    """Per-returnflag winsorization of quantities at exact disc [p10, p90]:
+    one keyed exchange finds the per-group bounds (DuckDB's quantile_disc
+    index rule per group), the corpus is then clipped IN THE SCAN against a
+    guarded ray.put broadcast — all-int arithmetic. Oracle: quantile_disc
+    bounds + LEAST/GREATEST sums."""
+    from text_to_graph_ray.functions.stats import winsorize_group_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    return winsorize_group_stats(ds, "l_returnflag", "l_quantity", q_lo=0.1, q_hi=0.9)
+
+
+def _q_docs_partitioned_scan(sf_dir):
+    """Hive-partitioned layout + directory-pruned read: documents written
+    once partitioned by lang (one dir per value — the coarsest skipping
+    granule), then a two-language catalog aggregate reads ONLY those two
+    directories (pruned partitions never even reach the read plan). Oracle:
+    WHERE lang IN (...) over the original table — layout must be
+    result-invariant."""
+    import os
+
+    from text_to_graph_ray.sources.formats import read_partition_values, source_stats_from, write_partitioned
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/graft_partitioned/{tag}/documents"
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+    write_partitioned(docs, path, ["lang"])
+    ds = read_partition_values(path, "lang", ["en", "fr"], columns=["source", "n_chars"])
+    return source_stats_from(ds)
+
+
 def _q_text_redact_pii(sf_dir):
     """Vectorized PII redaction (round 4): emails / IPv4 / phone patterns via
     RE2 kernels; counts taken on the progressively-redacted text. The synth
@@ -1827,6 +1858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": _q_graph_kcore,
         "events_cdc_merge": _q_events_cdc_merge,
         "docs_quota_sample": _q_docs_quota_sample,
+        "docs_partitioned_scan": _q_docs_partitioned_scan,
+        "rel_winsorized": _q_rel_winsorized,
     }
 
 
@@ -2603,6 +2636,23 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT * FROM (SELECT *, row_number() OVER "
             "(PARTITION BY event_id ORDER BY side DESC, ver DESC) AS rn FROM u) WHERE rn = 1) "
             "SELECT event_id, cents, ver FROM w WHERE NOT deleted ORDER BY event_id"
+        ),
+        "rel_winsorized": (
+            # int-cast quantities; disc-quantile bounds per group; clipped
+            # flags/sums all integer-exact
+            "WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v FROM lineitem "
+            "WHERE l_quantity IS NOT NULL), "
+            "b AS (SELECT l_returnflag, quantile_disc(v, 0.1) AS lo, quantile_disc(v, 0.9) AS hi "
+            "FROM q GROUP BY 1) "
+            "SELECT q.l_returnflag, count(*)::BIGINT AS n, "
+            "sum(CASE WHEN v < lo THEN 1 ELSE 0 END)::BIGINT AS n_lo, "
+            "sum(CASE WHEN v > hi THEN 1 ELSE 0 END)::BIGINT AS n_hi, "
+            "sum(LEAST(GREATEST(v, lo), hi))::BIGINT AS sum_clipped "
+            "FROM q JOIN b USING (l_returnflag) GROUP BY 1 ORDER BY 1"
+        ),
+        "docs_partitioned_scan": (
+            "SELECT source, lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars "
+            "FROM documents WHERE lang IN ('en', 'fr') GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "docs_quota_sample": (
             "SELECT source, doc_id, hkey FROM ("

@@ -305,3 +305,51 @@ class TestQuotaPerGroup:
         t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "source": pa.array(["a", "a"])})
         out = quota_per_group(ray.data.from_arrow(t), "source", n=10).to_pandas()
         assert len(out) == 2
+
+
+class TestPartitionedLayout:
+    def test_directory_pruned_read(self, ray_session, tmp_path):
+        import ray
+
+        from text_to_graph_ray.sources.formats import read_partition_values, write_partitioned
+
+        t = pa.table({
+            "lang": pa.array(["en", "de", "en", "fr", "de", "en"]),
+            "val": pa.array(range(6), type=pa.int64()),
+        })
+        write_partitioned(ray.data.from_arrow(t), str(tmp_path / "p"), ["lang"])
+        # only the requested directories exist in the read plan
+        out = read_partition_values(str(tmp_path / "p"), "lang", ["en", "fr"]).to_pandas()
+        assert sorted(out.val) == [0, 2, 3, 5]
+        assert set(out.lang) == {"en", "fr"}
+        with pytest.raises(ValueError, match="no partition"):
+            read_partition_values(str(tmp_path / "p"), "lang", ["zz"])
+
+
+class TestWinsorize:
+    def test_known_bounds_and_clipped_sum(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.stats import winsorize_group_stats
+
+        # group g: values 1..10 -> disc p10 = ceil(0.1*10)-1 = idx 0 -> 1;
+        # p90 = ceil(9)-1 = idx 8 -> 9; clip only the 10 -> sum 54
+        t = pa.table({
+            "g": pa.array(["g"] * 10 + ["h"] * 3),
+            "v": pa.array(list(range(1, 11)) + [100, 200, 300], type=pa.int64()),
+        })
+        out = winsorize_group_stats(ray.data.from_arrow(t), "g", "v").to_pandas()
+        g = out[out.g == "g"].iloc[0]
+        assert (g.n, g.n_lo, g.n_hi, g.sum_clipped) == (10, 0, 1, 54)
+        # h: n=3 -> p10 idx ceil(0.3)-1=0 -> 100; p90 idx ceil(2.7)-1=2 -> 300: nothing clips
+        h = out[out.g == "h"].iloc[0]
+        assert (h.n, h.n_lo, h.n_hi, h.sum_clipped) == (3, 0, 0, 600)
+
+    def test_groups_max_guard(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.stats import winsorize_group_stats
+
+        t = pa.table({"g": pa.array([f"g{i}" for i in range(50)]), "v": pa.array(range(50), type=pa.int64())})
+        with pytest.raises(ValueError, match="groups_max"):
+            winsorize_group_stats(ray.data.from_arrow(t), "g", "v", groups_max=10)

@@ -431,3 +431,113 @@ def grouped_spearman_int(ds, key: str, x_col: str, y_col: str, y_scale: int = 1,
         with_bucket(pre, key, num_buckets, in_schema=part_schema), per_bucket, out_schema, num_buckets
     )
     return sort_coalesced(out, key)
+
+
+def winsorize_group_stats(ds, key: str, col: str, q_lo: float = 0.1, q_hi: float = 0.9,
+                          key_type: pa.DataType | None = None, num_buckets: int = 64,
+                          groups_max: int = 100_000):
+    """Per-group winsorization at EXACT discrete quantiles + clipped
+    aggregates — the curation op that tames heavy-tailed metrics (doc
+    lengths, per-domain counts) before averaging. Input values must be
+    integer-typed (int64) so everything downstream is exact.
+
+    Phase 1 (bounds): one keyed coarse-bucket exchange of (key, value) rows;
+    per bucket a vectorized sort + group-offset index probe applies DuckDB's
+    ``quantile_disc`` rule (index ceil(q*n)-1, clamped) — the
+    ``exact_quantiles`` discipline per group. The bounds table is
+    vocabulary-sized; it is collected under a LOUD ``groups_max`` guard and
+    broadcast ONCE via ray.put (the grouped_zscore two-pass shape — the
+    corpus itself never shuffles for phase 2).
+
+    Phase 2 (clip + aggregate): one scan maps each row's key to its [lo, hi]
+    (vectorized searchsorted on the sorted key array), clips, flags, and
+    pre-aggregates per batch; a small keyed exchange merges the partials.
+
+    Returns (key, n, n_lo, n_hi, sum_clipped) sorted by key: row count,
+    rows clipped from below / above, and the winsorized integer sum.
+    """
+    import pandas as pd
+    import ray
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, bucketed_aggregate, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    key_type = key_type or pa.string()
+    pair_schema = pa.schema([(key, key_type), (col, pa.int64())])
+    bounds_schema = pa.schema([(key, key_type), ("lo", pa.int64()), ("hi", pa.int64())])
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        b = b.select([key, col]).filter(pc.is_valid(b.column(col)))
+        return pa.table({key: b.column(key), col: pc.cast(b.column(col), pa.int64())}, schema=pair_schema)
+
+    pairs = ds.map_batches(keep, batch_format="pyarrow")
+
+    def bounds_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return bounds_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values([key, col], kind="mergesort")
+        sizes = df.groupby(key, sort=False)[col].size().to_numpy()
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        vals = df[col].to_numpy()
+        out_keys = df[key].iloc[starts].to_numpy()
+
+        def disc_idx(q):
+            i = np.ceil(q * sizes).astype(np.int64) - 1
+            return starts + np.clip(i, 0, sizes - 1)
+
+        return pa.table({
+            key: pa.array(out_keys, type=key_type),
+            "lo": pa.array(vals[disc_idx(q_lo)], type=pa.int64()),
+            "hi": pa.array(vals[disc_idx(q_hi)], type=pa.int64()),
+        }, schema=bounds_schema)
+
+    bounds = bucket_exchange(
+        with_bucket(pairs, [key], num_buckets, in_schema=pair_schema),
+        bounds_bucket, bounds_schema, num_buckets,
+    ).materialize()
+    n_groups = bounds.count()
+    if n_groups > groups_max:
+        raise ValueError(
+            f"winsorize_group_stats: {n_groups} groups exceed groups_max={groups_max} — "
+            "a bounds table this large should not be driver-broadcast; shard phase 2 by key instead"
+        )
+    bt = pa.concat_tables([t for t in ray.get(bounds.to_arrow_refs()) if t.num_rows])
+    bkeys = np.asarray(bt.column(key).to_pylist())
+    order = np.argsort(bkeys)
+    ref = ray.put((bkeys[order],
+                   np.asarray(bt.column("lo").to_pylist(), dtype=np.int64)[order],
+                   np.asarray(bt.column("hi").to_pylist(), dtype=np.int64)[order]))
+
+    part_schema = pa.schema([(key, key_type), ("n", pa.int64()), ("n_lo", pa.int64()),
+                             ("n_hi", pa.int64()), ("sum_clipped", pa.int64())])
+
+    def clip_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        karr, lo_arr, hi_arr = ray.get(ref)
+        df = pd.DataFrame({
+            key: b.column(key).to_pylist(),
+            col: np.asarray(b.column(col).to_pylist(), dtype=np.int64),
+        })
+        idx = np.searchsorted(karr, df[key].to_numpy())
+        lo, hi = lo_arr[idx], hi_arr[idx]
+        v = df[col].to_numpy()
+        df["n_lo"] = (v < lo).astype(np.int64)
+        df["n_hi"] = (v > hi).astype(np.int64)
+        df["sum_clipped"] = np.clip(v, lo, hi)
+        df["n"] = 1
+        g = df.groupby(key, as_index=False, sort=False)[["n", "n_lo", "n_hi", "sum_clipped"]].sum()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in part_schema}, schema=part_schema)
+
+    partials = pairs.map_batches(clip_partial, batch_format="pyarrow")
+    out = bucketed_aggregate(
+        partials, [key],
+        {"n": ("n", "sum"), "n_lo": ("n_lo", "sum"), "n_hi": ("n_hi", "sum"),
+         "sum_clipped": ("sum_clipped", "sum")},
+        out_schema=part_schema, num_buckets=num_buckets, in_schema=part_schema,
+    )
+    return sort_coalesced(out, key)
