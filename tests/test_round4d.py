@@ -353,3 +353,26 @@ class TestWinsorize:
         t = pa.table({"g": pa.array([f"g{i}" for i in range(50)]), "v": pa.array(range(50), type=pa.int64())})
         with pytest.raises(ValueError, match="groups_max"):
             winsorize_group_stats(ray.data.from_arrow(t), "g", "v", groups_max=10)
+
+
+class TestFilterByAllKeys:
+    def test_broadcast_matches_distributed_and_anti(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.joins import filter_by_all_keys
+
+        edges = ray.data.from_arrow(pa.table({
+            "a": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "b": pa.array([1, 2, 3, 4, 0], type=pa.int64()),
+        }))
+        alive = ray.data.from_arrow(pa.table({"node": pa.array([0, 1, 2], type=pa.int64())}))
+        semi_b = filter_by_all_keys(edges, alive, keys=("a", "b"), right_key="node").to_pandas()
+        semi_d = filter_by_all_keys(edges, alive, keys=("a", "b"), right_key="node",
+                                    broadcast_max=0).to_pandas()
+        want = {(0, 1), (1, 2)}
+        assert set(zip(semi_b.a, semi_b.b)) == set(zip(semi_d.a, semi_d.b)) == want
+        anti = filter_by_all_keys(edges, alive, keys=("a", "b"), right_key="node", mode="anti").to_pandas()
+        assert set(zip(anti.a, anti.b)) == {(2, 3), (3, 4), (4, 0)}
+        with pytest.raises(NotImplementedError):
+            filter_by_all_keys(edges, alive, keys=("a", "b"), right_key="node",
+                               mode="anti", broadcast_max=0).to_pandas()

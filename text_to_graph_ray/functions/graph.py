@@ -609,7 +609,7 @@ def kcore_bounded(edges_ds, k: int = 8, max_rounds: int = 4, src_col: str = "src
     import pyarrow.compute as pc
 
     from text_to_graph_ray.functions.agg import bucketed_aggregate, distinct_rows
-    from text_to_graph_ray.functions.joins import filter_by_keys
+    from text_to_graph_ray.functions.joins import filter_by_all_keys
     from text_to_graph_ray.util import compact_nonempty, sort_coalesced
 
     edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -651,10 +651,10 @@ def kcore_bounded(edges_ds, k: int = 8, max_rounds: int = 4, src_col: str = "src
             return pa.table({"node": keep.column("node")}, schema=node_schema)
 
         alive = degrees(edges).map_batches(alive_only, batch_format="pyarrow")
-        pruned = filter_by_keys(
-            filter_by_keys(edges, alive, key="a", right_key="node", mode="semi"),
-            alive, key="b", right_key="node", mode="semi",
-        ).materialize()
+        # both endpoints must be alive: ONE streamed pass with two AND-ed
+        # is_in masks under the broadcast guard (chained per-column semi
+        # filters would scan the edge table twice per round)
+        pruned = filter_by_all_keys(edges, alive, keys=("a", "b"), right_key="node", mode="semi").materialize()
         pruned = compact_nonempty(pruned)
         n_pruned = pruned.count()
         if n_pruned == n_edges:  # fixpoint: further peels are no-ops

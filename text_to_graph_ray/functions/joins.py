@@ -365,3 +365,66 @@ def keyed_full_outer(left, right, keys, left_vals, right_vals, num_buckets: int 
     return bucket_exchange(
         with_bucket(unioned, keys, num_buckets, in_schema=combined), per_bucket, out_schema, num_buckets
     )
+
+
+def filter_by_all_keys(left, right, keys, right_key: str, mode: str = "semi",
+                       broadcast_max: int = SEMI_BROADCAST_MAX_ROWS):
+    """Conjunctive multi-column variant of ``filter_by_keys``: keep left
+    rows whose EVERY column in ``keys`` appears in ``right``'s key set
+    (``mode="semi"``), or the complement (``mode="anti"``). The k-core /
+    edge-both-endpoints-alive shape.
+
+    Under the broadcast guard this is ONE streamed pass over the left with
+    len(keys) vectorized ``is_in`` masks AND-ed together — chaining
+    ``filter_by_keys`` per column would re-scan (and re-materialize) the
+    left once per column. Above the guard it falls back to chained
+    distributed semi joins, which ARE per-column exchanges (that cost is
+    inherent to the join plan); both plans are value-identical
+    (threshold-0 equivalence test).
+    """
+    import ray
+
+    keys = list(keys)
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+    key_type = _arrow_schema(left).field(keys[0]).type
+
+    def _keys(b: pa.Table, c=right_key, t=key_type) -> pa.Table:
+        if b.num_rows == 0 or c not in b.schema.names:
+            return pa.table({c: pa.array([], type=t)})
+        return pa.table({c: pc.unique(pc.cast(b.column(c), t))})
+
+    keys_only = right.map_batches(_keys, batch_format="pyarrow").materialize()
+    if keys_only.count() > broadcast_max:
+        if mode == "anti":
+            raise NotImplementedError(
+                "filter_by_all_keys(mode='anti') above the broadcast guard: the complement of a "
+                "conjunction is not a chain of anti joins — filter the semi result instead"
+            )
+        out = left
+        for k in keys:
+            out = filter_by_keys(out, keys_only, key=k, right_key=right_key, mode="semi",
+                                 broadcast_max=broadcast_max)
+        return out
+    blocks = [t for t in ray.get(keys_only.to_arrow_refs()) if t.num_rows and right_key in t.schema.names]
+    if blocks:
+        key_arr = pc.unique(pa.concat_tables(blocks).column(right_key).combine_chunks())
+    else:
+        key_arr = pa.array([], type=key_type)
+    ref = ray.put(key_arr)
+    invert = mode == "anti"
+
+    def flt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ks = ray.get(ref)
+        if len(ks) == 0:
+            m = pa.array([False] * b.num_rows, type=pa.bool_())
+        else:
+            m = None
+            for k in keys:
+                mk = pc.is_in(pc.cast(b.column(k), key_type), value_set=ks)
+                m = mk if m is None else pc.and_(m, mk)
+        return b.filter(pc.invert(m) if invert else m)
+
+    return left.map_batches(flt, batch_format="pyarrow")
