@@ -373,6 +373,16 @@ def _q_docs_quota_sample(sf_dir):
     return quota_per_group(ds, "source", n=3)
 
 
+def _q_text_vocab_by_lang(sf_dir):
+    """Top-5 tokens per language: (group, token) Counter combiner -> one
+    bucketed sum -> combiner-pruned topk_per_group (n desc, token asc —
+    the window order the oracle ranks with)."""
+    from text_to_graph_ray.functions.text import grouped_vocab_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return grouped_vocab_topk(ds, "lang", k=5)
+
+
 def _q_rel_winsorized(sf_dir):
     """Per-returnflag winsorization of quantities at exact disc [p10, p90]:
     one keyed exchange finds the per-group bounds (DuckDB's quantile_disc
@@ -1860,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quota_sample": _q_docs_quota_sample,
         "docs_partitioned_scan": _q_docs_partitioned_scan,
         "rel_winsorized": _q_rel_winsorized,
+        "text_vocab_by_lang": _q_text_vocab_by_lang,
     }
 
 
@@ -2636,6 +2647,16 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT * FROM (SELECT *, row_number() OVER "
             "(PARTITION BY event_id ORDER BY side DESC, ver DESC) AS rn FROM u) WHERE rn = 1) "
             "SELECT event_id, cents, ver FROM w WHERE NOT deleted ORDER BY event_id"
+        ),
+        "text_vocab_by_lang": (
+            # token filter mirrors python str.split (see text_vocab_topk)
+            "SELECT lang, token, n FROM ("
+            " SELECT lang, token, n, row_number() OVER "
+            " (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM ("
+            "  SELECT lang, token, count(*)::BIGINT AS n FROM ("
+            "   SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
+            "  WHERE token <> '' GROUP BY 1, 2)) "
+            "WHERE rn <= 5 ORDER BY lang, n DESC, token"
         ),
         "rel_winsorized": (
             # int-cast quantities; disc-quantile bounds per group; clipped

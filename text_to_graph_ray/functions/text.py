@@ -578,3 +578,47 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
         with_bucket(winners, [id_col], num_buckets, in_schema=seg_schema), per_bucket, out_schema, num_buckets
     )
     return sort_coalesced(out, id_col)
+
+
+def grouped_vocab_topk(ds, group_col: str = "lang", k: int = 5,
+                       text_col: str = "text", num_buckets: int = 64):
+    """Top-k vocabulary PER GROUP (the per-language/per-domain token profile
+    behind corpus balancing and lang-ID calibration): per-batch (group,
+    token) Counter partials — one row per distinct (group, token) per batch
+    enters the exchange, so the corpus ships its per-group vocabulary, not
+    its tokens — then one bucketed sum and a combiner-pruned
+    ``topk_per_group`` (n desc, token asc tiebreak, mirroring the DuckDB
+    window order). Returns (group, token, n) sorted by (group, n desc,
+    token)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, topk_per_group
+    from text_to_graph_ray.util import sort_coalesced
+
+    s = ds.schema()
+    gtype = dict(zip(s.names, s.types))[group_col]
+    pair_schema = pa.schema([(group_col, gtype), ("token", pa.string()), ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        c: Counter = Counter()
+        for g, t in zip(b.column(group_col).to_pylist(), b.column(text_col).to_pylist()):
+            for tok in (t or "").split():
+                c[(g, tok)] += 1
+        items = sorted(c.items())
+        return pa.table({
+            group_col: pa.array([g for (g, _), _ in items], type=gtype),
+            "token": pa.array([tok for (_, tok), _ in items], type=pa.string()),
+            "n": pa.array([v for _, v in items], type=pa.int64()),
+        }, schema=pair_schema)
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), [group_col, "token"],
+        {"n": ("n", "sum")}, out_schema=pair_schema, num_buckets=num_buckets, in_schema=pair_schema,
+    )
+    top = topk_per_group(counts, [group_col], "n", k=k, descending=True, tiebreak="token",
+                         out_schema=pair_schema, in_schema=pair_schema)
+    return sort_coalesced(top, [group_col, "n", "token"], descending=[False, True, False])
