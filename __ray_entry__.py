@@ -383,6 +383,17 @@ def _q_text_vocab_by_lang(sf_dir):
     return grouped_vocab_topk(ds, "lang", k=5)
 
 
+def _q_emb_quantize_profile(sf_dir):
+    """Int8 scalar-quantization profile of the embedding corpus (per-dim
+    min/max scaling — the 4x vector-compression prep for ANN): two passes,
+    dims-sized exchanges only, quantize expression mirrored op-for-op in
+    SQL (floor, not round — identical IEEE semantics), integer sums."""
+    from text_to_graph_ray.functions.embeddings import quantize_int8_profile
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return quantize_int8_profile(ds)
+
+
 def _q_rel_winsorized(sf_dir):
     """Per-returnflag winsorization of quantities at exact disc [p10, p90]:
     one keyed exchange finds the per-group bounds (DuckDB's quantile_disc
@@ -1871,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_partitioned_scan": _q_docs_partitioned_scan,
         "rel_winsorized": _q_rel_winsorized,
         "text_vocab_by_lang": _q_text_vocab_by_lang,
+        "emb_quantize_profile": _q_emb_quantize_profile,
     }
 
 
@@ -2647,6 +2659,19 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT * FROM (SELECT *, row_number() OVER "
             "(PARTITION BY event_id ORDER BY side DESC, ver DESC) AS rn FROM u) WHERE rn = 1) "
             "SELECT event_id, cents, ver FROM w WHERE NOT deleted ORDER BY event_id"
+        ),
+        "emb_quantize_profile": (
+            # float32 widened to double (exact); q = floor((v-lo)*255/(hi-lo))
+            # clamped — the same three IEEE ops in the same order as the engine
+            "WITH v AS (SELECT CAST(embedding[d + 1] AS DOUBLE) AS val, CAST(d AS BIGINT) AS dim "
+            "FROM (SELECT embedding, unnest(generate_series(0, len(embedding) - 1)) AS d FROM embeddings)), "
+            "b AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM v GROUP BY dim), "
+            "q AS (SELECT v.dim, CASE WHEN hi = lo THEN 0 ELSE "
+            "CAST(LEAST(GREATEST(floor((val - lo) * 255 / (hi - lo)), 0), 255) AS BIGINT) END AS qv "
+            "FROM v JOIN b USING (dim)) "
+            "SELECT q.dim, any_value(b.lo) AS lo, any_value(b.hi) AS hi, "
+            "count(*)::BIGINT AS n, sum(qv)::BIGINT AS sum_q "
+            "FROM q JOIN b USING (dim) GROUP BY q.dim ORDER BY q.dim"
         ),
         "text_vocab_by_lang": (
             # token filter mirrors python str.split (see text_vocab_topk)
