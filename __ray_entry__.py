@@ -394,6 +394,18 @@ def _q_emb_quantize_profile(sf_dir):
     return quantize_int8_profile(ds)
 
 
+def _q_docs_budget_select(sf_dir):
+    """Token-budget corpus selection: rank by the shared quality contract,
+    keep docs while the running token total fits total//3 (budget derived
+    from the data). One global sort + the pack.py block-offset prefix-sum —
+    the driver holds #blocks numbers. Oracle: window cumsum over the
+    expected quality table joined to exact token counts."""
+    from text_to_graph_ray.functions.sample import budget_select
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return budget_select(ds)
+
+
 def _q_rel_winsorized(sf_dir):
     """Per-returnflag winsorization of quantities at exact disc [p10, p90]:
     one keyed exchange finds the per-group bounds (DuckDB's quantile_disc
@@ -1883,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_winsorized": _q_rel_winsorized,
         "text_vocab_by_lang": _q_text_vocab_by_lang,
         "emb_quantize_profile": _q_emb_quantize_profile,
+        "docs_budget_select": _q_docs_budget_select,
     }
 
 
@@ -2659,6 +2672,18 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT * FROM (SELECT *, row_number() OVER "
             "(PARTITION BY event_id ORDER BY side DESC, ver DESC) AS rn FROM u) WHERE rn = 1) "
             "SELECT event_id, cents, ver FROM w WHERE NOT deleted ORDER BY event_id"
+        ),
+        "docs_budget_select": (
+            # quality from the independent expected table; token counts from
+            # the docs (list_filter mirrors python str.split exactly);
+            # integer // for the data-derived budget on both engines
+            f"WITH t AS (SELECT x.doc_id, x.quality, "
+            f"len(list_filter(regexp_split_to_array(coalesce(d.text,''), '\\s+'), tk -> tk <> ''))::BIGINT AS n_tokens "
+            f"FROM read_parquet('{e}/expected_text.parquet') x JOIN documents d USING (doc_id)), "
+            "c AS (SELECT doc_id, quality, n_tokens, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens FROM t) "
+            "SELECT doc_id, quality, n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= (SELECT sum(n_tokens) FROM t) // 3 ORDER BY quality DESC, doc_id"
         ),
         "emb_quantize_profile": (
             # float32 widened to double (exact); q = floor((v-lo)*255/(hi-lo))

@@ -411,3 +411,41 @@ class TestQuantizeInt8:
         a = quantize_int8_profile(ray.data.from_arrow(t)).to_pandas()
         b = quantize_int8_profile(ray.data.from_arrow(t).repartition(7)).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBudgetSelect:
+    def test_prefix_semantics_and_budget(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.sample import budget_select
+
+        # qualities rank doc order; explicit budget: strict window prefix —
+        # once cum passes budget NOTHING later is taken, even if it would fit
+        rows = [
+            (1, "the and of to in is that it with for"),        # high quality (stopwords)
+            (2, "zz qq ww ee rr tt yy uu ii oo"),               # lower
+            (3, "aa bb"),                                        # tiny, lowest-ish
+        ]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }))
+        out = budget_select(ds, budget_tokens=12).to_pandas()
+        # doc1 (10 toks) fits; doc2 pushes cum to 20 > 12 -> excluded; doc3
+        # (2 toks) would fit a knapsack but NOT the window prefix
+        assert list(out.doc_id) == [1]
+        assert list(out.cum_tokens) == [10]
+
+    def test_derived_budget_and_partition_invariance(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.sample import budget_select
+
+        rows = [(i, " ".join(["the word"] * (5 + i % 7))) for i in range(80)]
+        t = pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                      "text": pa.array([r[1] for r in rows])})
+        a = budget_select(ray.data.from_arrow(t)).to_pandas()
+        b = budget_select(ray.data.from_arrow(t).repartition(11)).to_pandas()
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+        total = sum(len(r[1].split()) for r in rows)
+        assert a.cum_tokens.max() <= total // 3 < a.cum_tokens.max() + a.n_tokens.min() + total

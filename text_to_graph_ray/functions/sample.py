@@ -8,6 +8,7 @@ hash-checks them against DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -141,3 +142,80 @@ def quota_per_group(ds, group_col: str, n: int, id_col: str = "doc_id"):
         descending=False, tiebreak=id_col, out_schema=schema, in_schema=schema,
     )
     return sort_coalesced(top, [group_col, "hkey", id_col])
+
+
+def budget_select(ds, budget_tokens: int | None = None, budget_denom: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Token-budget corpus selection — the final curation step that fills a
+    fixed training budget with the best documents: rank every doc by the
+    shared quality contract (``text.quality_row``, desc, id tiebreak) and
+    keep docs while the RUNNING token total stays within the budget (strict
+    window-prefix semantics — once the cumulative sum passes the budget,
+    everything after it is excluded, exactly SQL's
+    ``sum() OVER (ORDER BY quality DESC, id) <= budget``; NOT first-fit
+    knapsack).
+
+    Scale shape: quality + token counts inside the scan; ONE global sort by
+    (quality, id); the running total is pack.py's block-offset prefix-sum —
+    per-block sums to the driver (#blocks numbers), bases broadcast back,
+    per-block vectorized cumsum + filter. Nothing corpus-sized reaches the
+    driver. ``budget_tokens=None`` derives the budget from the data
+    (total_tokens // budget_denom) so the selection stays in the
+    distribution's middle at every scale.
+
+    Returns (doc_id, quality, n_tokens, cum_tokens) for the selected docs,
+    sorted by (quality desc, doc_id)."""
+    import ray
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import quality_row
+
+    score_schema = pa.schema([(id_col, pa.int64()), ("quality", pa.float64()), ("n_tokens", pa.int64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return score_schema.empty_table()
+        qs, ns = [], []
+        for t in b.column(text_col).to_pylist():
+            t = t or ""
+            toks = t.split()
+            qs.append(quality_row(t, toks)[3])
+            ns.append(len(toks))
+        return pa.table({id_col: b.column(id_col), "quality": pa.array(qs, type=pa.float64()),
+                         "n_tokens": pa.array(ns, type=pa.int64())}, schema=score_schema)
+
+    ranked = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["quality", id_col], descending=[True, False])
+        .materialize()
+    )
+    refs = ranked.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "n_tokens" not in t.schema.names:
+            return 0
+        return int(pc.sum(t.column("n_tokens")).as_py() or 0)
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    bases, total = [], 0
+    for s in sums:
+        bases.append(total)
+        total += s
+    budget = budget_tokens if budget_tokens is not None else total // budget_denom
+
+    out_schema = pa.schema(list(score_schema) + [pa.field("cum_tokens", pa.int64())])
+
+    @ray.remote
+    def keep_within(t: pa.Table, base: int) -> pa.Table:
+        if t.num_rows == 0 or "n_tokens" not in t.schema.names:
+            return out_schema.empty_table()
+        n = np.asarray(t.column("n_tokens"), dtype=np.int64)
+        cum = base + np.cumsum(n)
+        t = t.append_column("cum_tokens", pa.array(cum, type=pa.int64()))
+        return t.filter(pa.array(cum <= budget))
+
+    out_refs = [keep_within.remote(r, b) for r, b in zip(refs, bases) if b <= budget]
+    return rd.from_arrow_refs(out_refs)
