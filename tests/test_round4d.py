@@ -449,3 +449,58 @@ class TestBudgetSelect:
         pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
         total = sum(len(r[1].split()) for r in rows)
         assert a.cum_tokens.max() <= total // 3 < a.cum_tokens.max() + a.n_tokens.min() + total
+
+
+class TestMergeIncrement:
+    def _mk_files(self, rows):
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["python"] * len(rows)),
+            "content": pa.array([r[2] for r in rows]),
+        }))
+
+    def test_three_way_increment_equals_full(self, ray_session):
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        rows = [
+            ("r1", f"m{i}.py", f"import os\n\ndef f{i}():\n    g{(i + 1) % 9}()\n")
+            for i in range(9)
+        ]
+        full_cfg = PipelineConfig(link_aliases=True)
+        nolink = PipelineConfig(link_aliases=False)
+
+        def build(ds, cfg):
+            return kg.merged_graph(kg.keyed_records(kg.extract_chain(ds, cfg), cfg), cfg)
+
+        full = kg.nodes_from_merged(
+            kg.link_merged(build(self._mk_files(rows), nolink), full_cfg)
+        ).to_pandas()
+        parts = [build(self._mk_files(rows[i::3]), nolink) for i in range(3)]
+        inc = kg.nodes_from_merged(kg.merge_increment(parts, full_cfg)).to_pandas()
+        pd.testing.assert_frame_equal(full.reset_index(drop=True), inc.reset_index(drop=True))
+
+    def test_label_casing_rule_crosses_increments(self, ray_session):
+        # the canonical-label min-own rule must pick the SAME winner whether
+        # the label variants arrive in one increment or split across two
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        a = [("r1", "a.py", "def Alpha():\n    pass\n")]
+        b = [("r2", "b.py", "def alpha():\n    pass\n")]
+        nolink = PipelineConfig(link_aliases=False)
+
+        def build(rows):
+            ds = self._mk_files(rows)
+            return kg.merged_graph(kg.keyed_records(kg.extract_chain(ds, nolink), nolink), nolink)
+
+        full = kg.nodes_from_merged(build(a + b), with_ids=False).to_pandas()
+        inc = kg.nodes_from_merged(
+            kg.merge_increment([build(a), build(b)], nolink), with_ids=False
+        ).to_pandas()
+        pd.testing.assert_frame_equal(full.reset_index(drop=True), inc.reset_index(drop=True))
+        row = inc[inc.entity_key == "alpha"]
+        assert len(row) == 1

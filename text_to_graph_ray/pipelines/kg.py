@@ -965,3 +965,31 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
         "nodes": n_nodes,
         "edges": n_edges,
     }
+
+
+def merge_increment(merged_parts: list, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Incremental KG maintenance: union ALREADY-MERGED (packed) graph
+    increments — e.g. yesterday's persisted merged graph plus today's
+    new-files increment — and re-merge in ONE vocabulary-sized exchange
+    (``_remerge_all`` / ``merge_bucket_packed`` set-union semantics; the
+    same machinery the salted phase-B and link paths use).
+
+    Correctness: every merge rule is ASSOCIATIVE over set union — types /
+    repos / edge provenance are pure unions, the canonical label is
+    min-own-else-min (min distributes over union, and the own-filter
+    commutes with it: the per-increment winner is own iff any own label
+    exists in that increment) — so merge(A) ⊕ merge(B) == merge(A ∪ B) for
+    ANY partition of the corpus into increments. The driver query
+    kg_nodes_incremental hash-checks this against the full-rebuild oracle.
+
+    Linking (``cfg.link_aliases``) runs AFTER the final merge: defs
+    discovered in one increment must rewrite mentions extracted in another,
+    so per-increment builds pass ``link_aliases=False`` and the combined
+    graph links once here."""
+    out = merged_parts[0]
+    for p in merged_parts[1:]:
+        out = out.union(p)
+    merged = _remerge_all(out, cfg)
+    if cfg.link_aliases:
+        merged = link_merged(merged, cfg)
+    return merged
