@@ -441,6 +441,17 @@ def _q_docs_budget_select(sf_dir):
     return budget_select(ds)
 
 
+def _q_events_skew_profile(sf_dir):
+    """Key-distribution skew profile of events.user_id (the diagnostic
+    behind salt/broadcast/bucket decisions): exact int64 Gini numerator via
+    the block-offset rank pattern, one IEEE division; top key = min key
+    among max-count holders (the SQL deterministic pick)."""
+    from text_to_graph_ray.functions.agg import key_skew_profile
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return key_skew_profile(ds, "user_id")
+
+
 def _q_rel_winsorized(sf_dir):
     """Per-returnflag winsorization of quantities at exact disc [p10, p90]:
     one keyed exchange finds the per-group bounds (DuckDB's quantile_disc
@@ -1932,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_profile": _q_emb_quantize_profile,
         "docs_budget_select": _q_docs_budget_select,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
+        "events_skew_profile": _q_events_skew_profile,
     }
 
 
@@ -2745,6 +2757,17 @@ def oracle_sql() -> dict[str, str]:
             "   SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
             "  WHERE token <> '' GROUP BY 1, 2)) "
             "WHERE rn <= 5 ORDER BY lang, n DESC, token"
+        ),
+        "events_skew_profile": (
+            # Gini numerator over (count, key)-ranked counts is integer-
+            # exact; the division is the same single IEEE op as the engine's
+            "WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS n FROM events GROUP BY 1), "
+            "r AS (SELECT k, n, row_number() OVER (ORDER BY n, k) AS i FROM c), "
+            "s AS (SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows, max(n) AS max_n FROM c) "
+            "SELECT s.n_rows, s.n_keys, s.max_n, "
+            "(SELECT min(k) FROM c WHERE n = s.max_n) AS top_key, "
+            "(SELECT CAST(sum((2 * i - s.n_keys - 1) * n) AS DOUBLE) FROM r) "
+            "/ CAST(s.n_keys * s.n_rows AS DOUBLE) AS gini FROM s"
         ),
         "rel_winsorized": (
             # int-cast quantities; disc-quantile bounds per group; clipped

@@ -504,3 +504,40 @@ class TestMergeIncrement:
         pd.testing.assert_frame_equal(full.reset_index(drop=True), inc.reset_index(drop=True))
         row = inc[inc.entity_key == "alpha"]
         assert len(row) == 1
+
+
+class TestKeySkewProfile:
+    def test_known_distribution(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.agg import key_skew_profile
+
+        # counts: a=1, b=2, c=3 (sorted ranks 1,2,3; n_keys=3, n_rows=6)
+        # gini = ((2*1-4)*1 + (2*2-4)*2 + (2*3-4)*3) / (3*6) = (-2+0+6)/18
+        rows = ["a"] + ["b"] * 2 + ["c"] * 3
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(rows)}))
+        out = key_skew_profile(ds, "k").to_pandas()
+        assert out.n_rows.item() == 6 and out.n_keys.item() == 3
+        assert out.max_n.item() == 3 and out.top_key.item() == "c"
+        assert out.gini.item() == 4.0 / 18.0
+
+    def test_uniform_is_zero_and_tie_picks_min_key(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.agg import key_skew_profile
+
+        rows = [f"k{i % 5}" for i in range(50)]
+        out = key_skew_profile(ray.data.from_arrow(pa.table({"k": pa.array(rows)})), "k").to_pandas()
+        assert out.gini.item() == 0.0
+        assert out.top_key.item() == "k0"  # all tie at 10 -> min key
+
+    def test_partition_invariance(self, ray_session):
+        import ray
+
+        from text_to_graph_ray.functions.agg import key_skew_profile
+
+        rows = [f"k{(i * i) % 37}" for i in range(500)]
+        t = pa.table({"k": pa.array(rows)})
+        a = key_skew_profile(ray.data.from_arrow(t), "k").to_pandas()
+        b = key_skew_profile(ray.data.from_arrow(t).repartition(13), "k").to_pandas()
+        pd.testing.assert_frame_equal(a, b)

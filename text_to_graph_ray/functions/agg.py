@@ -628,3 +628,93 @@ def merge_upsert(base_ds, changes_ds, key, order_by, deleted_col: str | None = N
         return t.select(out_schema.names)
 
     return winners.map_batches(finish, batch_format="pyarrow")
+
+
+def key_skew_profile(ds, key, num_buckets: int = 64):
+    """Key-distribution skew profile — the diagnostic behind every
+    shuffle-planning decision in this repo (salt or not, broadcast or not,
+    bucket count): one row (n_rows, n_keys, max_n, top_key, gini) where
+    ``gini`` is the Gini coefficient of the per-key row counts.
+
+    Exactness: counts come from the usual combiner + one bucketed sum; the
+    Gini numerator sum((2*rank - n_keys - 1) * count) over counts sorted by
+    (count, key) is computed EXACTLY in int64 via the block-offset pattern
+    (sort the counts table, per-block partial with the driver-supplied rank
+    base — #blocks numbers on the driver), and the final value is ONE IEEE
+    division of two exactly-converted ints (contract: numerator and
+    n_keys*n_rows < 2^53 — beyond that, pre-scale the counts).
+
+    Scale shape: the corpus ships count partials only; the counts table
+    (distinct-key-sized) is the only thing sorted. Returns a 1-row Dataset.
+    """
+    import ray
+    import ray.data as rd
+
+    keys = _as_key_list(key)
+    assert len(keys) == 1, "key_skew_profile takes a single key column"
+    k = keys[0]
+    base_schema = _schema_of(ds, None)
+    ktype = base_schema.field(k).type
+    cnt_schema = pa.schema([(k, ktype), ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return cnt_schema.empty_table()
+        df = b.select([k]).to_pandas()
+        g = df.groupby(k, as_index=False, sort=False).size().rename(columns={"size": "n"})
+        return pa.table({k: pa.array(g[k], type=ktype), "n": pa.array(g["n"], type=pa.int64())},
+                        schema=cnt_schema)
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), [k], {"n": ("n", "sum")},
+        out_schema=cnt_schema, num_buckets=num_buckets, in_schema=cnt_schema,
+    )
+    ranked = counts.sort(["n", k]).materialize()
+    refs = ranked.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return (0, 0, None, None)
+        narr = np.asarray(t.column("n"), dtype=np.int64)
+        # (rows_in_block, sum_n, last_key (max n in block is the LAST row —
+        # the block is sorted), last_n)
+        return (len(narr), int(narr.sum()), t.column(k)[-1].as_py(), int(narr[-1]))
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    n_keys = sum(s[0] for s in stats)
+    n_rows = sum(s[1] for s in stats)
+    out_schema = pa.schema([("n_rows", pa.int64()), ("n_keys", pa.int64()), ("max_n", pa.int64()),
+                            ("top_key", ktype), ("gini", pa.float64())])
+    if n_keys == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    # global max = the last row of the last non-empty block; ties on n are
+    # broken by the (n, key) sort, so this is max-n-then-max-key; report the
+    # MIN key among max-n holders instead to match SQL's deterministic pick
+    bases, tot = [], 0
+    for s in stats:
+        bases.append(tot)
+        tot += s[0]
+
+    @ray.remote
+    def block_gini_and_top(t: pa.Table, base: int, nk: int, maxn: int):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return (0, None)
+        narr = np.asarray(t.column("n"), dtype=np.int64)
+        ranks = base + 1 + np.arange(len(narr), dtype=np.int64)
+        num = int(((2 * ranks - nk - 1) * narr).sum())
+        kk = [t.column(k)[i].as_py() for i in np.nonzero(narr == maxn)[0]]
+        return (num, min(kk) if kk else None)
+
+    max_n = max(s[3] for s in stats if s[3] is not None)
+    parts = ray.get([block_gini_and_top.remote(r, b, n_keys, max_n) for r, b in zip(refs, bases)])
+    numerator = sum(p[0] for p in parts)
+    top_key = min(p[1] for p in parts if p[1] is not None)
+    gini = float(numerator) / float(n_keys * n_rows)
+    return rd.from_arrow(pa.table({
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "n_keys": pa.array([n_keys], type=pa.int64()),
+        "max_n": pa.array([max_n], type=pa.int64()),
+        "top_key": pa.array([top_key], type=ktype),
+        "gini": pa.array([gini], type=pa.float64()),
+    }, schema=out_schema))
