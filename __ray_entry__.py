@@ -441,6 +441,16 @@ def _q_docs_budget_select(sf_dir):
     return budget_select(ds)
 
 
+def _q_pipeline_curation_full(sf_dir):
+    """End-to-end curation flagship: pretraining composition -> corpus-level
+    segment dedup over the survivors -> quality-ranked token-budget
+    selection on the DEDUPED text. Oracle: naive single-threaded
+    composition (expected_clean3)."""
+    from text_to_graph_ray.pipelines.curation import curation_full
+
+    return curation_full(sf_dir)
+
+
 def _q_events_skew_profile(sf_dir):
     """Key-distribution skew profile of events.user_id (the diagnostic
     behind salt/broadcast/bucket decisions): exact int64 Gini numerator via
@@ -1944,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_budget_select": _q_docs_budget_select,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "events_skew_profile": _q_events_skew_profile,
+        "pipeline_curation_full": _q_pipeline_curation_full,
     }
 
 
@@ -1997,6 +2008,9 @@ def oracle_sql() -> dict[str, str]:
         "text_packed_seqs": f"SELECT seq_id, n_filled, tok_sum FROM read_parquet('{e}/expected_packed.parquet')",
         "pipeline_clean_corpus": f"SELECT doc_id FROM read_parquet('{e}/expected_clean.parquet')",
         "pipeline_pretraining": f"SELECT doc_id FROM read_parquet('{e}/expected_clean2.parquet')",
+        "pipeline_curation_full": (
+            f"SELECT doc_id, quality, n_tokens, cum_tokens FROM read_parquet('{e}/expected_clean3.parquet')"
+        ),
         "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
         "ann_ivf": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_ivf.parquet')",
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v10"  # v10: +expected_best_survivors (quality-argmax dedup)
+EXPECTED_ROOT = "/tmp/graft_expected/v11"  # v11: +expected_clean3 (full curation composition)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -740,6 +740,21 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
     clean2 = naive_pretraining_corpus(ids, texts, sources)
     _write(tmp, "expected_clean2", pa.table({"doc_id": pa.array(clean2, type=pa.int64())}))
 
+    # full curation: pretraining composition -> segment dedup -> budget select
+    c3 = naive_curation_full(ids, texts, sources)
+    _write(
+        tmp,
+        "expected_clean3",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in c3], type=pa.int64()),
+                "quality": pa.array([r[1] for r in c3], type=pa.float64()),
+                "n_tokens": pa.array([r[2] for r in c3], type=pa.int64()),
+                "cum_tokens": pa.array([r[3] for r in c3], type=pa.int64()),
+            }
+        ),
+    )
+
     # ngram-verified pairs: 32-band candidates + exact word-3-shingle jaccard
     a32, b32, est32 = naive_minhash_pairs(ids, texts, bands=32)
     text_of = dict(zip(ids, texts))
@@ -922,3 +937,55 @@ def _build_kg_scored(synth_dir: str, tmp: str, threshold: float, dim: int) -> No
             }
         ),
     )
+
+
+def naive_segment_dedup_texts(ids: list[int], texts: list[str], seg_tokens: int = 16):
+    """Single-threaded spec of functions.text.segment_dedup over a corpus
+    ordered by doc id: first occurrence of each exact segment survives.
+    Returns (kept_ids, deduped_text_by_id)."""
+    seen: set = set()
+    out_ids, out_text = [], {}
+    for i in sorted(range(len(ids)), key=lambda j: ids[j]):
+        toks = (texts[i] or "").split(" ")
+        n = (len(toks) + seg_tokens - 1) // seg_tokens
+        kept = []
+        for s in range(n):
+            seg = " ".join(toks[s * seg_tokens : (s + 1) * seg_tokens])
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        if kept:
+            out_ids.append(ids[i])
+            out_text[ids[i]] = " ".join(kept)
+    return out_ids, out_text
+
+
+def naive_budget_select(ids: list[int], texts: list[str], budget_denom: int = 3):
+    """Single-threaded spec of functions.sample.budget_select: quality-ranked
+    strict window prefix within total_tokens // budget_denom. Returns
+    (doc_id, quality, n_tokens, cum_tokens) rows in rank order."""
+    scored = []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        toks = t.split()
+        scored.append((i, naive_quality(t)[3], len(toks)))
+    total = sum(s[2] for s in scored)
+    budget = total // budget_denom
+    scored.sort(key=lambda s: (-s[1], s[0]))
+    rows, cum = [], 0
+    for i, q, n in scored:
+        cum += n
+        if cum > budget:
+            break  # strict window prefix: nothing after the overflow row
+        rows.append((i, q, n, cum))
+    return rows
+
+
+def naive_curation_full(ids, texts, sources):
+    """Spec of pipelines.curation.curation_full: pretraining composition ->
+    corpus-level segment dedup over the survivors -> token-budget
+    selection on the deduped text."""
+    surv = naive_pretraining_corpus(ids, texts, sources)
+    text_of = dict(zip(ids, texts))
+    kept, dedup_text = naive_segment_dedup_texts(surv, [text_of[i] for i in surv])
+    return naive_budget_select(kept, [dedup_text[i] for i in kept])

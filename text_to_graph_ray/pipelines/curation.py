@@ -136,3 +136,30 @@ def pretraining_corpus(
     # distributed left_anti past the guard
     clean = filter_by_keys(survivors, branch["bad"], "doc_id", mode="anti")
     return sort_coalesced(clean, "doc_id")
+
+
+def curation_full(sf_dir: str):
+    """The END-TO-END curation flagship, composed entirely from
+    individually hash-checked operators:
+
+        pretraining_corpus               eval removal -> quality/lang/
+                                         repetition gate -> near-dedup ->
+                                         decontamination (survivor ids)
+          -> guarded semi filter         re-attach surviving docs' text
+          -> segment_dedup               corpus-level exact segment dedup
+                                         (first occurrence wins)
+          -> budget_select               quality-ranked token-budget fill
+                                         over the DEDUPED text (total//3)
+
+    Oracle: expected_clean3.parquet — the naive single-threaded composition
+    (expected.naive_curation_full). Returns (doc_id, quality, n_tokens,
+    cum_tokens) in rank order."""
+    from text_to_graph_ray.functions.joins import filter_by_keys
+    from text_to_graph_ray.functions.sample import budget_select
+    from text_to_graph_ray.functions.text import segment_dedup
+
+    surv = pretraining_corpus(sf_dir)
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    kept = filter_by_keys(docs, surv, key="doc_id", mode="semi")
+    deduped = segment_dedup(kept)
+    return budget_select(deduped, text_col="text_dedup")
