@@ -451,6 +451,18 @@ def _q_pipeline_curation_full(sf_dir):
     return curation_full(sf_dir)
 
 
+def _q_rel_column_stats(sf_dir):
+    """Ingest-validation column profile of lineitem's integer key columns:
+    per column (n_rows, n_null, min, max) from ONE streamed scan of Arrow
+    null_count/min_max kernels. Oracle: plain SQL aggregates per column,
+    UNION ALL'd."""
+    from text_to_graph_ray.sources.formats import column_stats
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return column_stats(ds, cols)
+
+
 def _q_events_skew_profile(sf_dir):
     """Key-distribution skew profile of events.user_id (the diagnostic
     behind salt/broadcast/bucket decisions): exact int64 Gini numerator via
@@ -1955,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "events_skew_profile": _q_events_skew_profile,
         "pipeline_curation_full": _q_pipeline_curation_full,
+        "rel_column_stats": _q_rel_column_stats,
     }
 
 
@@ -2771,6 +2784,15 @@ def oracle_sql() -> dict[str, str]:
             "   SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
             "  WHERE token <> '' GROUP BY 1, 2)) "
             "WHERE rn <= 5 ORDER BY lang, n DESC, token"
+        ),
+        "rel_column_stats": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n_rows, "
+                f"(count(*) - count({c}))::BIGINT AS n_null, "
+                f"min({c})::BIGINT AS vmin, max({c})::BIGINT AS vmax FROM lineitem"
+                for c in ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
+            )
+            + ' ORDER BY "column"'
         ),
         "events_skew_profile": (
             # Gini numerator over (count, key)-ranked counts is integer-

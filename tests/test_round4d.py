@@ -541,3 +541,19 @@ class TestKeySkewProfile:
         a = key_skew_profile(ray.data.from_arrow(t), "k").to_pandas()
         b = key_skew_profile(ray.data.from_arrow(t).repartition(13), "k").to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_column_stats_nulls_and_minmax(ray_session):
+    import ray
+
+    from text_to_graph_ray.sources.formats import column_stats
+
+    t = pa.table({
+        "a": pa.array([1, None, 3, None], type=pa.int64()),
+        "b": pa.array([10, 20, 30, 40], type=pa.int64()),
+    })
+    out = column_stats(ray.data.from_arrow(t).repartition(3), ["a", "b"]).to_pandas()
+    a = out[out["column"] == "a"].iloc[0]
+    assert (a.n_rows, a.n_null, a.vmin, a.vmax) == (4, 2, 1, 3)
+    b = out[out["column"] == "b"].iloc[0]
+    assert (b.n_rows, b.n_null, b.vmin, b.vmax) == (4, 0, 10, 40)
