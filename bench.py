@@ -193,6 +193,10 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_rel_bucketed_join(sf_dir).count()
     times["rel_bucketed_join"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
+    _e._q_pipeline_curation_full(sf_dir).count()
+    times["pipeline_curation_full"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 
