@@ -118,6 +118,38 @@ def _q_kg_nodes_incremental(sf_dir):
     return nodes[["entity_id", "entity_key", "label", "types_packed", "repos_packed"]]
 
 
+def _q_kg_triples_incremental(sf_dir):
+    """Edge-side twin of kg_nodes_incremental: the same two-increment build
+    must reproduce the FULL-REBUILD linked edge table (kg_triples' oracle)
+    — provenance unions included."""
+    import zlib
+
+    from text_to_graph_ray.pipelines import kg
+
+    d = _synth(sf_dir)
+    base = read_parquet_clean(f"{d}/repo_files.parquet", columns=["repo", "path", "lang", "content"])
+
+    def half(parity: int):
+        def flt(b):
+            import pyarrow as pa
+
+            if b.num_rows == 0:
+                return b
+            mask = [zlib.crc32(p.encode("utf-8")) % 2 == parity for p in b.column("path").to_pylist()]
+            return b.filter(pa.array(mask, type=pa.bool_()))
+
+        return base.map_batches(flt, batch_format="pyarrow")
+
+    nolink = PipelineConfig(link_aliases=False)
+    parts = [
+        kg.merged_graph(kg.keyed_records(kg.extract_chain(half(p), nolink), nolink), nolink)
+        for p in (0, 1)
+    ]
+    merged = kg.merge_increment(parts, PipelineConfig(link_aliases=True))
+    edges = kg.edges_from_merged(merged).to_pandas()
+    return edges[["src_key", "pred", "dst_key", "repos_packed"]]
+
+
 def _q_kg_containment(sf_dir):
     _, edges = _kg_tables(sf_dir, link=True)
     sel = edges[edges["pred"] == "contains"]
@@ -1965,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_profile": _q_emb_quantize_profile,
         "docs_budget_select": _q_docs_budget_select,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
+        "kg_triples_incremental": _q_kg_triples_incremental,
         "events_skew_profile": _q_events_skew_profile,
         "pipeline_curation_full": _q_pipeline_curation_full,
         "rel_column_stats": _q_rel_column_stats,
@@ -2402,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": f"SELECT entity_id, entity_key, label, types_packed, repos_packed FROM read_parquet('{exp_nodes}')",
         # incremental build must reproduce the FULL-REBUILD node table exactly
         "kg_nodes_incremental": f"SELECT entity_id, entity_key, label, types_packed, repos_packed FROM read_parquet('{exp_nodes}')",
+        "kg_triples_incremental": f"SELECT src_key, pred, dst_key, repos_packed FROM read_parquet('{exp_linked}')",
         "kg_containment": f"SELECT src_key, dst_key FROM read_parquet('{exp_linked}') WHERE pred = 'contains'",
         "kg_edge_labels": f"SELECT pred, count(*)::BIGINT AS n FROM read_parquet('{exp_linked}') GROUP BY pred ORDER BY pred",
         "kg_sha256": f"SELECT repo, path, sha256(content) AS content_sha256 FROM read_parquet('{repo_files}')",
