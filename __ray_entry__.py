@@ -495,6 +495,16 @@ def _q_rel_column_stats(sf_dir):
     return column_stats(ds, cols)
 
 
+def _q_events_retention(sf_dir):
+    """Weekly retention-cohort matrix: first-touch ISO week per user (min
+    combiner + bucketed min), guarded cohort broadcast (the corpus never
+    shuffles for the attach), exact COUNT(DISTINCT user) per (cohort,
+    week-offset). Oracle: date_trunc('week') + datediff SQL."""
+    from text_to_graph_ray.pipelines.analytics import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
 def _q_events_skew_profile(sf_dir):
     """Key-distribution skew profile of events.user_id (the diagnostic
     behind salt/broadcast/bucket decisions): exact int64 Gini numerator via
@@ -2001,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skew_profile": _q_events_skew_profile,
         "pipeline_curation_full": _q_pipeline_curation_full,
         "rel_column_stats": _q_rel_column_stats,
+        "events_retention": _q_events_retention,
     }
 
 
@@ -2827,6 +2838,16 @@ def oracle_sql() -> dict[str, str]:
                 for c in ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
             )
             + ' ORDER BY "column"'
+        ),
+        "events_retention": (
+            # Monday-truncated weeks on both engines; cohort week emitted as
+            # integer days-since-epoch so the hash is type-stable
+            "WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cw FROM events GROUP BY 1), "
+            "r AS (SELECT e.user_id, f.cw, "
+            "datediff('week', f.cw, date_trunc('week', e.ts))::BIGINT AS wk "
+            "FROM events e JOIN f USING (user_id)) "
+            "SELECT datediff('day', DATE '1970-01-01', CAST(cw AS DATE))::BIGINT AS cohort_week_day, "
+            "wk, count(DISTINCT user_id)::BIGINT AS n_users FROM r GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_skew_profile": (
             # Gini numerator over (count, key)-ranked counts is integer-

@@ -557,3 +557,38 @@ def test_column_stats_nulls_and_minmax(ray_session):
     assert (a.n_rows, a.n_null, a.vmin, a.vmax) == (4, 2, 1, 3)
     b = out[out["column"] == "b"].iloc[0]
     assert (b.n_rows, b.n_null, b.vmin, b.vmax) == (4, 0, 10, 40)
+
+
+class TestRetentionCohorts:
+    def test_two_cohorts_and_week_math(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from text_to_graph_ray.pipelines.analytics import retention_cohorts
+
+        # 2024-01-01 is a Monday (day 19723). u1 starts week 0, active weeks
+        # 0 and 2; u2 starts week 1 only; u3 starts week 0, active week 0
+        def ts(day, h=12):
+            return pd.Timestamp("1970-01-01") + pd.Timedelta(days=day, hours=h)
+
+        rows = [
+            (1, ts(19723)), (1, ts(19723 + 14)),
+            (2, ts(19723 + 7)),
+            (3, ts(19723 + 2)),
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array(["click"] * len(rows)),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        out = retention_cohorts(str(d)).to_pandas()
+        got = {(r.cohort_week_day, r.wk): r.n_users for r in out.itertuples()}
+        assert got == {(19723, 0): 2, (19723, 2): 1, (19730, 0): 1}
+
+    def test_users_guard(self, ray_session):
+        from text_to_graph_ray.pipelines.analytics import retention_cohorts
+
+        with pytest.raises(ValueError, match="users_broadcast_max"):
+            retention_cohorts("/root/testdata/sf0.001", users_broadcast_max=1)

@@ -1858,3 +1858,76 @@ def window_distinct_users(sf_dir: str, window_s: int = 3600):
     out = nunique_per_group(ev.map_batches(win, batch_format="pyarrow"), ["w", "event_type"], "user_id",
                             out_name="n_users")
     return sort_coalesced(out, ["w", "event_type"])
+
+
+def retention_cohorts(sf_dir: str, users_broadcast_max: int = 5_000_000, num_buckets: int = 64):
+    """Weekly retention-cohort matrix — the product-analytics staple: cohort
+    = each user's FIRST active ISO week (Monday-truncated, DuckDB
+    date_trunc('week') semantics), cell (cohort, k) = distinct users of that
+    cohort active k weeks later.
+
+    Plan: (1) first-touch week per user — a per-batch min combiner then one
+    bucketed min (user-vocabulary-sized output); (2) the cohort table is
+    guard-collected (LOUD above ``users_broadcast_max``) and ray.put once —
+    sorted arrays, vectorized searchsorted in the scan, the grouped_zscore
+    two-pass shape: the event stream itself never shuffles for the join;
+    (3) exact COUNT(DISTINCT user) per (cohort, week-offset) via
+    ``nunique_per_group``'s distinct-pair combiner. All integer day/week
+    arithmetic. Returns (cohort_week_day: days-since-epoch of the cohort
+    Monday, wk, n_users) sorted."""
+    import ray
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, nunique_per_group
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    first_schema = pa.schema([("user_id", pa.int64()), ("cw", pa.int64())])
+
+    def week_start_days(ts_col: pa.ChunkedArray) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        us = pc.cast(ts_col, pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        return day - (day + 3) % 7  # 1970-01-01 was a Thursday; Monday-start weeks
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return first_schema.empty_table()
+        df = pd.DataFrame({"user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                           "cw": week_start_days(b.column("ts"))})
+        g = df.groupby("user_id", as_index=False, sort=False)["cw"].min()
+        return pa.table({"user_id": pa.array(g["user_id"], type=pa.int64()),
+                         "cw": pa.array(g["cw"], type=pa.int64())}, schema=first_schema)
+
+    cohort = bucketed_aggregate(
+        ev.map_batches(first_partial, batch_format="pyarrow"), ["user_id"], {"cw": ("cw", "min")},
+        out_schema=first_schema, num_buckets=num_buckets, in_schema=first_schema,
+    ).materialize()
+    n_users = cohort.count()
+    if n_users > users_broadcast_max:
+        raise ValueError(
+            f"retention_cohorts: {n_users} users exceed users_broadcast_max — "
+            "switch the cohort attach to the distributed hash join (joins.filter_by_keys shape)"
+        )
+    ct = pa.concat_tables([t for t in ray.get(cohort.to_arrow_refs()) if t.num_rows])
+    uids = np.asarray(ct.column("user_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(uids)
+    ref = ray.put((uids[order], np.asarray(ct.column("cw").to_pylist(), dtype=np.int64)[order]))
+
+    pair_schema = pa.schema([("cohort_week_day", pa.int64()), ("wk", pa.int64()), ("user_id", pa.int64())])
+
+    def offsets(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        su, scw = ray.get(ref)
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cw = scw[np.searchsorted(su, u)]
+        wk = (week_start_days(b.column("ts")) - cw) // 7
+        return pa.table({"cohort_week_day": pa.array(cw, type=pa.int64()),
+                         "wk": pa.array(wk, type=pa.int64()),
+                         "user_id": pa.array(u, type=pa.int64())}, schema=pair_schema)
+
+    pairs = ev.map_batches(offsets, batch_format="pyarrow")
+    out = nunique_per_group(pairs, ["cohort_week_day", "wk"], "user_id", out_name="n_users",
+                            num_buckets=num_buckets)
+    return sort_coalesced(out, ["cohort_week_day", "wk"])
