@@ -505,6 +505,16 @@ def _q_events_retention(sf_dir):
     return retention_cohorts(sf_dir)
 
 
+def _q_events_rolling_active(sf_dir):
+    """Rolling 7-day active users: distinct (user, day) reduction, N-way
+    window-end fan-out, one exact COUNT(DISTINCT) exchange — exchange cost
+    proportional to the answer, never to raw events. Oracle: lateral
+    generate_series + count distinct."""
+    from text_to_graph_ray.pipelines.analytics import rolling_active_users
+
+    return rolling_active_users(sf_dir)
+
+
 def _q_events_skew_profile(sf_dir):
     """Key-distribution skew profile of events.user_id (the diagnostic
     behind salt/broadcast/bucket decisions): exact int64 Gini numerator via
@@ -2012,6 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_curation_full": _q_pipeline_curation_full,
         "rel_column_stats": _q_rel_column_stats,
         "events_retention": _q_events_retention,
+        "events_rolling_active": _q_events_rolling_active,
     }
 
 
@@ -2838,6 +2849,14 @@ def oracle_sql() -> dict[str, str]:
                 for c in ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
             )
             + ' ORDER BY "column"'
+        ),
+        "events_rolling_active": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "(epoch(ts)::BIGINT // 86400) AS d FROM events), "
+            "w AS (SELECT user_id, d + i AS we_day FROM "
+            "(SELECT user_id, d, unnest(generate_series(0, 6)) AS i FROM ud)) "
+            "SELECT we_day, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM w GROUP BY 1 ORDER BY 1"
         ),
         "events_retention": (
             # Monday-truncated weeks on both engines; cohort week emitted as

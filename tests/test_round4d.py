@@ -592,3 +592,28 @@ class TestRetentionCohorts:
 
         with pytest.raises(ValueError, match="users_broadcast_max"):
             retention_cohorts("/root/testdata/sf0.001", users_broadcast_max=1)
+
+
+def test_rolling_active_users_window_membership(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from text_to_graph_ray.pipelines.analytics import rolling_active_users
+
+    # u1 active day 0 and day 10; u2 active day 3: a day-0 event counts in
+    # window ends 0..6, day-3 in 3..9, day-10 in 10..16
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([pd.Timestamp("1970-01-01 05:00"), pd.Timestamp("1970-01-11 07:00"),
+                        pd.Timestamp("1970-01-04 09:00")], type=pa.timestamp("us")),
+        "event_type": pa.array(["click"] * 3),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = rolling_active_users(str(d)).to_pandas()
+    got = dict(zip(out.we_day, out.n_users))
+    want = {}
+    for day, u in [(0, 1), (10, 1), (3, 2)]:
+        for we in range(day, day + 7):
+            want.setdefault(we, set()).add(u)
+    assert got == {we: len(us) for we, us in want.items()}

@@ -1931,3 +1931,49 @@ def retention_cohorts(sf_dir: str, users_broadcast_max: int = 5_000_000, num_buc
     out = nunique_per_group(pairs, ["cohort_week_day", "wk"], "user_id", out_name="n_users",
                             num_buckets=num_buckets)
     return sort_coalesced(out, ["cohort_week_day", "wk"])
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7, num_buckets: int = 64):
+    """Rolling N-day active users (the WAU/MAU curve) — COUNT(DISTINCT user)
+    over a SLIDING daily window, which no tumbling aggregate composes into:
+    the classic trick is to reduce the stream to DISTINCT (user, day) pairs
+    first (per-batch combiner + one exact distinct — day-granularity
+    dedup collapses the event volume), then fan each pair out to the N
+    window-ends it contributes to (vectorized np.repeat), and finish with
+    one exact COUNT(DISTINCT) exchange keyed on window_end. Exchange cost:
+    N x |distinct (user, day)| rows — proportional to the answer's
+    granularity, never to raw events. Returns (we_day: days-since-epoch of
+    the window END, n_users) sorted; window ends past the data's max day
+    appear with their shrinking tails (mirrored in SQL)."""
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import distinct_rows, nunique_per_group
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    pair_schema = pa.schema([("user_id", pa.int64()), ("d", pa.int64())])
+
+    def to_days(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                           "d": us // 86_400_000_000}).drop_duplicates()
+        return pa.table({"user_id": pa.array(df["user_id"], type=pa.int64()),
+                         "d": pa.array(df["d"], type=pa.int64())}, schema=pair_schema)
+
+    ud = distinct_rows(ev.map_batches(to_days, batch_format="pyarrow"), ["user_id", "d"], pair_schema)
+    fan_schema = pa.schema([("we_day", pa.int64()), ("user_id", pa.int64())])
+
+    def fan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return fan_schema.empty_table()
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.tile(np.arange(window_days, dtype=np.int64), len(d))
+        return pa.table({"we_day": pa.array(np.repeat(d, window_days) + offs, type=pa.int64()),
+                         "user_id": pa.array(np.repeat(u, window_days), type=pa.int64())}, schema=fan_schema)
+
+    out = nunique_per_group(ud.map_batches(fan, batch_format="pyarrow"), ["we_day"], "user_id",
+                            out_name="n_users", num_buckets=num_buckets)
+    return sort_coalesced(out, "we_day")
