@@ -515,6 +515,16 @@ def _q_events_rolling_active(sf_dir):
     return rolling_active_users(sf_dir)
 
 
+def _q_rel_mad(sf_dir):
+    """Median absolute deviation of quantities per returnflag: two keyed
+    row exchanges (exact nested interpolated medians), round(6) at both
+    median points mirrored op-for-op in the oracle CTE."""
+    from text_to_graph_ray.functions.stats import grouped_mad
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    return grouped_mad(ds, "l_returnflag", "l_quantity")
+
+
 def _q_events_skew_profile(sf_dir):
     """Key-distribution skew profile of events.user_id (the diagnostic
     behind salt/broadcast/bucket decisions): exact int64 Gini numerator via
@@ -2023,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_column_stats": _q_rel_column_stats,
         "events_retention": _q_events_retention,
         "events_rolling_active": _q_events_rolling_active,
+        "rel_mad": _q_rel_mad,
     }
 
 
@@ -2849,6 +2860,16 @@ def oracle_sql() -> dict[str, str]:
                 for c in ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
             )
             + ' ORDER BY "column"'
+        ),
+        "rel_mad": (
+            # engine rounding points mirrored: round(median, 6) then
+            # round(median(|x - med|), 6) — NOT DuckDB's mad()
+            "WITH m AS (SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS med "
+            "FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1), "
+            "d AS (SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS dev "
+            "FROM lineitem l JOIN m USING (l_returnflag) WHERE l.l_quantity IS NOT NULL) "
+            "SELECT l_returnflag, round(quantile_cont(dev, 0.5), 6) AS mad "
+            "FROM d GROUP BY 1 ORDER BY 1"
         ),
         "events_rolling_active": (
             "WITH ud AS (SELECT DISTINCT user_id, "

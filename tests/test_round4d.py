@@ -617,3 +617,20 @@ def test_rolling_active_users_window_membership(ray_session, tmp_path):
         for we in range(day, day + 7):
             want.setdefault(we, set()).add(u)
     assert got == {we: len(us) for we, us in want.items()}
+
+
+def test_grouped_mad_known_values_and_guard(ray_session):
+    import ray
+
+    from text_to_graph_ray.functions.stats import grouped_mad
+
+    # g: [1,2,3,4,100] -> median 3, |x-3| = [2,1,0,1,97] -> mad 1
+    # h: [10, 20] -> median 15, devs [5, 5] -> mad 5
+    t = pa.table({
+        "g": pa.array(["g"] * 5 + ["h"] * 2),
+        "v": pa.array([1, 2, 3, 4, 100, 10, 20], type=pa.int64()),
+    })
+    out = grouped_mad(ray.data.from_arrow(t), "g", "v").to_pandas()
+    assert dict(zip(out.g, out["mad"])) == {"g": 1.0, "h": 5.0}
+    with pytest.raises(ValueError, match="groups_max"):
+        grouped_mad(ray.data.from_arrow(t), "g", "v", groups_max=1)

@@ -541,3 +541,60 @@ def winsorize_group_stats(ds, key: str, col: str, q_lo: float = 0.1, q_hi: float
         out_schema=part_schema, num_buckets=num_buckets, in_schema=part_schema,
     )
     return sort_coalesced(out, key)
+
+
+def grouped_mad(ds, key: str, col: str, key_type: pa.DataType | None = None,
+                groups_max: int = 100_000, num_buckets: int = 64):
+    """Median absolute deviation per group — the robust dispersion measure
+    (outlier-insensitive where stddev is not): mad = median(|x - median(x)|),
+    both medians the INTERPOLATED quantile_cont(0.5) with the engine's
+    round(6) float discipline (the oracle mirrors the same explicit CTE —
+    not DuckDB's mad(), so rounding points match op-for-op).
+
+    Plan: one keyed row exchange for the per-group median
+    (``grouped_quantiles_cont``), the group-sized median table
+    guard-collected and ray.put once, |x - med| computed in a scan, and a
+    second keyed row exchange for the deviations' median. Two row
+    exchanges are inherent to exact nested medians; at estimate-tolerant
+    scale use sketch.grouped_quantile_sketch for both levels."""
+    import numpy as np
+    import ray
+
+    from text_to_graph_ray.functions.quantiles import grouped_quantiles_cont
+    from text_to_graph_ray.util import sort_coalesced
+
+    key_type = key_type or pa.string()
+    med = grouped_quantiles_cont(ds, key, col, [0.5], key_type=key_type,
+                                 num_buckets=num_buckets).materialize()
+    n_groups = med.count()
+    if n_groups > groups_max:
+        raise ValueError(f"grouped_mad: {n_groups} groups exceed groups_max={groups_max}")
+    mt = pa.concat_tables([t for t in ray.get(med.to_arrow_refs()) if t.num_rows])
+    mkeys = np.asarray(mt.column(key).to_pylist())
+    order = np.argsort(mkeys)
+    ref = ray.put((mkeys[order], np.asarray(mt.column("value").to_pylist(), dtype=np.float64)[order]))
+
+    dev_schema = pa.schema([(key, key_type), ("dev", pa.float64())])
+
+    def deviations(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return dev_schema.empty_table()
+        b = b.filter(pc.is_valid(b.column(col)))
+        ks, meds = ray.get(ref)
+        karr = np.asarray(b.column(key).to_pylist())
+        m = meds[np.searchsorted(ks, karr)]
+        x = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({key: pa.array(karr, type=key_type),
+                         "dev": pa.array(np.abs(x - m), type=pa.float64())}, schema=dev_schema)
+
+    devs = ds.select_columns([key, col]).map_batches(deviations, batch_format="pyarrow")
+    out = grouped_quantiles_cont(devs, key, "dev", [0.5], key_type=key_type, num_buckets=num_buckets)
+
+    def rename(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([(key, key_type), ("mad", pa.float64())]).empty_table()
+        return pa.table({key: b.column(key), "mad": b.column("value")})
+
+    return sort_coalesced(out.map_batches(rename, batch_format="pyarrow"), key)
