@@ -525,6 +525,17 @@ def _q_rel_mad(sf_dir):
     return grouped_mad(ds, "l_returnflag", "l_quantity")
 
 
+def _q_text_search_topk(sf_dir):
+    """Query-term retrieval: top-10 docs by sum(tf * idf) for a fixed
+    3-term query — df/N from one streamed scan, round(6) idf absorbs the
+    libm-vs-SQL ln ulp, fixed-order score arithmetic, per-block top-k
+    combiner. Oracle mirrors every op explicitly."""
+    from text_to_graph_ray.functions.text import search_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return search_topk(ds, ["table", "fast", "customer"], k=10)
+
+
 def _q_events_skew_profile(sf_dir):
     """Key-distribution skew profile of events.user_id (the diagnostic
     behind salt/broadcast/bucket decisions): exact int64 Gini numerator via
@@ -2034,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "events_rolling_active": _q_events_rolling_active,
         "rel_mad": _q_rel_mad,
+        "text_search_topk": _q_text_search_topk,
     }
 
 
@@ -2860,6 +2872,25 @@ def oracle_sql() -> dict[str, str]:
                 for c in ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
             )
             + ' ORDER BY "column"'
+        ),
+        "text_search_topk": (
+            # tf via exact-token list_filter; idf rounded to 6 dp on both
+            # engines; score = tf1*idf1 + tf2*idf2 + tf3*idf3 left-to-right
+            "WITH t AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS toks FROM documents), "
+            "d AS (SELECT doc_id, "
+            "len(list_filter(toks, x -> x = 'table'))::BIGINT AS tf1, "
+            "len(list_filter(toks, x -> x = 'fast'))::BIGINT AS tf2, "
+            "len(list_filter(toks, x -> x = 'customer'))::BIGINT AS tf3 FROM t), "
+            "s AS (SELECT count(*)::BIGINT AS n, "
+            "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1, "
+            "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2, "
+            "sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3 FROM d) "
+            "SELECT doc_id, "
+            "tf1 * round(ln((s.n + 1) / (s.df1 + 1.0)), 6) "
+            "+ tf2 * round(ln((s.n + 1) / (s.df2 + 1.0)), 6) "
+            "+ tf3 * round(ln((s.n + 1) / (s.df3 + 1.0)), 6) AS score "
+            "FROM d, s WHERE tf1 + tf2 + tf3 > 0 "
+            "ORDER BY score DESC, doc_id LIMIT 10"
         ),
         "rel_mad": (
             # engine rounding points mirrored: round(median, 6) then

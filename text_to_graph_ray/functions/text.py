@@ -622,3 +622,79 @@ def grouped_vocab_topk(ds, group_col: str = "lang", k: int = 5,
     top = topk_per_group(counts, [group_col], "n", k=k, descending=True, tiebreak="token",
                          out_schema=pair_schema, in_schema=pair_schema)
     return sort_coalesced(top, [group_col, "n", "token"], descending=[False, True, False])
+
+
+def search_topk(ds, terms, k: int = 10, text_col: str = "text", id_col: str = "doc_id"):
+    """Query-term retrieval — score every document against a fixed term set
+    by sum(tf_t * idf_t) and return the global top-k (the brute-force exact
+    leg of a search stack; the inverted index covers the at-scale path).
+
+    Exactness discipline: df/N come from one streamed scan (per-batch
+    presence partials, len(terms)+1 scalars folded on the driver);
+    idf_t = round(ln((N+1)/(df_t+1)), 6) — the round(6) absorbs the
+    last-ulp difference between libm's log and the SQL engine's ln; the
+    score is the FIXED-ORDER left-associated sum tf_1*idf_1 + tf_2*idf_2 +
+    ... so both engines run the identical IEEE op sequence. Token = the
+    ``' '``-split contract. Top-k: per-block combiner keeps k rows before
+    one tiny global sort (score desc, id asc)."""
+    import math
+
+    import ray
+
+    terms = list(terms)
+
+    part_schema = pa.schema([("n", pa.int64())] + [(f"df{i}", pa.int64()) for i in range(len(terms))])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        dfs = [0] * len(terms)
+        for t in b.column(text_col).to_pylist():
+            toks = set((t or "").split(" "))
+            for i, term in enumerate(terms):
+                if term in toks:
+                    dfs[i] += 1
+        cols = {"n": pa.array([b.num_rows], type=pa.int64())}
+        for i, v in enumerate(dfs):
+            cols[f"df{i}"] = pa.array([v], type=pa.int64())
+        return pa.table(cols, schema=part_schema)
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    idfs = [round(math.log((n_docs + 1) / (int(parts[f"df{i}"].sum()) + 1)), 6) for i in range(len(terms))]
+    ref = ray.put((terms, idfs))
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("score", pa.float64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        tms, widf = ray.get(ref)
+        ids, scores = [], []
+        for did, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            toks = (t or "").split(" ")
+            s = 0.0
+            hit = False
+            for term, w in zip(tms, widf):
+                tf = toks.count(term)
+                if tf:
+                    hit = True
+                s = s + tf * w  # fixed-order left-associated adds
+            if hit:
+                ids.append(did)
+                scores.append(s)
+        out = pa.table({id_col: pa.array(ids, type=pa.int64()),
+                        "score": pa.array(scores, type=pa.float64())}, schema=out_schema)
+        # per-block combiner: only k candidates per block reach the sort
+        if out.num_rows > k:
+            import pandas as pd
+
+            df = out.to_pandas().sort_values(["score", id_col], ascending=[False, True]).head(k)
+            out = pa.table({f.name: pa.array(df[f.name], type=f.type) for f in out_schema}, schema=out_schema)
+        return out
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
