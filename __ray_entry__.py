@@ -366,7 +366,10 @@ def _q_events_zorder_scan(sf_dir):
         df = pd.DataFrame({
             "event_type": b.column("event_type").to_pylist(),
             "n": 1,
-            "sum_cents": np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0).astype("int64"),
+            # floor(x*100 + 0.5) == SQL floor(value*100 + 0.5): identical
+            # half-up semantics on both engines even if value precision ever
+            # gets finer than the current 2-decimal synth contract
+            "sum_cents": np.floor(b.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype("int64"),
         })
         g = df.groupby("event_type", as_index=False, sort=False).sum()
         return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in out_schema}, schema=out_schema)
@@ -407,14 +410,14 @@ def _q_events_cdc_merge(sf_dir):
         if b.num_rows == 0:
             return sch.empty_table()
         ids = np.asarray(b.column("event_id").to_pylist(), dtype=np.int64)
-        cents = np.round(np.asarray(b.column("value").to_pylist()) * 100.0).astype(np.int64)
+        cents = np.floor(np.asarray(b.column("value").to_pylist()) * 100.0 + 0.5).astype(np.int64)
         return rows(ids, cents, 0, False)
 
     def change_rows(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return sch.empty_table()
         ids = np.asarray(b.column("event_id").to_pylist(), dtype=np.int64)
-        cents = np.round(np.asarray(b.column("value").to_pylist()) * 100.0).astype(np.int64)
+        cents = np.floor(np.asarray(b.column("value").to_pylist()) * 100.0 + 0.5).astype(np.int64)
         m7, m14, m35 = ids % 7 == 0, ids % 14 == 0, ids % 35 == 0
         return pa.concat_tables([
             rows(ids[m7], cents[m7] + 111, 1, False),
@@ -2734,7 +2737,7 @@ def oracle_sql() -> dict[str, str]:
             # the oracle scans the ORIGINAL events file: the clustered layout
             # must be result-invariant; cents keep the sum integer-exact
             "SELECT event_type, count(*)::BIGINT AS n, "
-            "sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents "
+            "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents "
             "FROM events WHERE user_id BETWEEN 20 AND 60 "
             "AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16' "
             "GROUP BY event_type ORDER BY event_type"
@@ -2818,7 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cdc_merge": (
             # change set derived identically on both engines; winner = max
             # (side, ver); tombstones (ver 3) drop the key
-            "WITH base AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents, "
+            "WITH base AS (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, "
             "0::BIGINT AS ver, false AS deleted FROM events), "
             "ch AS ("
             " SELECT event_id, cents + 111 AS cents, 1::BIGINT AS ver, false AS deleted FROM base WHERE event_id % 7 = 0"
@@ -2903,8 +2906,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY 1 ORDER BY 1"
         ),
         "events_rolling_active": (
+            # date_trunc+datediff FLOORS to the day like the engine's
+            # microsecond // 86400e6; a bare epoch(ts)::BIGINT would ROUND
+            # half-up in DuckDB and misplace events within 0.5 s of midnight
             "WITH ud AS (SELECT DISTINCT user_id, "
-            "(epoch(ts)::BIGINT // 86400) AS d FROM events), "
+            "datediff('day', DATE '1970-01-01', date_trunc('day', ts))::BIGINT AS d FROM events), "
             "w AS (SELECT user_id, d + i AS we_day FROM "
             "(SELECT user_id, d, unnest(generate_series(0, 6)) AS i FROM ud)) "
             "SELECT we_day, count(DISTINCT user_id)::BIGINT AS n_users "

@@ -356,25 +356,36 @@ def pagerank(
 
 
 def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
-                    num_buckets: int = 64):
+                    num_buckets: int = 64, deg_broadcast_max: int = 5_000_000):
     """Per-node triangle counts over an undirected graph, fully distributed.
 
-    Plan (the standard order-canonical wedge enumeration): canonicalize each
-    edge to (a, b) with a < b (self-loops dropped) and DISTINCT it
-    (``agg.distinct_rows`` — combiner-first), then
-    wedges = E(a,b) ⋈ E(b,c) on the shared middle node, then a second hash
-    join probes each wedge's closing edge (a, c) against E. Canonical order
-    means every triangle {x<y<z} is produced exactly once, as
-    (a=x, b=y, c=z). Each triangle row fans out to its three corners and a
-    coarse-bucket count per node finishes it. Two keyed exchanges (the
-    joins) plus one bucketed count — nothing driver-side.
+    Plan (degree-ordered compact-forward wedge enumeration): canonicalize
+    each edge to (a, b) with a < b (self-loops dropped) and DISTINCT it
+    (``agg.distinct_rows`` — combiner-first), count node degrees (one
+    bucketed exchange), then ORIENT each edge from its lower-(degree, id)
+    endpoint to its higher one. Wedges are pairs of oriented out-neighbors
+    of a shared source — oriented E(s,t) ⋈ E(s,c) on s, kept once per
+    unordered pair via t < c — and a second hash join probes each wedge's
+    closing edge (t, c) against the id-canonical edge table. Each triangle
+    {x, y, z} is produced exactly once, from its min-(deg, id) corner. The
+    triangle rows fan out to their three corners and a coarse-bucket count
+    per node finishes it.
 
-    Skew note: a hot node h costs deg(h)² wedge rows through the b-join —
-    the same quadratic a SQL plan pays; cap degree upstream if the graph has
-    celebrity nodes. Returns (node, triangles) sorted by node, nodes with
-    zero triangles omitted (SQL GROUP BY semantics).
+    Why degree orientation: wedge rows are Σ_v outdeg(v)², and orienting by
+    degree bounds every outdeg by O(√m) (arboricity-style bound), so a hot
+    celebrity node h costs O(m) wedges instead of the deg(h)² ≈ m² an
+    id-oriented plan pays. Cost: one extra node-sized degree exchange, with
+    the degree map broadcast via ``ray.put`` below ``deg_broadcast_max``
+    nodes (sorted-array searchsorted lookup per batch) and two distributed
+    hash joins above it — both plans value-identical (equivalence test).
+    The per-node output is orientation-invariant, so results match the
+    previous id-oriented plan bit-for-bit.
+
+    Returns (node, triangles) sorted by node, nodes with zero triangles
+    omitted (SQL GROUP BY semantics).
     """
     import pyarrow.compute as pc
+    import ray
 
     from text_to_graph_ray.functions.agg import bucketed_aggregate, distinct_rows
     from text_to_graph_ray.functions.dedup import join_partitions_for
@@ -389,30 +400,168 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
         out = pa.table({"a": lo, "b": hi})
         return out.filter(pc.not_equal(out.column("a"), out.column("b")))
 
-    edges = distinct_rows(edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"], edge_schema)
-    # wedge join: (a, b) ⋈ (b, c) — right side is the same edge table with
-    # columns renamed so the join key pairs b with the right's lower endpoint
-    right = edges.map_batches(
-        lambda t: pa.table({"m": t.column("a"), "c": t.column("b")}) if t.num_rows
-        else pa.schema([("m", pa.int64()), ("c", pa.int64())]).empty_table(),
-        batch_format="pyarrow",
+    edges = distinct_rows(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"], edge_schema
+    ).materialize()
+
+    # node degrees over the deduped undirected edges: one bucketed exchange
+    deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(), t.column("b").combine_chunks()
+        ])})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "node", {"d": ("node", "size")},
+        out_schema=deg_schema, num_buckets=num_buckets,
+        in_schema=pa.schema([("node", pa.int64())]),
+    ).materialize()
+    n_nodes = deg.count()
+
+    ori_schema = pa.schema([("s", pa.int64()), ("t", pa.int64())])
+
+    def orient_arrays(a: np.ndarray, b: np.ndarray, da: np.ndarray, db: np.ndarray) -> pa.Table:
+        # a < b by id already, so the (deg, id) tie-break is just da <= db
+        fwd = da <= db
+        return pa.table({
+            "s": pa.array(np.where(fwd, a, b), type=pa.int64()),
+            "t": pa.array(np.where(fwd, b, a), type=pa.int64()),
+        }, schema=ori_schema)
+
+    if n_nodes <= deg_broadcast_max:
+        blocks = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            dt = pa.concat_tables(blocks)
+            nodes_np = np.asarray(dt.column("node").to_pylist(), dtype=np.int64)
+            degs_np = np.asarray(dt.column("d").to_pylist(), dtype=np.int64)
+            order = np.argsort(nodes_np)
+            deg_ref = ray.put((nodes_np[order], degs_np[order]))
+        else:
+            deg_ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return ori_schema.empty_table()
+            nodes_s, degs_s = ray.get(deg_ref)
+            a = np.asarray(t.column("a").to_pylist(), dtype=np.int64)
+            b = np.asarray(t.column("b").to_pylist(), dtype=np.int64)
+            da = degs_s[np.searchsorted(nodes_s, a)]
+            db = degs_s[np.searchsorted(nodes_s, b)]
+            return orient_arrays(a, b, da, db)
+
+        oriented = edges.map_batches(orient_bcast, batch_format="pyarrow")
+    else:
+        # distributed fallback: attach deg(a) then deg(b) via two hash joins
+        deg_b = deg.map_batches(
+            lambda t: pa.table({"node_b": t.column("node"), "db": t.column("d")}) if t.num_rows
+            else pa.schema([("node_b", pa.int64()), ("db", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        )
+        j = edges.join(deg, join_type="inner", num_partitions=join_partitions_for(),
+                       on=("a",), right_on=("node",), partition_size_hint=16 << 20)
+        j = j.join(deg_b, join_type="inner", num_partitions=join_partitions_for(),
+                   on=("b",), right_on=("node_b",), partition_size_hint=16 << 20)
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return ori_schema.empty_table()
+            a = np.asarray(t.column("a").to_pylist(), dtype=np.int64)
+            b = np.asarray(t.column("b").to_pylist(), dtype=np.int64)
+            da = np.asarray(t.column("d").to_pylist(), dtype=np.int64)
+            db = np.asarray(t.column("db").to_pylist(), dtype=np.int64)
+            return orient_arrays(a, b, da, db)
+
+        oriented = j.map_batches(orient_joined, batch_format="pyarrow")
+
+    # wedge generation: bucket oriented edges by SOURCE so each low-degree
+    # node's whole out-adjacency lands in one group, then enumerate its
+    # out-neighbor pairs fully vectorized (the repeat/arange combination
+    # trick — no Python loop over sources). id-sorting within each group
+    # makes every emitted pair (lo, hi) id-ordered for the closing probe.
+    wedge_schema = pa.schema([("s", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
+
+    def wedges_per_bucket(df) -> pa.Table:
+        if len(df) == 0:
+            return wedge_schema.empty_table()
+        s = df["s"].to_numpy(dtype=np.int64)
+        t = df["t"].to_numpy(dtype=np.int64)
+        order = np.lexsort((t, s))
+        s, t = s[order], t[order]
+        n = len(s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n) - np.repeat(starts, sizes)
+        fc = np.repeat(sizes, sizes) - 1 - local  # pairs with this row as 'lo'
+        total = int(fc.sum())
+        if total == 0:
+            return wedge_schema.empty_table()
+        i = np.repeat(np.arange(n), fc)
+        j = np.arange(total) - np.repeat(np.cumsum(fc) - fc, fc) + i + 1
+        return pa.table({
+            "s": pa.array(s[i], type=pa.int64()),
+            "lo": pa.array(t[i], type=pa.int64()),
+            "hi": pa.array(t[j], type=pa.int64()),
+        }, schema=wedge_schema)
+
+    from text_to_graph_ray.functions.agg import bucket_exchange, with_bucket
+
+    wedges = bucket_exchange(
+        with_bucket(oriented, "s", num_buckets, in_schema=ori_schema),
+        wedges_per_bucket, wedge_schema, num_buckets,
     )
-    wedges = edges.join(right, join_type="inner", num_partitions=join_partitions_for(),
-                        on=("b",), right_on=("m",), partition_size_hint=16 << 20)
-    # closing-edge probe: (a, c) must itself be a canonical edge
-    closing = edges.map_batches(
-        lambda t: pa.table({"ca": t.column("a"), "cb": t.column("b")}) if t.num_rows
-        else pa.schema([("ca", pa.int64()), ("cb", pa.int64())]).empty_table(),
-        batch_format="pyarrow",
+
+    # closing-edge probe as a side-tagged bucketed semi join on (lo, hi):
+    # wedge pairs are id-ordered, so they probe the id-canonical edge table
+    # directly — orientation does not matter here. (Our own exchange, not
+    # Dataset.join: Ray's hash-shuffle join aggregator builds a zero-column
+    # table for a partition that received no left shard and then fails the
+    # key lookup — tiny inputs with empty partitions would crash.)
+    tri_schema = pa.schema([("s", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
+    tag_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("s", pa.int64()), ("side", pa.int64())])
+
+    def tag(side: int, lo_col: str, hi_col: str, s_col: str | None):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return tag_schema.empty_table()
+            svals = t.column(s_col) if s_col else pa.nulls(t.num_rows, type=pa.int64())
+            return pa.table({
+                "lo": t.column(lo_col), "hi": t.column(hi_col), "s": svals,
+                "side": pa.array(np.full(t.num_rows, side), type=pa.int64()),
+            }, schema=tag_schema)
+
+        return f
+
+    unioned = edges.map_batches(tag(0, "a", "b", None), batch_format="pyarrow").union(
+        wedges.map_batches(tag(1, "lo", "hi", "s"), batch_format="pyarrow")
     )
-    tris = wedges.join(closing, join_type="inner", num_partitions=join_partitions_for(),
-                       on=("a", "c"), right_on=("ca", "cb"), partition_size_hint=16 << 20)
+
+    def close_bucket(df) -> pa.Table:
+        if len(df) == 0:
+            return tri_schema.empty_table()
+        e = df[df["side"] == 0]
+        w = df[df["side"] == 1]
+        if len(e) == 0 or len(w) == 0:
+            return tri_schema.empty_table()
+        m = w.merge(e[["lo", "hi"]], on=["lo", "hi"], how="inner")
+        return pa.table({f.name: pa.array(m[f.name].to_numpy(dtype=np.int64), type=f.type)
+                         for f in tri_schema}, schema=tri_schema)
+
+    tris = bucket_exchange(
+        with_bucket(unioned, ["lo", "hi"], num_buckets, in_schema=tag_schema),
+        close_bucket, tri_schema, num_buckets,
+    )
 
     def corners(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.schema([("node", pa.int64())]).empty_table()
         return pa.table({"node": pa.concat_arrays([
-            t.column("a").combine_chunks(), t.column("b").combine_chunks(), t.column("c").combine_chunks()
+            t.column("s").combine_chunks(), t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
         ])})
 
     nodes = tris.map_batches(corners, batch_format="pyarrow")

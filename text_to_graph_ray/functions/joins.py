@@ -387,7 +387,17 @@ def filter_by_all_keys(left, right, keys, right_key: str, mode: str = "semi",
     keys = list(keys)
     if mode not in ("semi", "anti"):
         raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
-    key_type = _arrow_schema(left).field(keys[0]).type
+    lsch = _arrow_schema(left)
+    key_type = lsch.field(keys[0]).type
+    # the single right-side key set is matched against EVERY left key
+    # column, so all of them must share one type — a silent cast of
+    # heterogeneous columns to keys[0]'s type would corrupt the match
+    mismatched = [k for k in keys if lsch.field(k).type != key_type]
+    if mismatched:
+        raise TypeError(
+            f"filter_by_all_keys: key columns must share one type; {keys[0]!r} is "
+            f"{key_type} but {mismatched} differ ({[str(lsch.field(k).type) for k in mismatched]})"
+        )
 
     def _keys(b: pa.Table, c=right_key, t=key_type) -> pa.Table:
         if b.num_rows == 0 or c not in b.schema.names:
@@ -395,6 +405,12 @@ def filter_by_all_keys(left, right, keys, right_key: str, mode: str = "semi",
         return pa.table({c: pc.unique(pc.cast(b.column(c), t))})
 
     keys_only = right.map_batches(_keys, batch_format="pyarrow").materialize()
+    # keys_only is unique per BATCH, not globally, so count() is a
+    # conservative upper bound on the distinct-key cardinality: a key
+    # duplicated across batches can trip the guard early and take the
+    # chained-semi fallback. Deliberate — globally deduping just to size the
+    # guard would itself pay the exchange the broadcast path exists to avoid,
+    # and the fallback is value-identical (threshold-0 equivalence test).
     if keys_only.count() > broadcast_max:
         if mode == "anti":
             raise NotImplementedError(

@@ -77,18 +77,10 @@ def quality_row(t: str, toks: list) -> tuple:
 def quality_score(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Composite quality heuristics (length / mean token length / stopword
     ratio / alpha ratio) — pipeline-filter material, rows-only checked."""
-    texts = batch.column(text_col).to_pylist()
-    rows = {"mean_tok_len": [], "stop_ratio": [], "alpha_ratio": [], "quality": []}
-    for t in texts:
-        t = t or ""
-        mean_len, stop_r, alpha, q = quality_row(t, t.split())
-        rows["mean_tok_len"].append(mean_len)
-        rows["stop_ratio"].append(stop_r)
-        rows["alpha_ratio"].append(alpha)
-        rows["quality"].append(q)
+    sig = text_signals_batch(batch.column(text_col), want=("quality",))
     out = pa.table({id_col: batch.column(id_col)})
-    for k, v in rows.items():
-        out = out.append_column(k, pa.array(v, type=pa.float64()))
+    for k in ("mean_tok_len", "stop_ratio", "alpha_ratio", "quality"):
+        out = out.append_column(k, pa.array(sig[k], type=pa.float64()))
     return out
 
 
@@ -112,8 +104,170 @@ def detect_lang(text: str, toks: list | None = None) -> str:
     return best_lang if best > 0 else "und"
 
 
+def text_signals_batch(texts, want=("quality",)) -> dict:
+    """Vectorized batch evaluation of the per-row text contracts — the
+    hot-path replacement VERDICT r4 asked for ("the dominant per-byte CPU
+    cost of pipeline_pretraining/curation_full").
+
+    Bit-identical to ``quality_row`` / ``detect_lang`` by construction:
+    ASCII rows take Arrow-kernel fast paths whose primitives were
+    differentially verified against the Python semantics (utf8_split_
+    whitespace + empty-token filter == str.split() for every ASCII char
+    including the \\x1c-\\x1f separators; ascii_lower == str.lower;
+    count_substring_regex('[A-Za-z]') == per-char isalpha; all divisions
+    and the q polynomial are the same IEEE-double op sequence), and every
+    non-ASCII row falls back to the per-row contract kernels themselves.
+    A pytest equivalence suite pins batch == per-row on adversarial inputs.
+
+    ``want`` ⊆ {"quality", "lang"}; returns the requested keys of
+    {"mean_tok_len", "stop_ratio", "alpha_ratio", "quality" (all rounded
+    to 6 dp like quality_row), "lang"} over a pa.Array/ChunkedArray of
+    texts. One tokenization is shared by both signal families.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts.cast(pa.string()), "")
+    n_rows = len(t)
+    out: dict = {}
+    if n_rows == 0:
+        if "quality" in want:
+            for k in ("mean_tok_len", "stop_ratio", "alpha_ratio", "quality"):
+                out[k] = np.empty(0, dtype=np.float64)
+        if "lang" in want:
+            out["lang"] = []
+        return out
+
+    ascii_mask = pc.string_is_ascii(t).to_numpy(zero_copy_only=False)
+
+    # shared tokenization (the whole point of the fused gate): split once,
+    # drop empty tokens (edge-whitespace artifacts), keep row parentage
+    s = pc.utf8_split_whitespace(t)
+    lens = pc.list_value_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(s)
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    tok_len_all = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    ne = tok_len_all > 0
+    parent_ne = parent[ne]
+    flat_ne = flat.filter(pa.array(ne))
+    tok_len = tok_len_all[ne]
+    n_tok = np.bincount(parent_ne, minlength=n_rows).astype(np.int64)
+    low = pc.ascii_lower(flat_ne)  # exact for ASCII rows; non-ASCII rows use fallback
+
+    if "quality" in want:
+        sum_len = np.bincount(parent_ne, weights=tok_len.astype(np.float64), minlength=n_rows)
+        stop_hit = pc.is_in(low, value_set=pa.array(sorted(_LANG_PROFILES["en"]))).to_numpy(zero_copy_only=False)
+        stop_cnt = np.bincount(parent_ne, weights=stop_hit.astype(np.float64), minlength=n_rows)
+        alpha_cnt = pc.count_substring_regex(t, "[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.float64)
+        text_len = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.float64)
+        nf = n_tok.astype(np.float64)
+        safe_n, safe_tl = np.maximum(nf, 1.0), np.maximum(text_len, 1.0)
+        mean_len = np.where(n_tok > 0, sum_len / safe_n, 0.0)
+        stop_r = np.where(n_tok > 0, stop_cnt / safe_n, 0.0)
+        alpha = np.where(text_len > 0, alpha_cnt / safe_tl, 0.0)
+        # same IEEE op sequence as quality_row's q polynomial
+        q = np.minimum(1.0, nf / 50.0) * 0.4 + np.minimum(mean_len / 8.0, 1.0) * 0.2 + stop_r * 0.2 + alpha * 0.2
+        out["mean_tok_len"], out["stop_ratio"], out["alpha_ratio"], out["quality"] = mean_len, stop_r, alpha, q
+
+    if "lang" in want:
+        # first 200 non-empty tokens per row (parent_ne is row-sorted)
+        row_starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        rank = np.arange(len(parent_ne), dtype=np.int64) - row_starts[parent_ne]
+        m200 = rank < 200
+        p200 = parent_ne[m200]
+        low200 = low.filter(pa.array(m200))
+        best = np.zeros(n_rows, dtype=np.int64)
+        lang_idx = np.full(n_rows, -1, dtype=np.int64)
+        order = ("en", "de", "fr", "es")
+        for i, lang in enumerate(order):
+            hit = pc.is_in(low200, value_set=pa.array(sorted(_LANG_PROFILES[lang]))).to_numpy(zero_copy_only=False)
+            h = np.bincount(p200, weights=hit.astype(np.float64), minlength=n_rows).astype(np.int64)
+            m = h > best  # strict >, preserving the contract's first-wins tie-break
+            lang_idx[m] = i
+            best[m] = h[m]
+        langs_arr = np.array(["und", *order], dtype=object)
+        out["lang"] = langs_arr[np.where(best > 0, lang_idx + 1, 0)].tolist()
+
+    if not ascii_mask.all():
+        # non-ASCII rows: the per-row contract kernels ARE the semantics
+        texts_py = None
+        for i in np.flatnonzero(~ascii_mask):
+            if texts_py is None:
+                texts_py = t.to_pylist()
+            txt = texts_py[i]
+            toks = txt.split()
+            if "quality" in want:
+                ml, sr, al, q4 = quality_row(txt, toks)
+                # quality_row returns rounded values; unrounded slots are
+                # re-derived below only for ASCII rows, so store rounded here
+                out["mean_tok_len"][i], out["stop_ratio"][i] = ml, sr
+                out["alpha_ratio"][i], out["quality"][i] = al, q4
+            if "lang" in want:
+                out["lang"][i] = detect_lang(txt, toks)
+
+    if "quality" in want:
+        # Python round(x, 6) is the contract (correctly-rounded decimal);
+        # np.round is not guaranteed identical on ties — cheap scalar pass
+        rounded_rows = set(np.flatnonzero(~ascii_mask).tolist())
+        for k in ("mean_tok_len", "stop_ratio", "alpha_ratio", "quality"):
+            v = out[k]
+            out[k] = np.asarray(
+                [x if i in rounded_rows else round(x, 6) for i, x in enumerate(v.tolist())],
+                dtype=np.float64,
+            )
+    return out
+
+
+def bigram_rep_batch(texts) -> tuple:
+    """Vectorized ``bigram_repetition`` over a batch: returns (valid mask,
+    n_bigrams, dup_frac, top_frac) numpy arrays; rows with < 2 tokens are
+    invalid. split(' ') via pc.split_pattern is byte-exact to Python's
+    str.split(' ') for ANY text (no ASCII guard needed); pair identity goes
+    through an exact dictionary-encode (no hashing), and the two divisions
+    are the same single IEEE ops as the per-row contract."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts.cast(pa.string()), "")
+    n_rows = len(t)
+    if n_rows == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=bool), z, z.astype(np.float64), z.astype(np.float64)
+    s = pc.split_pattern(t, " ")
+    lens = pc.list_value_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = lens >= 2
+    n_big = np.zeros(n_rows, dtype=np.int64)
+    dup = np.zeros(n_rows, dtype=np.float64)
+    top = np.zeros(n_rows, dtype=np.float64)
+    if not valid.any():
+        return valid, n_big, dup, top
+    flat = pc.list_flatten(s)
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    rank = np.arange(len(parent), dtype=np.int64) - row_starts[parent]
+    first_idx = np.flatnonzero(rank < lens[parent] - 1)
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_dict = len(denc.dictionary)
+    pair_key = codes[first_idx] * np.int64(max(n_dict, 1)) + codes[first_idx + 1]
+    g = pd.DataFrame({"row": parent[first_idx], "k": pair_key}).groupby(
+        ["row", "k"], sort=False
+    ).size()
+    gg = g.groupby(level=0)
+    total, distinct, mx = gg.sum(), gg.size(), gg.max()
+    rows_idx = total.index.to_numpy()
+    tot = total.to_numpy(dtype=np.int64)
+    n_big[rows_idx] = tot
+    dup[rows_idx] = 1 - distinct.to_numpy(dtype=np.int64) / tot
+    top[rows_idx] = mx.to_numpy(dtype=np.int64) / tot
+    return valid, n_big, dup, top
+
+
 def lang_id(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    preds = [detect_lang(t) for t in batch.column(text_col).to_pylist()]
+    preds = text_signals_batch(batch.column(text_col), want=("lang",))["lang"]
     return pa.table({id_col: batch.column(id_col), "lang_pred": pa.array(preds, type=pa.string())})
 
 
@@ -370,16 +524,14 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc
     expansion."""
     if batch.num_rows == 0:
         return REPETITION_SCHEMA.empty_table()
-    out = {f.name: [] for f in REPETITION_SCHEMA}
-    for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-        total, dup_frac, top_frac = bigram_repetition(text)
-        if total is None:
-            continue
-        out["doc_id"].append(int(did))
-        out["n_bigrams"].append(total)
-        out["dup_frac"].append(dup_frac)
-        out["top_frac"].append(top_frac)
-    return pa.table({f.name: pa.array(out[f.name], type=f.type) for f in REPETITION_SCHEMA})
+    valid, n_big, dup, top = bigram_rep_batch(batch.column(text_col))
+    ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(ids[valid], type=pa.int64()),
+        "n_bigrams": pa.array(n_big[valid], type=pa.int64()),
+        "dup_frac": pa.array(dup[valid], type=pa.float64()),
+        "top_frac": pa.array(top[valid], type=pa.float64()),
+    }, schema=REPETITION_SCHEMA)
 
 
 PII_PATTERNS = (

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from text_to_graph_ray.util import read_parquet_clean
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -26,14 +27,15 @@ def quality_lang_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple =
     detected language is in ``langs`` — one text extraction, one tokenization
     shared by both heuristics (quality_row / detect_lang(toks=...) are the
     same kernels text_quality / text_langid are hash-checked against)."""
-    from text_to_graph_ray.functions.text import detect_lang, quality_row
+    from text_to_graph_ray.functions.text import text_signals_batch
 
-    keep = []
-    for t in batch.column("text").to_pylist():
-        t = t or ""
-        toks = t.split()
-        q = quality_row(t, toks)[3]
-        keep.append(q >= min_quality and detect_lang(t, toks) in langs)
+    if batch.num_rows == 0:
+        return batch
+    sig = text_signals_batch(batch.column("text"), want=("quality", "lang"))
+    lang_set = set(langs)
+    keep = (sig["quality"] >= min_quality) & np.asarray(
+        [lg in lang_set for lg in sig["lang"]], dtype=bool
+    )
     return batch.filter(pa.array(keep))
 
 
@@ -51,19 +53,19 @@ def pretraining_gate(batch: pa.Table, min_quality: float = 0.45, langs: tuple = 
     scan per doc for the heuristics, one bigram pass via the SHARED
     text.bigram_repetition kernel — the same contract repetition_stats is
     hash-checked against)."""
-    from text_to_graph_ray.functions.text import bigram_repetition, detect_lang, quality_row
+    from text_to_graph_ray.functions.text import bigram_rep_batch, text_signals_batch
 
     if batch.num_rows == 0:
         return batch
-    keep = []
-    for t in batch.column("text").to_pylist():
-        t = t or ""
-        toks = t.split()
-        if quality_row(t, toks)[3] < min_quality or detect_lang(t, toks) not in langs:
-            keep.append(False)
-            continue
-        _, dup_frac, _ = bigram_repetition(t)  # split(" ") tokenization — the hash-checked contract
-        keep.append(not (dup_frac is not None and dup_frac > max_dup_frac))
+    sig = text_signals_batch(batch.column("text"), want=("quality", "lang"))
+    lang_set = set(langs)
+    gate1 = (sig["quality"] >= min_quality) & np.asarray(
+        [lg in lang_set for lg in sig["lang"]], dtype=bool
+    )
+    # split(" ") tokenization — the hash-checked bigram contract; rows with
+    # < 2 tokens have no dup_frac and pass the repetition cap (valid=False)
+    valid, _, dup_frac, _ = bigram_rep_batch(batch.column("text"))
+    keep = gate1 & ~(valid & (dup_frac > max_dup_frac))
     return batch.filter(pa.array(keep, type=pa.bool_()))
 
 

@@ -43,6 +43,7 @@ def write_bucketed(ds, key, path: str, num_buckets: int = 64, in_schema: pa.Sche
     import pandas as pd
 
     from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.functions.joins import _arrow_schema
 
     keys = [key] if isinstance(key, str) else list(key)
     if os.path.exists(path):
@@ -50,12 +51,19 @@ def write_bucketed(ds, key, path: str, num_buckets: int = 64, in_schema: pa.Sche
     os.makedirs(path, exist_ok=True)
 
     manifest_schema = pa.schema([("bucket", pa.int64()), ("rows", pa.int64())])
+    # every bucket file is written with ONE pinned schema (the dataset's, not
+    # per-bucket pandas inference): a bucket whose int column happens to hold
+    # nulls would otherwise be inferred float64, and bucketed_join — which
+    # pins its output schema from one footer — would choke on the divergence
+    file_schema = in_schema if in_schema is not None else _arrow_schema(ds)
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return manifest_schema.empty_table()
         k = int(df[BUCKET_COL].iloc[0])
-        body = pa.Table.from_pandas(df.drop(columns=[BUCKET_COL]), preserve_index=False)
+        body = pa.Table.from_pandas(
+            df.drop(columns=[BUCKET_COL]), schema=file_schema, preserve_index=False
+        )
         d = _bucket_dir(path, k)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, ".part-0.parquet.tmp")
@@ -115,12 +123,27 @@ def bucketed_join(path_a: str, path_b: str, on: tuple, suffix: str = "_r"):
     out_fields += [(nn, sb.field(n).type) for n, nn in zip(sb.names, b_names) if n != key_b]
     out_schema = pa.schema(out_fields)
 
+    def _check_footers(files: list[str], pinned: pa.Schema, side: str, k: int) -> None:
+        # the output schema is pinned from ONE footer; any bucket whose stored
+        # schema diverged (e.g. written by an older unpinned writer) must fail
+        # loudly here, not corrupt-cast in the pa.array rebuild below. Each
+        # task checks only its own bucket's footers — distributed and cheap.
+        for f in files:
+            s = pq.read_schema(f)
+            if s.names != pinned.names or any(s.field(n).type != pinned.field(n).type for n in s.names):
+                raise ValueError(
+                    f"bucketed_join: bucket {k} ({side}) footer schema {s} diverges from the "
+                    f"pinned schema {pinned} — rewrite the layout with a pinned write_bucketed schema"
+                )
+
     def join_bucket(batch: pa.Table) -> pa.Table:
         out = []
         for k in batch.column("bucket").to_pylist():
             fa, fb = _bucket_files(path_a, k), _bucket_files(path_b, k)
             if not fa or not fb:
                 continue
+            _check_footers(fa, sa, "left", k)
+            _check_footers(fb, sb, "right", k)
             dfa = pa.concat_tables([pq.read_table(f) for f in fa]).to_pandas()
             dfb = pa.concat_tables([pq.read_table(f) for f in fb]).to_pandas()
             m = dfa.merge(dfb, left_on=key_a, right_on=key_b, how="inner", suffixes=("", suffix))
