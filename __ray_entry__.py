@@ -528,6 +528,79 @@ def _q_rel_mad(sf_dir):
     return grouped_mad(ds, "l_returnflag", "l_quantity")
 
 
+def _q_text_lexical(sf_dir):
+    """Lexical-diversity signals per document: type-token ratio + Shannon
+    token entropy — vectorized batch kernel (Arrow whitespace split +
+    exact dictionary-code groupby), entropy terms quantized to int64 at
+    1e9 before summing so the sum is order-independent and bit-equal to
+    the independent naive oracle (np.log2 is the contract's log). Token
+    counts/types are REAL SQL; entropy joins the naive expected table."""
+    from text_to_graph_ray.functions.text import lexical_stats
+    from text_to_graph_ray.util import read_parquet_clean, sort_coalesced
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sort_coalesced(ds.map_batches(lexical_stats, batch_format="pyarrow"), "doc_id")
+
+
+def _q_events_anomaly_mad(sf_dir):
+    """Robust per-type anomaly counts: |value - median| > 3 × MAD — the
+    outlier rule a mean/stddev z-score can't provide (one extreme value
+    drags the mean and inflates sigma; medians stay put). Two keyed row
+    exchanges for the nested medians, one combiner-first counting scan.
+    Oracle mirrors the MATERIALIZED nested-median CTEs op-for-op."""
+    from text_to_graph_ray.functions.stats import mad_outliers
+    from text_to_graph_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return mad_outliers(ds, "event_type", "value", k=3.0)
+
+
+def _q_rel_part_lookup(sf_dir):
+    """LEFT OUTER dimension-enrichment join (joins.lookup_join): lineitems
+    pick up p_brand from the p_size > 40 slice of part; unmatched rows keep
+    NULL and aggregate under the 'NONE' bucket — the row-preserving
+    enrichment shape an inner hash join cannot express. Guarded broadcast
+    (sorted-array searchsorted per batch, left never leaves its blocks)
+    with a one-exchange bucketed left-merge fallback (equivalence test
+    forces broadcast_max=0)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.joins import lookup_join
+    from text_to_graph_ray.util import read_parquet_clean, sort_coalesced
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    part = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    dim = part.map_batches(
+        lambda b: b.filter(pc.greater(b.column("p_size"), 40)).select(["p_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+    enriched = lookup_join(li, dim, key="l_partkey", right_key="p_partkey", cols=["p_brand"])
+
+    out_schema = pa.schema([("brand", pa.string()), ("n", pa.int64()), ("sum_qty", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        brand = b.column("p_brand").fill_null("NONE")
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"brand": brand.to_pylist(), "n": 1, "sum_qty": qty}).groupby(
+            "brand", as_index=False, sort=False
+        ).sum()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in out_schema}, schema=out_schema)
+
+    agg = bucketed_aggregate(
+        enriched.map_batches(partial, batch_format="pyarrow"), "brand",
+        {"n": ("n", "sum"), "sum_qty": ("sum_qty", "sum")},
+        out_schema=out_schema, num_buckets=16, in_schema=out_schema,
+    )
+    return sort_coalesced(agg, "brand")
+
+
 def _q_text_search_topk(sf_dir):
     """Query-term retrieval: top-10 docs by sum(tf * idf) for a fixed
     3-term query — df/N from one streamed scan, round(6) idf absorbs the
@@ -1903,7 +1976,111 @@ def _q_docs_hash_split(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS for external evidence: the driver snapshot covers the
+    # FIRST 50 entries, and rounds 1-4 always snapshotted the same 50 —
+    # so round 5 front-loads the queries that have never appeared in a
+    # driver CORRECTNESS file (graph, storage layouts, incremental KG,
+    # curation flagship, fuzzy joins, sketches, + the round-5 additions).
+    # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "text_lexical": _q_text_lexical,
+        "events_anomaly_mad": _q_events_anomaly_mad,
+        "rel_part_lookup": _q_rel_part_lookup,
+        "graph_triangles": _q_graph_triangles,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_bfs": _q_graph_bfs,
+        "graph_sssp": _q_graph_sssp,
+        "graph_kcore": _q_graph_kcore,
+        "kg_components": _q_kg_components,
+        "kg_pagerank_topk": _q_kg_pagerank_topk,
+        "kg_degree_topk": _q_kg_degree_topk,
+        "kg_nodes_incremental": _q_kg_nodes_incremental,
+        "kg_triples_incremental": _q_kg_triples_incremental,
+        "kg_relabeled": _q_kg_relabeled,
+        "kg_scored_links": _q_kg_scored_links,
+        "kg_reexport_links": _q_kg_reexport_links,
+        "kg_fixture_triples": _q_kg_fixture_triples,
+        "kg_fixture_nodes": _q_kg_fixture_nodes,
+        "conformance_parse": _q_conformance_parse,
+        "pipeline_curation_full": _q_pipeline_curation_full,
+        "pipeline_pretraining": _q_pipeline_pretraining,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
+        "text_segment_dedup": _q_text_segment_dedup,
+        "dedup_decontaminate": _q_dedup_decontaminate,
+        "text_repetition": _q_text_repetition,
+        "text_tfidf_topk": _q_text_tfidf_topk,
+        "text_inverted_index": _q_text_inverted_index,
+        "text_search_topk": _q_text_search_topk,
+        "text_vocab_by_lang": _q_text_vocab_by_lang,
+        "text_chunks": _q_text_chunks,
+        "text_token_heavy_hitters": _q_text_token_heavy_hitters,
+        "rel_bucketed_join": _q_rel_bucketed_join,
+        "events_zorder_scan": _q_events_zorder_scan,
+        "docs_partitioned_scan": _q_docs_partitioned_scan,
+        "docs_parquet_profile": _q_docs_parquet_profile,
+        "events_cdc_merge": _q_events_cdc_merge,
+        "events_rolling_active": _q_events_rolling_active,
+        "events_retention": _q_events_retention,
+        "rel_mad": _q_rel_mad,
+        "rel_pricing_rollup": _q_rel_pricing_rollup,
+        "rel_pricing_cube": _q_rel_pricing_cube,
+        "rel_fuzzy_names": _q_rel_fuzzy_names,
+        "rel_fuzzy_lookup": _q_rel_fuzzy_lookup,
+        "rel_copart_pairs": _q_rel_copart_pairs,
+        "rel_order_revenue": _q_rel_order_revenue,
+        "stats_quantile_sketch": _q_stats_quantile_sketch,
+        "events_users_per_type_kmv": _q_events_users_per_type_kmv,
+        "events_window_distinct": _q_events_window_distinct,
+        "docs_budget_select": _q_docs_budget_select,
+        "docs_quota_sample": _q_docs_quota_sample,
+        "events_heavy_hitters": _q_events_heavy_hitters,
+        "events_pivot": _q_events_pivot,
+        "events_ntile": _q_events_ntile,
+        "rel_unpivot": _q_rel_unpivot,
+        "events_pct_rank": _q_events_pct_rank,
+        "events_running_sum": _q_events_running_sum,
+        "rel_region_balance": _q_rel_region_balance,
+        "rel_shipping_priority": _q_rel_shipping_priority,
+        "mm_decode": _q_mm_decode,
+        "mm_resize": _q_mm_resize,
+        "mm_frames": _q_mm_frames,
+        "mm_features": _q_mm_features,
+        "events_funnel": _q_events_funnel,
+        "events_user_profile": _q_events_user_profile,
+        "docs_distinct_pairs": _q_docs_distinct_pairs,
+        "events_lag_deltas": _q_events_lag_deltas,
+        "events_window_frame": _q_events_window_frame,
+        "events_users_intersect": _q_events_users_intersect,
+        "events_users_except": _q_events_users_except,
+        "events_latest_per_user": _q_events_latest_per_user,
+        "events_day_rank": _q_events_day_rank,
+        "rel_customer_order_counts": _q_rel_customer_order_counts,
+        "events_json_stats": _q_events_json_stats,
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        "rel_corr_stats": _q_rel_corr_stats,
+        "stats_value_histogram": _q_stats_value_histogram,
+        "events_mode_type": _q_events_mode_type,
+        "events_new_users": _q_events_new_users,
+        "stats_grouped_quantiles": _q_stats_grouped_quantiles,
+        "events_moving_sum": _q_events_moving_sum,
+        "stats_moments_by_flag": _q_stats_moments_by_flag,
+        "events_user_streaks": _q_events_user_streaks,
+        "docs_jsonl_stats": _q_docs_jsonl_stats,
+        "rel_quantity_zscore": _q_rel_quantity_zscore,
+        "rel_spearman": _q_rel_spearman,
+        "text_normalize": _q_text_normalize,
+        "docs_csv_stats": _q_docs_csv_stats,
+        "stats_quantiles_cont": _q_stats_quantiles_cont,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "events_range_sum": _q_events_range_sum,
+        "events_full_outer_days": _q_events_full_outer_days,
+        "events_user_trace": _q_events_user_trace,
+        "events_type_entropy": _q_events_type_entropy,
+        "docs_hash_split": _q_docs_hash_split,
+        "rel_winsorized": _q_rel_winsorized,
+        "emb_quantize_profile": _q_emb_quantize_profile,
+        "events_skew_profile": _q_events_skew_profile,
+        "rel_column_stats": _q_rel_column_stats,
         "kg_triples": _q_kg_triples,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_nodes": _q_kg_nodes,
@@ -1954,101 +2131,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bloom_semijoin": _q_rel_bloom_semijoin,
         "stats_kmv_distinct": _q_stats_kmv_distinct,
         "stats_hll_distinct": _q_stats_hll_distinct,
-        "events_heavy_hitters": _q_events_heavy_hitters,
-        "events_pivot": _q_events_pivot,
-        "events_ntile": _q_events_ntile,
-        "rel_unpivot": _q_rel_unpivot,
-        "events_pct_rank": _q_events_pct_rank,
-        "stats_quantile_sketch": _q_stats_quantile_sketch,
-        "text_token_heavy_hitters": _q_text_token_heavy_hitters,
-        "events_running_sum": _q_events_running_sum,
-        "rel_order_revenue": _q_rel_order_revenue,
-        "rel_region_balance": _q_rel_region_balance,
-        "rel_shipping_priority": _q_rel_shipping_priority,
-        "mm_decode": _q_mm_decode,
-        "mm_resize": _q_mm_resize,
-        "mm_frames": _q_mm_frames,
-        "mm_features": _q_mm_features,
-        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
-        "kg_fixture_triples": _q_kg_fixture_triples,
-        "kg_fixture_nodes": _q_kg_fixture_nodes,
-        "kg_relabeled": _q_kg_relabeled,
-        "kg_scored_links": _q_kg_scored_links,
-        "kg_reexport_links": _q_kg_reexport_links,
-        "kg_degree_topk": _q_kg_degree_topk,
-        "kg_components": _q_kg_components,
-        "conformance_parse": _q_conformance_parse,
-        "text_tfidf_topk": _q_text_tfidf_topk,
-        "text_inverted_index": _q_text_inverted_index,
-        "rel_pricing_rollup": _q_rel_pricing_rollup,
-        "rel_pricing_cube": _q_rel_pricing_cube,
-        "events_funnel": _q_events_funnel,
-        "events_user_profile": _q_events_user_profile,
-        "docs_distinct_pairs": _q_docs_distinct_pairs,
-        "events_lag_deltas": _q_events_lag_deltas,
-        "events_window_frame": _q_events_window_frame,
-        "dedup_decontaminate": _q_dedup_decontaminate,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_triangles": _q_graph_triangles,
-        "kg_pagerank_topk": _q_kg_pagerank_topk,
-        "events_users_intersect": _q_events_users_intersect,
-        "events_users_except": _q_events_users_except,
-        "events_latest_per_user": _q_events_latest_per_user,
-        "events_day_rank": _q_events_day_rank,
-        "rel_customer_order_counts": _q_rel_customer_order_counts,
-        "text_repetition": _q_text_repetition,
-        "pipeline_pretraining": _q_pipeline_pretraining,
-        "events_json_stats": _q_events_json_stats,
-        "rel_brand_revenue": _q_rel_brand_revenue,
-        "rel_fuzzy_names": _q_rel_fuzzy_names,
-        "rel_corr_stats": _q_rel_corr_stats,
-        "stats_value_histogram": _q_stats_value_histogram,
-        "events_mode_type": _q_events_mode_type,
-        "events_new_users": _q_events_new_users,
-        "stats_grouped_quantiles": _q_stats_grouped_quantiles,
-        "rel_fuzzy_lookup": _q_rel_fuzzy_lookup,
-        "events_moving_sum": _q_events_moving_sum,
-        "stats_moments_by_flag": _q_stats_moments_by_flag,
-        "events_users_per_type_kmv": _q_events_users_per_type_kmv,
-        "graph_bfs": _q_graph_bfs,
-        "graph_sssp": _q_graph_sssp,
-        "rel_copart_pairs": _q_rel_copart_pairs,
-        "events_user_streaks": _q_events_user_streaks,
-        "events_window_distinct": _q_events_window_distinct,
-        "docs_jsonl_stats": _q_docs_jsonl_stats,
-        "docs_parquet_profile": _q_docs_parquet_profile,
-        "text_chunks": _q_text_chunks,
-        "rel_quantity_zscore": _q_rel_quantity_zscore,
-        "rel_spearman": _q_rel_spearman,
-        "text_normalize": _q_text_normalize,
-        "docs_csv_stats": _q_docs_csv_stats,
-        "stats_quantiles_cont": _q_stats_quantiles_cont,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "events_range_sum": _q_events_range_sum,
-        "events_full_outer_days": _q_events_full_outer_days,
-        "events_user_trace": _q_events_user_trace,
-        "events_type_entropy": _q_events_type_entropy,
-        "docs_hash_split": _q_docs_hash_split,
-        "text_segment_dedup": _q_text_segment_dedup,
-        "rel_bucketed_join": _q_rel_bucketed_join,
-        "events_zorder_scan": _q_events_zorder_scan,
-        "graph_kcore": _q_graph_kcore,
-        "events_cdc_merge": _q_events_cdc_merge,
-        "docs_quota_sample": _q_docs_quota_sample,
-        "docs_partitioned_scan": _q_docs_partitioned_scan,
-        "rel_winsorized": _q_rel_winsorized,
-        "text_vocab_by_lang": _q_text_vocab_by_lang,
-        "emb_quantize_profile": _q_emb_quantize_profile,
-        "docs_budget_select": _q_docs_budget_select,
-        "kg_nodes_incremental": _q_kg_nodes_incremental,
-        "kg_triples_incremental": _q_kg_triples_incremental,
-        "events_skew_profile": _q_events_skew_profile,
-        "pipeline_curation_full": _q_pipeline_curation_full,
-        "rel_column_stats": _q_rel_column_stats,
-        "events_retention": _q_events_retention,
-        "events_rolling_active": _q_events_rolling_active,
-        "rel_mad": _q_rel_mad,
-        "text_search_topk": _q_text_search_topk,
     }
 
 
@@ -2904,6 +2986,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN m USING (l_returnflag) WHERE l.l_quantity IS NOT NULL) "
             "SELECT l_returnflag, round(quantile_cont(dev, 0.5), 6) AS mad "
             "FROM d GROUP BY 1 ORDER BY 1"
+        ),
+        "text_lexical": (
+            # n_tokens / n_types / ttr are REAL SQL over the established
+            # tokenization contract; token_entropy joins the independent
+            # naive expected table (quantized-term contract — SQL log2 is
+            # not bit-stable vs libm, verified 1-ulp drift)
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), tk -> tk <> '') AS toks FROM documents) "
+            "SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens, "
+            "len(list_distinct(t.toks))::BIGINT AS n_types, "
+            "CASE WHEN len(t.toks) = 0 THEN 0.0 ELSE round(len(list_distinct(t.toks)) / len(t.toks), 6) END AS ttr, "
+            f"x.token_entropy FROM t JOIN read_parquet('{e}/expected_lexical.parquet') x USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "events_anomaly_mad": (
+            # engine rounding mirrored: round(median, 6), round(MAD, 6),
+            # anomaly test abs(x - med) > 3.0 * mad; CTEs MATERIALIZED or
+            # DuckDB re-inlines the quantile scans combinatorially
+            "WITH m AS MATERIALIZED (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+            "d AS MATERIALIZED (SELECT e.event_type, e.value, m.med FROM events e "
+            "JOIN m USING (event_type) WHERE e.value IS NOT NULL), "
+            "dv AS MATERIALIZED (SELECT event_type, round(quantile_cont(abs(value - med), 0.5), 6) AS mad "
+            "FROM d GROUP BY 1) "
+            "SELECT d.event_type, count(*)::BIGINT AS n, "
+            "sum(CASE WHEN abs(d.value - d.med) > 3.0 * dv.mad THEN 1 ELSE 0 END)::BIGINT AS n_anomalies "
+            "FROM d JOIN dv USING (event_type) GROUP BY 1 ORDER BY 1"
+        ),
+        "rel_part_lookup": (
+            # LEFT OUTER enrichment: unmatched lineitems keep NULL brand and
+            # land in the 'NONE' bucket; quantities are integer-valued so the
+            # BIGINT sums are exact on both engines
+            "SELECT coalesce(p.p_brand, 'NONE') AS brand, count(*)::BIGINT AS n, "
+            "CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem l LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 40) p "
+            "ON l.l_partkey = p.p_partkey GROUP BY 1 ORDER BY 1"
         ),
         "events_rolling_active": (
             # date_trunc+datediff FLOORS to the day like the engine's

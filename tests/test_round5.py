@@ -288,6 +288,140 @@ class TestBatchKernelEquivalence:
         ]
 
 
+class TestLookupJoin:
+    def _sides(self, ray_session):
+        import ray as _ray
+
+        left = pa.table({
+            "k": pa.array([1, 2, 3, 4, 2, 9], type=pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 21, 90], type=pa.int64()),
+        })
+        right = pa.table({
+            "rk": pa.array([2, 3, 5], type=pa.int64()),
+            "name": pa.array(["two", "three", "five"], type=pa.string()),
+            "w": pa.array([200, 300, 500], type=pa.int64()),
+        })
+        return (_ray.data.from_arrow(left).repartition(3),
+                _ray.data.from_arrow(right).repartition(2))
+
+    def _expect(self):
+        m = {2: ("two", 200), 3: ("three", 300)}
+        rows = [(1, 10), (2, 20), (3, 30), (4, 40), (2, 21), (9, 90)]
+        return sorted((k, v, *(m.get(k, (None, None)))) for k, v in rows)
+
+    def test_broadcast_left_outer_semantics(self, ray_session):
+        from text_to_graph_ray.functions.joins import lookup_join
+
+        left, right = self._sides(ray_session)
+        got = lookup_join(left, right, key="k", right_key="rk").to_pandas()
+        rows = sorted(
+            (int(r.k), int(r.v), None if r.name is None or r.name != r.name else r.name,
+             None if r.w != r.w else int(r.w))
+            for r in got.itertuples()
+        )
+        assert rows == self._expect()
+
+    def test_fallback_plan_identical(self, ray_session):
+        from text_to_graph_ray.functions.joins import lookup_join
+
+        left, right = self._sides(ray_session)
+        got = lookup_join(left, right, key="k", right_key="rk", broadcast_max=0).to_pandas()
+        rows = sorted(
+            (int(r.k), int(r.v), None if r.name is None or r.name != r.name else r.name,
+             None if r.w != r.w else int(r.w))
+            for r in got.itertuples()
+        )
+        assert rows == self._expect()
+
+    def test_duplicate_right_keys_rejected_both_plans(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.joins import lookup_join
+
+        left = _ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+        dup = _ray.data.from_arrow(pa.table({
+            "k": pa.array([7, 7], type=pa.int64()),
+            "x": pa.array([1, 2], type=pa.int64()),
+        }))
+        with pytest.raises(Exception, match="not unique"):
+            lookup_join(left, dup, key="k").materialize()
+        with pytest.raises(Exception, match="not unique"):
+            lookup_join(left, dup, key="k", broadcast_max=0).materialize()
+
+    def test_column_clash_rejected(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.joins import lookup_join
+
+        left = _ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()),
+                                              "x": pa.array([1], type=pa.int64())}))
+        right = _ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()),
+                                               "x": pa.array([2], type=pa.int64())}))
+        with pytest.raises(ValueError, match="already exist"):
+            lookup_join(left, right, key="k")
+
+
+class TestMadOutliers:
+    def test_counts_match_naive(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import mad_outliers
+
+        rng = np.random.default_rng(19)
+        keys, vals = [], []
+        data = {"a": rng.normal(10.0, 2.0, 200), "b": rng.normal(50.0, 5.0, 150)}
+        # inject extreme outliers that would wreck a mean/stddev z-score
+        data["a"][:3] = [1000.0, -900.0, 800.0]
+        for k, arr in data.items():
+            keys += [k] * len(arr)
+            vals += arr.tolist()
+        t = pa.table({"g": pa.array(keys, type=pa.string()), "x": pa.array(vals, type=pa.float64())})
+        got = mad_outliers(_ray.data.from_arrow(t).repartition(5), "g", "x", k=3.0).to_pandas()
+
+        expect = {}
+        for k, arr in data.items():
+            med = round(float(np.quantile(arr, 0.5, method="linear")), 6)
+            mad = round(float(np.quantile(np.abs(arr - med), 0.5, method="linear")), 6)
+            anom = int((np.abs(arr - med) > 3.0 * mad).sum())
+            expect[k] = (len(arr), anom)
+        assert {r.g: (int(r.n), int(r.n_anomalies)) for r in got.itertuples()} == expect
+        # the planted extremes must be flagged (robustness property)
+        assert expect["a"][1] >= 3
+
+
+class TestLexicalStats:
+    def test_batch_matches_row_contract(self):
+        from text_to_graph_ray.functions.text import lexical_row, lexical_stats
+
+        texts = _adversarial_texts() + ["a a b", "x y z x y x", "unique words only here"]
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                          "text": pa.array(texts, type=pa.string())})
+        got = lexical_stats(batch)
+        for i, t in enumerate(texts):
+            n, ty, ttr, h = lexical_row(t)
+            assert got.column("n_tokens")[i].as_py() == n, (i, repr(t))
+            assert got.column("n_types")[i].as_py() == ty, (i, repr(t))
+            assert got.column("ttr")[i].as_py() == ttr, (i, repr(t))
+            assert got.column("token_entropy")[i].as_py() == h, (i, repr(t))
+
+    def test_matches_independent_naive(self):
+        from text_to_graph_ray.expected import naive_lexical
+        from text_to_graph_ray.functions.text import lexical_row
+
+        for t in _adversarial_texts():
+            assert lexical_row(t) == naive_lexical(t), repr(t)
+
+    def test_entropy_values_sane(self):
+        from text_to_graph_ray.functions.text import lexical_row
+
+        # uniform distribution over 4 types -> exactly 2 bits
+        n, ty, ttr, h = lexical_row("a b c d")
+        assert (n, ty, ttr) == (4, 4, 1.0)
+        assert h == 2.0
+        # single repeated token -> zero entropy
+        assert lexical_row("a a a a")[3] == 0.0
+
+
 class TestHalfUpCents:
     def test_floor_plus_half_matches_duckdb_round(self):
         """floor(x*100 + 0.5) must agree with DuckDB's round() (half away

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v11"  # v11: +expected_clean3 (full curation composition)
+EXPECTED_ROOT = "/tmp/graft_expected/v12"  # v12: +expected_lexical (ttr + token entropy)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -82,6 +82,30 @@ def naive_quality(text: str) -> tuple[float, float, float, float]:
     alpha = sum(1 for c in t if c.isalpha()) / len(t) if t else 0.0
     q = min(1.0, n / 50.0) * 0.4 + min(mean_len / 8.0, 1.0) * 0.2 + stop_r * 0.2 + alpha * 0.2
     return round(mean_len, 6), round(stop_r, 6), round(alpha, 6), round(q, 6)
+
+
+def naive_lexical(text: str) -> tuple[int, int, float, float]:
+    """(n_tokens, n_types, ttr, token_entropy) — independent naive walk of
+    the lexical contract: Counter over split() tokens; entropy terms
+    c*log2(c) quantized to int64 at 1e9 before summing (order-independent
+    exact sum; np.log2 is the contract's log — math.log2 differs by 1 ulp
+    on some integers)."""
+    import numpy as np
+
+    toks = (text or "").split()
+    n = len(toks)
+    if n == 0:
+        return 0, 0, 0.0, 0.0
+    counts: dict = {}
+    for w in toks:
+        counts[w] = counts.get(w, 0) + 1
+    s = 0
+    for c in counts.values():
+        cf = np.float64(c)
+        s += int(np.rint(cf * np.log2(cf) * np.float64(1e9)))
+    nf = np.float64(n)
+    h = float(np.log2(nf) - (np.float64(s) / np.float64(1e9)) / nf)
+    return n, len(counts), round(len(counts) / n, 6), round(h, 6)
 
 
 def naive_fingerprint(text: str, k: int = 5, window: int = 4) -> int:
@@ -677,6 +701,22 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "alpha_ratio": pa.array([q[2] for q in quals], type=pa.float64()),
                 "quality": pa.array([q[3] for q in quals], type=pa.float64()),
                 "fingerprint": pa.array(fps, type=pa.int64()),
+            }
+        ),
+    )
+
+    # lexical diversity (ttr + quantized-term token entropy)
+    lex = [naive_lexical(t) for t in texts]
+    _write(
+        tmp,
+        "expected_lexical",
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array([x[0] for x in lex], type=pa.int64()),
+                "n_types": pa.array([x[1] for x in lex], type=pa.int64()),
+                "ttr": pa.array([x[2] for x in lex], type=pa.float64()),
+                "token_entropy": pa.array([x[3] for x in lex], type=pa.float64()),
             }
         ),
     )

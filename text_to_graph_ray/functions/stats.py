@@ -544,7 +544,8 @@ def winsorize_group_stats(ds, key: str, col: str, q_lo: float = 0.1, q_hi: float
 
 
 def grouped_mad(ds, key: str, col: str, key_type: pa.DataType | None = None,
-                groups_max: int = 100_000, num_buckets: int = 64):
+                groups_max: int = 100_000, num_buckets: int = 64,
+                include_median: bool = False):
     """Median absolute deviation per group — the robust dispersion measure
     (outlier-insensitive where stddev is not): mad = median(|x - median(x)|),
     both medians the INTERPOLATED quantile_cont(0.5) with the engine's
@@ -592,9 +593,79 @@ def grouped_mad(ds, key: str, col: str, key_type: pa.DataType | None = None,
     devs = ds.select_columns([key, col]).map_batches(deviations, batch_format="pyarrow")
     out = grouped_quantiles_cont(devs, key, "dev", [0.5], key_type=key_type, num_buckets=num_buckets)
 
+    med_fields = [(key, key_type)] + ([("med", pa.float64())] if include_median else []) + [("mad", pa.float64())]
+    ren_schema = pa.schema(med_fields)
+
     def rename(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.schema([(key, key_type), ("mad", pa.float64())]).empty_table()
-        return pa.table({key: b.column(key), "mad": b.column("value")})
+            return ren_schema.empty_table()
+        data = {key: b.column(key)}
+        if include_median:
+            ks, meds = ray.get(ref)
+            karr = np.asarray(b.column(key).to_pylist())
+            data["med"] = pa.array(meds[np.searchsorted(ks, karr)], type=pa.float64())
+        data["mad"] = b.column("value")
+        return pa.table(data, schema=ren_schema)
 
     return sort_coalesced(out.map_batches(rename, batch_format="pyarrow"), key)
+
+
+def mad_outliers(ds, key: str, col: str, k: float = 3.0, key_type: pa.DataType | None = None,
+                 groups_max: int = 100_000, num_buckets: int = 64):
+    """Robust per-group anomaly counts: rows whose |x - median| exceeds
+    ``k`` × the group's MAD (median absolute deviation) — the outlier
+    detector that a mean/stddev z-score can't be (a single extreme value
+    drags the mean toward itself and inflates sigma; the two medians do not
+    move). Returns (key, n, n_anomalies) sorted by key.
+
+    Plan: ``grouped_mad(include_median=True)`` pays the two keyed row
+    exchanges exact nested medians require; the group-sized (key, med, mad)
+    table is guard-collected, ``ray.put`` once, and ONE more streamed scan
+    counts anomalies per batch (combiner) into a vocabulary-sized bucketed
+    sum. Float discipline mirrors the oracle op-for-op: both medians are
+    round(·, 6); the test is ``abs(x - med) > k * mad`` — three single IEEE
+    ops on identical inputs."""
+    import ray
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.util import sort_coalesced
+
+    key_type = key_type or pa.string()
+    mm = grouped_mad(ds, key, col, key_type=key_type, groups_max=groups_max,
+                     num_buckets=num_buckets, include_median=True).materialize()
+    mt = pa.concat_tables([t for t in ray.get(mm.to_arrow_refs()) if t.num_rows])
+    mkeys = np.asarray(mt.column(key).to_pylist())
+    order = np.argsort(mkeys)
+    ref = ray.put((
+        mkeys[order],
+        np.asarray(mt.column("med").to_pylist(), dtype=np.float64)[order],
+        np.asarray(mt.column("mad").to_pylist(), dtype=np.float64)[order],
+    ))
+
+    part_schema = pa.schema([(key, key_type), ("n", pa.int64()), ("n_anomalies", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        b = b.filter(pc.is_valid(b.column(col)))
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        ks, meds, mads = ray.get(ref)
+        karr = np.asarray(b.column(key).to_pylist())
+        pos = np.searchsorted(ks, karr)
+        x = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        anom = np.abs(x - meds[pos]) > k * mads[pos]
+        g = pd.DataFrame({key: karr, "n": 1, "n_anomalies": anom.astype(np.int64)}).groupby(
+            key, as_index=False, sort=False
+        ).sum()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in part_schema}, schema=part_schema)
+
+    parts = ds.select_columns([key, col]).map_batches(partial, batch_format="pyarrow")
+    out = bucketed_aggregate(
+        parts, key, {"n": ("n", "sum"), "n_anomalies": ("n_anomalies", "sum")},
+        out_schema=part_schema, num_buckets=num_buckets, in_schema=part_schema,
+    )
+    return sort_coalesced(out, key)

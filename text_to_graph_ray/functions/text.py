@@ -266,6 +266,103 @@ def bigram_rep_batch(texts) -> tuple:
     return valid, n_big, dup, top
 
 
+LEXICAL_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_types", pa.int64()),
+        ("ttr", pa.float64()),
+        ("token_entropy", pa.float64()),
+    ]
+)
+
+
+def lexical_row(text: str) -> tuple:
+    """(n_tokens, n_types, ttr, token_entropy) for one document — THE
+    lexical-diversity contract. ttr = distinct/total tokens (type-token
+    ratio); entropy is Shannon over the token frequency distribution,
+    computed as log2(n) - (Σ round(c·log2(c)·1e9)) / 1e9 / n: quantizing
+    each term to an int64 BEFORE summing makes the sum order-independent
+    and bit-reproducible across the vectorized batch kernel, this per-row
+    fallback, and the naive oracle (np.log2 scalar == np.log2 array,
+    verified; math.log2 differs by 1 ulp on ~0.8% of integers, so np.log2
+    IS the contract). Both floats round(·, 6)."""
+    from collections import Counter
+
+    toks = (text or "").split()
+    n = len(toks)
+    if n == 0:
+        return 0, 0, 0.0, 0.0
+    c = Counter(toks)
+    cnts = np.asarray(list(c.values()), dtype=np.float64)
+    s = int(np.rint(cnts * np.log2(cnts) * 1e9).astype(np.int64).sum())
+    nf = np.float64(n)
+    h = float(np.log2(nf) - (np.float64(s) / 1e9) / nf)
+    return n, len(c), round(len(c) / n, 6), round(h, 6)
+
+
+def lexical_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Vectorized ``lexical_row`` over a batch: token counts via the Arrow
+    whitespace split (ASCII rows — differentially verified against
+    str.split), per-(row, type) counts via exact dictionary codes + one
+    pandas int groupby (no hashing in the identity), entropy terms
+    quantized per the contract. Non-ASCII rows fall back to lexical_row."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts.cast(pa.string()), "")
+    n_rows = len(t)
+    ids = batch.column(id_col).cast(pa.int64())
+    if n_rows == 0:
+        return LEXICAL_SCHEMA.empty_table()
+    ascii_mask = pc.string_is_ascii(t).to_numpy(zero_copy_only=False)
+
+    s = pc.utf8_split_whitespace(t)
+    lens = pc.list_value_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(s)
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    tok_len_all = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    ne = tok_len_all > 0
+    parent_ne = parent[ne]
+    flat_ne = flat.filter(pa.array(ne))
+    n_tok = np.bincount(parent_ne, minlength=n_rows).astype(np.int64)
+
+    n_types = np.zeros(n_rows, dtype=np.int64)
+    sum_q = np.zeros(n_rows, dtype=np.int64)
+    if len(parent_ne):
+        codes = pc.dictionary_encode(flat_ne).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"row": parent_ne, "k": codes}).groupby(["row", "k"], sort=False).size()
+        rows = g.index.get_level_values(0).to_numpy()
+        cnt = g.to_numpy().astype(np.float64)
+        term_q = np.rint(cnt * np.log2(cnt) * 1e9).astype(np.int64)
+        np.add.at(n_types, rows, 1)
+        np.add.at(sum_q, rows, term_q)
+
+    nf = n_tok.astype(np.float64)
+    safe = np.maximum(nf, 1.0)
+    ttr = np.where(n_tok > 0, n_types.astype(np.float64) / safe, 0.0)
+    with np.errstate(divide="ignore"):
+        h = np.where(n_tok > 0, np.log2(safe) - (sum_q.astype(np.float64) / 1e9) / safe, 0.0)
+
+    fb = set(np.flatnonzero(~ascii_mask).tolist())
+    if fb:
+        texts_py = t.to_pylist()
+        for i in fb:
+            n_tok[i], n_types[i], ttr[i], h[i] = lexical_row(texts_py[i])
+    ttr = np.asarray([x if i in fb else round(x, 6) for i, x in enumerate(ttr.tolist())], dtype=np.float64)
+    h = np.asarray([x if i in fb else round(x, 6) for i, x in enumerate(h.tolist())], dtype=np.float64)
+    return pa.table({
+        "doc_id": ids,
+        "n_tokens": pa.array(n_tok, type=pa.int64()),
+        "n_types": pa.array(n_types, type=pa.int64()),
+        "ttr": pa.array(ttr, type=pa.float64()),
+        "token_entropy": pa.array(h, type=pa.float64()),
+    }, schema=LEXICAL_SCHEMA)
+
+
 def lang_id(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     preds = text_signals_batch(batch.column(text_col), want=("lang",))["lang"]
     return pa.table({id_col: batch.column(id_col), "lang_pred": pa.array(preds, type=pa.string())})
