@@ -197,6 +197,22 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_pipeline_curation_full(sf_dir).count()
     times["pipeline_curation_full"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
+    _e._q_text_lexical(sf_dir).count()
+    times["text_lexical"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_rel_part_lookup(sf_dir).count()
+    times["rel_part_lookup"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_events_anomaly_mad(sf_dir).count()
+    times["events_anomaly_mad"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_graph_triangles(sf_dir).count()
+    times["graph_triangles"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

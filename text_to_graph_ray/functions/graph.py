@@ -363,13 +363,18 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
     each edge to (a, b) with a < b (self-loops dropped) and DISTINCT it
     (``agg.distinct_rows`` — combiner-first), count node degrees (one
     bucketed exchange), then ORIENT each edge from its lower-(degree, id)
-    endpoint to its higher one. Wedges are pairs of oriented out-neighbors
-    of a shared source — oriented E(s,t) ⋈ E(s,c) on s, kept once per
-    unordered pair via t < c — and a second hash join probes each wedge's
-    closing edge (t, c) against the id-canonical edge table. Each triangle
-    {x, y, z} is produced exactly once, from its min-(deg, id) corner. The
-    triangle rows fan out to their three corners and a coarse-bucket count
-    per node finishes it.
+    endpoint to its higher one. Wedges are each source's out-neighbor pairs
+    (kept once per unordered pair, id-ordered), enumerated vectorized
+    inside ONE source-keyed bucket exchange of the oriented edges; each
+    triangle {x, y, z} is produced exactly once, from its min-(deg, id)
+    corner. While edge ids fit 31 bits and the edge count fits the guard,
+    the closing-edge set packs into one sorted uint64 array ((a<<32)|b),
+    broadcast once, and each wedge bucket filters its pairs in-stream and
+    PRE-COUNTS its triangle corners — only (node, cnt) partials cross the
+    final exchange, never wedge or triangle rows (a dense graph with T
+    triangles ships O(nodes) partial rows instead of 3T). Past the guard
+    the closing probe falls back to a side-tagged bucketed semi join on
+    (lo, hi), still corner-counting per bucket before the final sum.
 
     Why degree orientation: wedge rows are Σ_v outdeg(v)², and orienting by
     degree bounds every outdeg by O(√m) (arboricity-style bound), so a hot
@@ -476,16 +481,15 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
         oriented = j.map_batches(orient_joined, batch_format="pyarrow")
 
+    from text_to_graph_ray.functions.agg import bucket_exchange, with_bucket
+
     # wedge generation: bucket oriented edges by SOURCE so each low-degree
     # node's whole out-adjacency lands in one group, then enumerate its
     # out-neighbor pairs fully vectorized (the repeat/arange combination
     # trick — no Python loop over sources). id-sorting within each group
     # makes every emitted pair (lo, hi) id-ordered for the closing probe.
-    wedge_schema = pa.schema([("s", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
-
-    def wedges_per_bucket(df) -> pa.Table:
-        if len(df) == 0:
-            return wedge_schema.empty_table()
+    def wedge_arrays(df):
+        """(s, lo, hi) numpy arrays of this bucket's wedges, or None."""
         s = df["s"].to_numpy(dtype=np.int64)
         t = df["t"].to_numpy(dtype=np.int64)
         order = np.lexsort((t, s))
@@ -500,75 +504,132 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
         fc = np.repeat(sizes, sizes) - 1 - local  # pairs with this row as 'lo'
         total = int(fc.sum())
         if total == 0:
-            return wedge_schema.empty_table()
+            return None
         i = np.repeat(np.arange(n), fc)
         j = np.arange(total) - np.repeat(np.cumsum(fc) - fc, fc) + i + 1
-        return pa.table({
-            "s": pa.array(s[i], type=pa.int64()),
-            "lo": pa.array(t[i], type=pa.int64()),
-            "hi": pa.array(t[j], type=pa.int64()),
-        }, schema=wedge_schema)
+        return s[i], t[i], t[j]
 
-    from text_to_graph_ray.functions.agg import bucket_exchange, with_bucket
+    cnt_schema = pa.schema([("node", pa.int64()), ("cnt", pa.int64())])
 
-    wedges = bucket_exchange(
-        with_bucket(oriented, "s", num_buckets, in_schema=ori_schema),
-        wedges_per_bucket, wedge_schema, num_buckets,
-    )
+    def count_partial(nodes: np.ndarray) -> pa.Table:
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq, type=pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), type=pa.int64())}, schema=cnt_schema)
 
-    # closing-edge probe as a side-tagged bucketed semi join on (lo, hi):
-    # wedge pairs are id-ordered, so they probe the id-canonical edge table
-    # directly — orientation does not matter here. (Our own exchange, not
-    # Dataset.join: Ray's hash-shuffle join aggregator builds a zero-column
-    # table for a partition that received no left shard and then fails the
-    # key lookup — tiny inputs with empty partitions would crash.)
-    tri_schema = pa.schema([("s", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
-    tag_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("s", pa.int64()), ("side", pa.int64())])
+    # closing-edge membership: wedge pairs are id-ordered, so they probe
+    # the id-canonical edge table directly — orientation does not matter.
+    # While edge ids fit 31 bits and the edge count fits the guard, the
+    # whole closing set packs into ONE sorted uint64 array ((a<<32)|b),
+    # broadcast once; each wedge bucket then filters its pairs in-stream
+    # AND pre-counts its triangle corners, so only (node, cnt) partials —
+    # never wedge or triangle rows — cross the remaining exchange. A dense
+    # graph with T triangles ships O(nodes-per-bucket) rows instead of 3T.
+    n_edges = edges.count()
+    max_id = None
+    if n_edges and n_edges <= deg_broadcast_max:
+        mx = [pc.max(t.column("b")).as_py() for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        max_id = max(mx) if mx else None
+    mn_ok = True
+    if max_id is not None:
+        mns = [pc.min(t.column("a")).as_py() for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        mn_ok = bool(mns) and min(mns) >= 0
+    packable = max_id is not None and max_id < 2**31 and mn_ok
 
-    def tag(side: int, lo_col: str, hi_col: str, s_col: str | None):
-        def f(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return tag_schema.empty_table()
-            svals = t.column(s_col) if s_col else pa.nulls(t.num_rows, type=pa.int64())
+    if packable:
+        eb = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = pa.concat_tables(eb)
+        ea = et.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ebn = et.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        edge_ref = ray.put(np.sort((ea << np.uint64(32)) | ebn))
+
+        def wedges_count_bucket(df) -> pa.Table:
+            if len(df) == 0:
+                return cnt_schema.empty_table()
+            w = wedge_arrays(df)
+            if w is None:
+                return cnt_schema.empty_table()
+            s_i, lo, hi = w
+            keys = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+            es = ray.get(edge_ref)
+            pos = np.minimum(np.searchsorted(es, keys), len(es) - 1)
+            hit = es[pos] == keys
+            if not hit.any():
+                return cnt_schema.empty_table()
+            return count_partial(np.concatenate([s_i[hit], lo[hit], hi[hit]]))
+
+        partials = bucket_exchange(
+            with_bucket(oriented, "s", num_buckets, in_schema=ori_schema),
+            wedges_count_bucket, cnt_schema, num_buckets,
+        )
+    else:
+        # fallback: materialize wedge rows, close via a side-tagged bucketed
+        # semi join on (lo, hi), pre-count corners per output batch. (Our own
+        # exchange, not Dataset.join: Ray's hash-shuffle join aggregator
+        # builds a zero-column table for a partition that received no left
+        # shard and then fails the key lookup on tiny inputs.)
+        wedge_schema = pa.schema([("s", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
+
+        def wedges_per_bucket(df) -> pa.Table:
+            if len(df) == 0:
+                return wedge_schema.empty_table()
+            w = wedge_arrays(df)
+            if w is None:
+                return wedge_schema.empty_table()
+            s_i, lo, hi = w
             return pa.table({
-                "lo": t.column(lo_col), "hi": t.column(hi_col), "s": svals,
-                "side": pa.array(np.full(t.num_rows, side), type=pa.int64()),
-            }, schema=tag_schema)
+                "s": pa.array(s_i, type=pa.int64()),
+                "lo": pa.array(lo, type=pa.int64()),
+                "hi": pa.array(hi, type=pa.int64()),
+            }, schema=wedge_schema)
 
-        return f
+        wedges = bucket_exchange(
+            with_bucket(oriented, "s", num_buckets, in_schema=ori_schema),
+            wedges_per_bucket, wedge_schema, num_buckets,
+        )
 
-    unioned = edges.map_batches(tag(0, "a", "b", None), batch_format="pyarrow").union(
-        wedges.map_batches(tag(1, "lo", "hi", "s"), batch_format="pyarrow")
-    )
+        tag_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("s", pa.int64()), ("side", pa.int64())])
 
-    def close_bucket(df) -> pa.Table:
-        if len(df) == 0:
-            return tri_schema.empty_table()
-        e = df[df["side"] == 0]
-        w = df[df["side"] == 1]
-        if len(e) == 0 or len(w) == 0:
-            return tri_schema.empty_table()
-        m = w.merge(e[["lo", "hi"]], on=["lo", "hi"], how="inner")
-        return pa.table({f.name: pa.array(m[f.name].to_numpy(dtype=np.int64), type=f.type)
-                         for f in tri_schema}, schema=tri_schema)
+        def tag(side: int, lo_col: str, hi_col: str, s_col: str | None):
+            def f(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return tag_schema.empty_table()
+                svals = t.column(s_col) if s_col else pa.nulls(t.num_rows, type=pa.int64())
+                return pa.table({
+                    "lo": t.column(lo_col), "hi": t.column(hi_col), "s": svals,
+                    "side": pa.array(np.full(t.num_rows, side), type=pa.int64()),
+                }, schema=tag_schema)
 
-    tris = bucket_exchange(
-        with_bucket(unioned, ["lo", "hi"], num_buckets, in_schema=tag_schema),
-        close_bucket, tri_schema, num_buckets,
-    )
+            return f
 
-    def corners(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.schema([("node", pa.int64())]).empty_table()
-        return pa.table({"node": pa.concat_arrays([
-            t.column("s").combine_chunks(), t.column("lo").combine_chunks(), t.column("hi").combine_chunks()
-        ])})
+        unioned = edges.map_batches(tag(0, "a", "b", None), batch_format="pyarrow").union(
+            wedges.map_batches(tag(1, "lo", "hi", "s"), batch_format="pyarrow")
+        )
 
-    nodes = tris.map_batches(corners, batch_format="pyarrow")
+        def close_bucket(df) -> pa.Table:
+            if len(df) == 0:
+                return cnt_schema.empty_table()
+            e = df[df["side"] == 0]
+            w = df[df["side"] == 1]
+            if len(e) == 0 or len(w) == 0:
+                return cnt_schema.empty_table()
+            m = w.merge(e[["lo", "hi"]], on=["lo", "hi"], how="inner")
+            if len(m) == 0:
+                return cnt_schema.empty_table()
+            return count_partial(np.concatenate([
+                m["s"].to_numpy(dtype=np.int64),
+                m["lo"].to_numpy(dtype=np.int64),
+                m["hi"].to_numpy(dtype=np.int64),
+            ]))
+
+        partials = bucket_exchange(
+            with_bucket(unioned, ["lo", "hi"], num_buckets, in_schema=tag_schema),
+            close_bucket, cnt_schema, num_buckets,
+        )
+
     out_schema = pa.schema([("node", pa.int64()), ("triangles", pa.int64())])
-    counts = bucketed_aggregate(nodes, "node", {"triangles": ("node", "size")},
+    counts = bucketed_aggregate(partials, "node", {"triangles": ("cnt", "sum")},
                                 out_schema=out_schema, num_buckets=num_buckets,
-                                in_schema=pa.schema([("node", pa.int64())]))
+                                in_schema=cnt_schema)
     from text_to_graph_ray.util import sort_coalesced
 
     return sort_coalesced(counts, "node")
