@@ -528,6 +528,75 @@ def _q_rel_mad(sf_dir):
     return grouped_mad(ds, "l_returnflag", "l_quantity")
 
 
+def _q_dedup_cross_corpus(sf_dir):
+    """Fuzzy decontamination: cross-corpus MinHash near-dup pairs between
+    the eval slice (source src0/src1 — the ngram_contamination convention)
+    and the training remainder. Only cross-side pairs generate (within-side
+    dup volume never materializes); right ids ride encoded +2^40 through
+    the shared band/bucket plumbing; truncation sentinels surface dropped
+    pairs. Oracle: independent naive dict-bucket cross banding."""
+    from text_to_graph_ray.functions.dedup import minhash_cross_pairs
+    from text_to_graph_ray.util import read_parquet_clean
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    ev = docs.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("source"), value_set=pa.array(["src0", "src1"]))),
+        batch_format="pyarrow",
+    )
+    tr = docs.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(b.column("source"), value_set=pa.array(["src0", "src1"])))),
+        batch_format="pyarrow",
+    )
+    return minhash_cross_pairs(ev, tr, threshold=0.5)
+
+
+def _q_emb_knn_classify(sf_dir):
+    """kNN majority-vote label assignment over the embedding table (the
+    label-propagation building block of a quality-classifier pipeline):
+    the hash-green brute-force cosine top-10 per query (vec_id < 8),
+    labels attached via joins.lookup_join, majority vote with (votes DESC,
+    label ASC) tie-break. The vote table is answer-sized (8 x <=10 rows),
+    so the final pick runs in one task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.ann import brute_force_topk, queries_from_dataset
+    from text_to_graph_ray.functions.joins import lookup_join
+    from text_to_graph_ray.util import read_parquet_clean
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    q_ids, q_vecs = queries_from_dataset(emb, n_queries=8)
+    topk = brute_force_topk(emb, q_ids, q_vecs, k=10)
+    labels = emb.map_batches(
+        lambda b: pa.table({"vec_id": b.column("vec_id"),
+                            "label": pc.cast(b.column("label"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = lookup_join(topk.select_columns(["query_id", "vec_id"]), labels, key="vec_id", cols=["label"])
+
+    out_schema = pa.schema([("query_id", pa.int64()), ("label", pa.int64()), ("votes", pa.int64())])
+
+    def vote(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = pd.DataFrame({
+            "query_id": b.column("query_id").to_pylist(),
+            "label": b.column("label").to_pylist(),
+        }).groupby(["query_id", "label"], sort=False).size().reset_index(name="votes")
+        g = g.sort_values(["query_id", "votes", "label"], ascending=[True, False, True])
+        g = g.groupby("query_id", as_index=False).first()
+        return pa.table({f.name: pa.array(g[f.name].to_numpy(dtype=np.int64), type=f.type)
+                         for f in out_schema}, schema=out_schema)
+
+    return joined.repartition(1).map_batches(vote, batch_format="pyarrow", batch_size=None)
+
+
 def _q_text_lexical(sf_dir):
     """Lexical-diversity signals per document: type-token ratio + Shannon
     token entropy — vectorized batch kernel (Arrow whitespace split +
@@ -1983,6 +2052,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "dedup_cross_corpus": _q_dedup_cross_corpus,
+        "emb_knn_classify": _q_emb_knn_classify,
         "text_lexical": _q_text_lexical,
         "events_anomaly_mad": _q_events_anomaly_mad,
         "rel_part_lookup": _q_rel_part_lookup,
@@ -2986,6 +3057,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN m USING (l_returnflag) WHERE l.l_quantity IS NOT NULL) "
             "SELECT l_returnflag, round(quantile_cont(dev, 0.5), 6) AS mad "
             "FROM d GROUP BY 1 ORDER BY 1"
+        ),
+        "dedup_cross_corpus": (
+            f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_cross_pairs.parquet') "
+            "WHERE est_jaccard >= 0.5"
+        ),
+        "emb_knn_classify": (
+            # same top-10 contract as the hash-green ann_topk oracle, then a
+            # majority vote with (votes DESC, label ASC) tie-break
+            "WITH topk AS MATERIALIZED ("
+            " SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            " row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            " round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rank "
+            " FROM embeddings e, embeddings q WHERE q.vec_id < 8 QUALIFY rank <= 10), "
+            "v AS (SELECT t.query_id, e.label::BIGINT AS label, count(*)::BIGINT AS votes "
+            "FROM topk t JOIN embeddings e USING (vec_id) GROUP BY 1, 2) "
+            "SELECT query_id, label, votes FROM v "
+            "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1 "
+            "ORDER BY query_id"
         ),
         "text_lexical": (
             # n_tokens / n_types / ttr are REAL SQL over the established

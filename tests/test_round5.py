@@ -422,6 +422,108 @@ class TestLexicalStats:
         assert lexical_row("a a a a")[3] == 0.0
 
 
+class TestMinhashCrossPairs:
+    def _corpora(self):
+        base = [
+            "alpha beta gamma delta epsilon zeta eta theta " * 4,
+            "one two three four five six seven eight nine ten " * 3,
+            "the quick brown fox jumps over the lazy dog again " * 3,
+        ]
+        ev_texts = base + ["totally unrelated eval document about astrophysics"]
+        tr_texts = (
+            [t.replace("gamma", "gamma2", 1) for t in base[:1]]  # near-dup of ev 0
+            + [base[1]]                                           # exact dup of ev 1
+            + ["training doc with no counterpart whatsoever in eval"] * 3
+        )
+        ev = pa.table({"doc_id": pa.array(range(len(ev_texts)), type=pa.int64()),
+                       "text": pa.array(ev_texts, type=pa.string())})
+        tr = pa.table({"doc_id": pa.array(range(100, 100 + len(tr_texts)), type=pa.int64()),
+                       "text": pa.array(tr_texts, type=pa.string())})
+        return ev, tr, ev_texts, tr_texts
+
+    def test_matches_naive_and_no_within_side_pairs(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_cross_minhash_pairs
+        from text_to_graph_ray.functions.dedup import minhash_cross_pairs
+
+        ev, tr, ev_texts, tr_texts = self._corpora()
+        got = minhash_cross_pairs(
+            _ray.data.from_arrow(ev).repartition(2),
+            _ray.data.from_arrow(tr).repartition(3),
+            threshold=0.5,
+        ).to_pandas()
+        na, nb, ne = naive_cross_minhash_pairs(
+            list(range(len(ev_texts))), ev_texts,
+            list(range(100, 100 + len(tr_texts))), tr_texts,
+        )
+        naive = [(a, b, e) for (a, b), e in zip(zip(na, nb), ne) if e >= 0.5]
+        assert [(int(r.a), int(r.b), float(r.est_jaccard)) for r in got.itertuples()] == naive
+        assert len(naive) >= 2  # the planted near-dup and exact dup both fire
+        # every pair is cross-side: a in eval id space, b in train id space
+        assert all(r.a < 100 <= r.b for r in got.itertuples())
+
+    def test_id_range_guard(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.dedup import minhash_cross_pairs
+
+        bad = _ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([-1], type=pa.int64()),
+            "text": pa.array(["x"], type=pa.string()),
+        }))
+        ok = _ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["x"], type=pa.string()),
+        }))
+        with pytest.raises(Exception, match="ids must be in"):
+            minhash_cross_pairs(bad, ok).materialize()
+
+
+class TestKnnClassify:
+    def test_majority_vote_matches_numpy(self, ray_session):
+        """Tiny embedding space with engineered clusters: the engine's vote
+        must equal a dense numpy recomputation of cosine top-10 + majority
+        (votes desc, label asc tie-break)."""
+        import ray as _ray
+
+        import __ray_entry__ as E
+
+        rng = np.random.default_rng(7)
+        centers = {0: np.array([1.0, 0.0, 0.0]), 1: np.array([0.0, 1.0, 0.0]), 2: np.array([0.0, 0.0, 1.0])}
+        vecs, labels = [], []
+        for i in range(60):
+            lab = i % 3
+            v = centers[lab] + rng.normal(0, 0.15, 3)
+            vecs.append(v.astype(np.float32))
+            labels.append(lab)
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "vec_id": pa.array(range(60), type=pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+                "label": pa.array(labels, type=pa.int32()),
+            }), os.path.join(d, "embeddings.parquet"))
+            got = E._q_emb_knn_classify(d).to_pandas().sort_values("query_id").reset_index(drop=True)
+
+        # naive: cosine sims rounded like the contract, top-10 by (sim desc, id)
+        M = np.asarray([v.astype(np.float64) for v in vecs])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        for q in range(8):
+            sims = np.round(Mn @ Mn[q], 6)
+            order = sorted(range(60), key=lambda i: (-sims[i], i))[:10]
+            cnt: dict = {}
+            for i in order:
+                cnt[labels[i]] = cnt.get(labels[i], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            row = got[got["query_id"] == q].iloc[0]
+            assert (int(row["label"]), int(row["votes"])) == best, q
+
+
 class TestHalfUpCents:
     def test_floor_plus_half_matches_duckdb_round(self):
         """floor(x*100 + 0.5) must agree with DuckDB's round() (half away

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v12"  # v12: +expected_lexical (ttr + token entropy)
+EXPECTED_ROOT = "/tmp/graft_expected/v13"  # v13: +expected_cross_pairs (fuzzy decontam); v12: +expected_lexical
 
 _MERSENNE = (1 << 61) - 1
 
@@ -226,6 +226,46 @@ def naive_minhash_pairs(
             for y in range(x + 1, len(members)):
                 i, j = members[x], members[y]
                 est = float((sigs[i] == sigs[j]).mean())
+                prev = pairs.get((i, j))
+                if prev is None or est > prev:
+                    pairs[(i, j)] = est
+    out = sorted(pairs.items())
+    return [p[0] for p, _ in out], [p[1] for p, _ in out], [e for _, e in out]
+
+
+def naive_cross_minhash_pairs(
+    eval_ids: list[int],
+    eval_texts: list[str],
+    train_ids: list[int],
+    train_texts: list[str],
+    k: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    max_bucket: int = 200,
+):
+    """Cross-corpus candidate pairs (eval_id, train_id, est): same
+    crc32(band bytes) in any band with one member per side; per-bucket
+    truncation at the max_bucket smallest ids PER SIDE; est = fraction of
+    equal signature positions, max across bands."""
+    a_p, b_p = _minhash_params(k, seed)
+    esigs = {i: naive_minhash_sig(t, a_p, b_p, shingle) for i, t in zip(eval_ids, eval_texts)}
+    tsigs = {i: naive_minhash_sig(t, a_p, b_p, shingle) for i, t in zip(train_ids, train_texts)}
+    r = k // bands
+    buckets: dict[tuple, tuple[list, list]] = {}
+    for side, (idset, sigs) in enumerate(((eval_ids, esigs), (train_ids, tsigs))):
+        for i in idset:
+            sig = sigs[i]
+            for band in range(bands):
+                h = zlib.crc32(sig[band * r : (band + 1) * r].tobytes())
+                buckets.setdefault((band, h), ([], []))[side].append(i)
+    pairs: dict[tuple, float] = {}
+    for evs, trs in buckets.values():
+        if not evs or not trs:
+            continue
+        for i in sorted(evs)[:max_bucket]:
+            for j in sorted(trs)[:max_bucket]:
+                est = float((esigs[i] == tsigs[j]).mean())
                 prev = pairs.get((i, j))
                 if prev is None or est > prev:
                     pairs[(i, j)] = est
@@ -745,6 +785,24 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "a": pa.array(a16, type=pa.int64()),
                 "b": pa.array(b16, type=pa.int64()),
                 "est_jaccard": pa.array(est16, type=pa.float64()),
+            }
+        ),
+    )
+
+    # cross-corpus (eval = src0/src1 vs train = rest) fuzzy-decontam pairs
+    ev = [(i, t) for i, t, srcv in zip(ids, texts, sources) if srcv in ("src0", "src1")]
+    tr = [(i, t) for i, t, srcv in zip(ids, texts, sources) if srcv not in ("src0", "src1")]
+    ca, cb, ce = naive_cross_minhash_pairs(
+        [i for i, _ in ev], [t for _, t in ev], [i for i, _ in tr], [t for _, t in tr]
+    )
+    _write(
+        tmp,
+        "expected_cross_pairs",
+        pa.table(
+            {
+                "a": pa.array(ca, type=pa.int64()),
+                "b": pa.array(cb, type=pa.int64()),
+                "est_jaccard": pa.array(ce, type=pa.float64()),
             }
         ),
     )

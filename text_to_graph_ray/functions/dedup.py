@@ -838,3 +838,122 @@ def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id", vec_col="embed
     for p in parts[1:]:
         out = out.union(p)
     return out.sort(["a", "b"])
+
+
+_CROSS_OFFSET = np.int64(1) << np.int64(40)  # right-side id encoding for cross-corpus banding
+
+
+def _bucket_cross_pairs(group, max_bucket: int = 200) -> pa.Table:
+    """CROSS-side pairs within each (band, band_hash) LSH bucket of one
+    coarse shuffle bucket: left ids are < _CROSS_OFFSET, right ids are
+    encoded + _CROSS_OFFSET; only left x right pairs are emitted (the
+    fuzzy-decontamination shape — within-side duplicates are a different
+    query and would dominate the pair volume for nothing here). Each side
+    truncates at the max_bucket smallest ids with the dropped CROSS pair
+    count carried out as a sentinel row (same convention as _bucket_pairs:
+    a = -1 - coarse_bucket, b = dropped, est = 2.0)."""
+    a_out, b_out, est = [], [], []
+    dropped = 0
+    for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
+        ids = list(g["id"])
+        if len(ids) < 2:
+            continue
+        sig_by_id = dict(zip(ids, list(g["sig"])))
+        lids = sorted(i for i in ids if i < int(_CROSS_OFFSET))
+        rids = sorted(i for i in ids if i >= int(_CROSS_OFFSET))
+        if not lids or not rids:
+            continue
+        la, ra = lids[:max_bucket], rids[:max_bucket]
+        dropped += len(lids) * len(rids) - len(la) * len(ra)
+        lsigs = [np.asarray(sig_by_id[i], dtype=np.uint64) for i in la]
+        rsigs = [np.asarray(sig_by_id[i], dtype=np.uint64) for i in ra]
+        for x, i in enumerate(la):
+            for y, j in enumerate(ra):
+                a_out.append(i)
+                b_out.append(j)
+                est.append(float((lsigs[x] == rsigs[y]).mean()))
+    if dropped:
+        a_out.append(-1 - int(group["bucket"].iloc[0]))
+        b_out.append(dropped)
+        est.append(2.0)
+    return pa.table(
+        {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64()),
+         "est_jaccard": pa.array(est, type=pa.float64())},
+        schema=_PAIR_EST_SCHEMA,
+    )
+
+
+def minhash_cross_pairs(
+    left, right, text_col="text", id_col="doc_id", k=64, bands=16, shingle=3,
+    threshold=0.5, seed=42, stats: dict | None = None,
+):
+    """Cross-corpus near-duplicate pairs (left_id, right_id, est_jaccard >=
+    threshold) — FUZZY decontamination: where decontam.ngram_contamination
+    removes training docs sharing an exact 8-gram with an eval set, this
+    finds training docs that are near-duplicates of eval docs even after
+    light edits (the Dolma/FineWeb-style fuzzy leak check). Only cross-side
+    pairs are generated: within-side duplicates never materialize, so the
+    pair volume is |buckets| * |A_b| * |B_b|, not the full quadratic.
+
+    Plan: both corpora sign through the shared task-pool MinHasher (right
+    ids ride encoded + 2^40, so the band/bucket plumbing is reused
+    verbatim), one coarse-bucket exchange groups LSH buckets, the kernel
+    emits cross pairs with truncation sentinels, and the band-level
+    duplicates collapse through one (a, b) groupby (est is band-invariant).
+    Contract: ids are non-negative and < 2^40 (loudly checked)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from text_to_graph_ray.util import compact_nonempty
+
+    n_l = _metadata_row_count(left) or left.count()
+    n_r = _metadata_row_count(right) or right.count()
+    sl = minhash_signatures(left, text_col=text_col, id_col=id_col, k=k, shingle=shingle, seed=seed)
+    sr = minhash_signatures(right, text_col=text_col, id_col=id_col, k=k, shingle=shingle, seed=seed)
+
+    def encode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = b.column("id")
+        if pc.min(ids).as_py() < 0 or pc.max(ids).as_py() >= int(_CROSS_OFFSET):
+            raise ValueError("minhash_cross_pairs: ids must be in [0, 2^40)")
+        return b.set_column(0, "id", pc.add(ids, pa.scalar(int(_CROSS_OFFSET), type=pa.int64())))
+
+    def check_left(b: pa.Table) -> pa.Table:
+        if b.num_rows and (pc.min(b.column("id")).as_py() < 0 or pc.max(b.column("id")).as_py() >= int(_CROSS_OFFSET)):
+            raise ValueError("minhash_cross_pairs: ids must be in [0, 2^40)")
+        return b
+
+    sigs = sl.map_batches(check_left, batch_format="pyarrow").union(
+        sr.map_batches(encode, batch_format="pyarrow")
+    )
+    parts, shuffle_buckets = _minhash_exchange_shape(n_l + n_r, bands, rows_per_partition=32_768)
+    band_rows = sigs.map_batches(
+        lambda b: _band_rows(b, bands, shuffle_buckets=shuffle_buckets), batch_format="pyarrow"
+    ).repartition(parts)
+    pairs = band_rows.groupby("bucket").map_groups(_bucket_cross_pairs, batch_format="pandas")
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("est_jaccard"), threshold)), batch_format="pyarrow"
+    )
+    pairs = compact_nonempty(pairs.materialize())
+    pairs, cnt = _strip_pair_sentinels(pairs, stats, plan="cross")
+    if cnt == 0:
+        return _empty_pairs("est_jaccard")
+    n = max(1, min(cnt // (2 * bands), cnt // 1_000_000 + 1))
+    deduped = (
+        pairs.repartition(n)
+        .groupby(["a", "b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()), ("est_jaccard", pa.float64())]).empty_table()
+        return pa.table({
+            "a": t.column("a"),
+            "b": pc.subtract(t.column("b"), pa.scalar(int(_CROSS_OFFSET), type=pa.int64())),
+            "est_jaccard": t.column("est_jaccard"),
+        })
+
+    return deduped.map_batches(decode, batch_format="pyarrow").sort(["a", "b"])
