@@ -528,6 +528,94 @@ def _q_rel_mad(sf_dir):
     return grouped_mad(ds, "l_returnflag", "l_quantity")
 
 
+def _q_events_drift_chi2(sf_dir):
+    """Categorical drift monitor: chi-square decomposition of the
+    event_type distribution between even- and odd-user cohorts — per-type
+    exact counts + chi-square contribution (which value drifted). Combiner
+    partials only cross the exchange; answer-sized finish."""
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.stats import categorical_drift_chi2
+    from text_to_graph_ray.util import read_parquet_clean
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def with_side(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("event_type", pa.string()), ("side", pa.bool_())]).empty_table()
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "side": pc.equal(pc.bit_wise_and(b.column("user_id"), pa.scalar(1, pa.int64())), pa.scalar(1, pa.int64())),
+        })
+
+    return categorical_drift_chi2(ev.map_batches(with_side, batch_format="pyarrow"), "event_type", "side")
+
+
+def _q_text_lm_score(sf_dir):
+    """Self-trained bigram-LM quality scores per document (the perplexity
+    filter): Laplace-smoothed corpus model in one counting pass, per-doc
+    mean negative log2-likelihood with int64-quantized terms (order- and
+    plan-independent sums). Oracle: n_bigrams is real SQL over the
+    tokenization contract; nll joins the independent naive recomputation."""
+    from text_to_graph_ray.functions.text import bigram_lm_nll
+    from text_to_graph_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_lm_nll(docs)
+
+
+def _q_graph_common_neighbors(sf_dir):
+    """Link prediction over the 1000-node lineitem-derived graph (the
+    graph_bfs/graph_sssp edge set): top-100 NON-adjacent pairs by common
+    neighbor count, (cn DESC, u, v)-ordered. Center-keyed wedge exchange
+    with per-bucket pair pre-counting + packed-edge-set adjacency removal."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import common_neighbor_topk
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import numpy as np
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 1000, type=pa.int64()), "dst": pa.array(sk % 1000, type=pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return common_neighbor_topk(ds, k=100, min_common=2)
+
+
+def _q_docs_length_band(sf_dir):
+    """Per-source token-length percentile band gate (drop each source's
+    freak-length tails): docs within [p5, p95] of their OWN source's
+    whitespace-token-count distribution, reported as per-source surviving
+    doc + token counts. One keyed quantile exchange + answer-sized
+    threshold broadcast + combiner-first survivors sum."""
+    from text_to_graph_ray.functions.text import length_band_stats
+    from text_to_graph_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    return length_band_stats(docs, lo_q=0.05, hi_q=0.95)
+
+
+def _q_events_markov(sf_dir):
+    """Markov transition matrix over per-user event-type sequences:
+    (from_type, to_type, n, p) where p is the row-conditional transition
+    probability. One keyed bucket exchange ships events; the transition
+    exchange carries only per-bucket (from, to, partial) rows; p is one
+    IEEE division — bit-identical to the SQL with no rounding."""
+    from text_to_graph_ray.pipelines.analytics import event_type_transitions
+
+    return event_type_transitions(sf_dir)
+
+
 def _q_dedup_cross_corpus(sf_dir):
     """Fuzzy decontamination: cross-corpus MinHash near-dup pairs between
     the eval slice (source src0/src1 — the ngram_contamination convention)
@@ -2052,6 +2140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "events_drift_chi2": _q_events_drift_chi2,
+        "text_lm_score": _q_text_lm_score,
+        "graph_common_neighbors": _q_graph_common_neighbors,
+        "docs_length_band": _q_docs_length_band,
+        "events_markov": _q_events_markov,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
         "emb_knn_classify": _q_emb_knn_classify,
         "text_lexical": _q_text_lexical,
@@ -3057,6 +3150,63 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN m USING (l_returnflag) WHERE l.l_quantity IS NOT NULL) "
             "SELECT l_returnflag, round(quantile_cont(dev, 0.5), 6) AS mad "
             "FROM d GROUP BY 1 ORDER BY 1"
+        ),
+        "events_drift_chi2": (
+            # expected counts and terms written as the engine's EXACT
+            # expression tree ((n_a+n_b)*ta/(ta+tb); d*d, not pow) so both
+            # sides evaluate identical IEEE ops; round(6) pins the contract
+            "WITH c AS (SELECT event_type AS cat, "
+            "count(*) FILTER (WHERE user_id % 2 = 0)::BIGINT AS n_a, "
+            "count(*) FILTER (WHERE user_id % 2 = 1)::BIGINT AS n_b FROM events GROUP BY 1), "
+            "t AS (SELECT sum(n_a)::DOUBLE AS ta, sum(n_b)::DOUBLE AS tb FROM c), "
+            "x AS (SELECT cat, n_a, n_b, (n_a + n_b)::DOUBLE * ta / (ta + tb) AS ea, "
+            "(n_a + n_b)::DOUBLE * tb / (ta + tb) AS eb FROM c, t) "
+            "SELECT cat, n_a, n_b, round("
+            "(CASE WHEN ea > 0 THEN (n_a::DOUBLE - ea) * (n_a::DOUBLE - ea) / ea ELSE 0 END) + "
+            "(CASE WHEN eb > 0 THEN (n_b::DOUBLE - eb) * (n_b::DOUBLE - eb) / eb ELSE 0 END), 6) "
+            "AS chi2_term FROM x ORDER BY cat"
+        ),
+        "text_lm_score": (
+            # n_bigrams is REAL SQL over the established tokenization
+            # contract; nll joins the independent naive bigram-LM scores
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens FROM documents) "
+            f"SELECT t.doc_id, greatest(n_tokens - 1, 0)::BIGINT AS n_bigrams, e.nll "
+            f"FROM t JOIN read_parquet('{e}/expected_lm_nll.parquet') e USING (doc_id) ORDER BY doc_id"
+        ),
+        "graph_common_neighbors": (
+            # LIMIT is deterministic: (cn DESC, u, v) is a total order
+            "WITH raw AS (SELECT l_partkey % 1000 AS x, l_suppkey % 1000 AS y FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y), "
+            "adj AS MATERIALIZED (SELECT a AS c, b AS nb FROM e UNION ALL SELECT b, a FROM e), "
+            "cn AS (SELECT x.c AS u, y.c AS v, count(*)::BIGINT AS cn "
+            " FROM adj x JOIN adj y ON x.nb = y.nb AND x.c < y.c GROUP BY 1, 2) "
+            "SELECT u, v, cn FROM cn LEFT JOIN e ON e.a = cn.u AND e.b = cn.v "
+            "WHERE e.a IS NULL AND cn >= 2 ORDER BY cn DESC, u, v LIMIT 100"
+        ),
+        "docs_length_band": (
+            # thresholds round(6)-quantized on both engines (the hash-green
+            # grouped-quantiles contract); token counts are ints, so band
+            # membership can only flip if the true quantile sits within 5e-7
+            # of an integer AND the engines' interpolations straddle it
+            "WITH t AS (SELECT source, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens FROM documents), "
+            "q AS (SELECT source, round(quantile_cont(n_tokens, 0.05), 6) AS lo, "
+            "round(quantile_cont(n_tokens, 0.95), 6) AS hi FROM t GROUP BY 1) "
+            "SELECT t.source, count(*)::BIGINT AS kept, sum(n_tokens)::BIGINT AS kept_tokens "
+            "FROM t JOIN q USING (source) WHERE n_tokens >= lo AND n_tokens <= hi "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_markov": (
+            # p: ONE IEEE division of the same int64-derived doubles on both
+            # sides (no accumulation) — bit-identical, no rounding
+            "WITH s AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "t AS (SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n "
+            "FROM s WHERE prev IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS p "
+            "FROM t ORDER BY from_type, to_type"
         ),
         "dedup_cross_corpus": (
             f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_cross_pairs.parquet') "

@@ -213,6 +213,30 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_graph_triangles(sf_dir).count()
     times["graph_triangles"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
+    _e._q_events_markov(sf_dir).count()
+    times["events_markov"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_docs_length_band(sf_dir).count()
+    times["docs_length_band"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_text_lm_score(sf_dir).count()
+    times["text_lm_score"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_events_drift_chi2(sf_dir).count()
+    times["events_drift_chi2"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_emb_knn_classify(sf_dir).count()
+    times["emb_knn_classify"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_dedup_cross_corpus(sf_dir).count()
+    times["dedup_cross_corpus"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

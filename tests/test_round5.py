@@ -541,3 +541,232 @@ class TestHalfUpCents:
         # and np.round genuinely differs on the half-even cases, proving the
         # old formula was only saved by the 2-decimal synth contract
         assert np.round(0.125 * 100).astype(np.int64) != engine[0]
+
+
+class TestMarkovTransitions:
+    def test_matches_pandas_naive(self, ray_session, tmp_path):
+        """Engine transition counts + probabilities must equal a pandas
+        lag-within-user recomputation, including the user-boundary mask
+        (no cross-user transition) and single-event users (no row)."""
+        import pandas as pd
+
+        from text_to_graph_ray.pipelines.analytics import event_type_transitions
+
+        rng = np.random.default_rng(11)
+        n = 400
+        ts = pd.to_datetime(rng.permutation(n), unit="s")
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+            "value": rng.normal(size=n),
+            "props": ["{}"] * n,
+        })
+        # one single-event user: contributes nothing
+        df.loc[0, "user_id"] = 999
+        df = df[~((df.user_id == 999) & (df.index != 0))]
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "events.parquet"))
+
+        got = event_type_transitions(str(tmp_path)).to_pandas()
+
+        s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = s.groupby("user_id", sort=False)["event_type"].shift(1)
+        t = (
+            pd.DataFrame({"from_type": prev, "to_type": s["event_type"]})
+            .dropna()
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .sort_values(["from_type", "to_type"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        t["p"] = t["n"].to_numpy(np.int64).astype(np.float64) / t.groupby("from_type")["n"].transform(
+            "sum"
+        ).to_numpy(np.int64).astype(np.float64)
+
+        assert got[["from_type", "to_type"]].values.tolist() == t[["from_type", "to_type"]].values.tolist()
+        assert got["n"].tolist() == t["n"].tolist()
+        assert got["p"].tolist() == t["p"].tolist()  # bit-exact: one IEEE division
+        assert "999" not in set(got["from_type"]) and not (got["from_type"] == "999").any()
+
+
+class TestLengthBandStats:
+    def test_matches_numpy_linear_quantiles(self, ray_session):
+        """Per-group band membership must match numpy linear-interpolated
+        quantiles (the quantile_cont contract) with round(6) thresholds,
+        including a group whose p5/p95 land on fractional positions."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import length_band_stats
+
+        rng = np.random.default_rng(23)
+        rows = []
+        for g, sizes in (("g0", rng.integers(1, 50, 37)), ("g1", rng.integers(5, 500, 83)),
+                         ("g2", np.array([7]))):  # single-doc group: band == its own length
+            for s in sizes:
+                rows.append((g, "w " * int(s)))
+        t = pa.table({"source": pa.array([g for g, _ in rows], type=pa.string()),
+                      "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+                      "text": pa.array([x for _, x in rows], type=pa.string())})
+        got = length_band_stats(_ray.data.from_arrow(t).repartition(5)).to_pandas()
+
+        import pandas as pd
+        df = pd.DataFrame({"source": [g for g, _ in rows],
+                           "n": [len(x.split()) for _, x in rows]})
+        want = []
+        for g, grp in df.groupby("source"):
+            lo = round(float(np.quantile(grp["n"], 0.05, method="linear")), 6)
+            hi = round(float(np.quantile(grp["n"], 0.95, method="linear")), 6)
+            keep = grp[(grp["n"] >= lo) & (grp["n"] <= hi)]
+            want.append((g, len(keep), int(keep["n"].sum())))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        assert (got.set_index("source").loc["g2"] == (1, 7)).all()
+
+    def test_group_count_guard(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import length_band_stats
+
+        t = pa.table({"source": pa.array([f"s{i}" for i in range(40)], type=pa.string()),
+                      "text": pa.array(["a b c"] * 40, type=pa.string())})
+        with pytest.raises(ValueError, match="answer-sized"):
+            length_band_stats(_ray.data.from_arrow(t), max_groups=10)
+
+
+class TestCommonNeighbors:
+    def _edges(self, seed=3, n=40, p=0.18):
+        rng = np.random.default_rng(seed)
+        adj = np.triu(rng.random((n, n)) < p, 1)
+        pairs = np.argwhere(adj)
+        return [(int(a), int(b)) for a, b in pairs], n, adj | adj.T
+
+    def _run(self, edges, **kw):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import common_neighbor_topk
+
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        return common_neighbor_topk(_ray.data.from_arrow(t).repartition(4), **kw).to_pandas()
+
+    def _naive(self, n, adj, k, min_common):
+        rows = []
+        for u in range(n):
+            for v in range(u + 1, n):
+                if adj[u, v]:
+                    continue
+                cn = int((adj[u] & adj[v]).sum())
+                if cn >= min_common:
+                    rows.append((u, v, cn))
+        rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return rows[:k]
+
+    def test_matches_naive_dense_recount(self, ray_session):
+        edges, n, adj = self._edges()
+        got = self._run(edges, k=25, min_common=2)
+        assert [tuple(r) for r in got.itertuples(index=False)] == self._naive(n, adj, 25, 2)
+
+    def test_broadcast_and_antijoin_plans_identical(self, ray_session):
+        """edge_broadcast_max=0 forces the side-tagged bucketed anti-join;
+        both adjacency-removal plans must produce identical top-k."""
+        edges, n, adj = self._edges(seed=9)
+        a = self._run(edges, k=30, min_common=1)
+        b = self._run(edges, k=30, min_common=1, edge_broadcast_max=0)
+        assert a.values.tolist() == b.values.tolist()
+        assert len(a) == 30
+
+    def test_hub_cap_skips_and_surfaces(self, ray_session):
+        """A star hub above the cap stops voting: pairs of its leaves lose
+        their only common neighbor, and the skipped count surfaces."""
+        hub_edges = [(100, i) for i in range(20)] + [(0, 1), (1, 2), (0, 2), (3, 4)]
+        stats = {}
+        got = self._run(hub_edges, k=50, min_common=1, hub_degree_cap=5, stats=stats)
+        assert stats["cn_hubs_skipped"] == 1
+        # with the hub silenced, EVERY remaining candidate pair is adjacent
+        # (the triangle 0-1-2 and the hub spokes), so the capped answer is
+        # empty — all leaf-pair signal came from the hub
+        assert len(got) == 0
+        exact = self._run(hub_edges, k=50, min_common=1)
+        # hub votes restored: leaf pairs (i, j) now share the hub; e.g. (0, 3)
+        pairs = {(int(r.u), int(r.v)) for r in exact.itertuples()}
+        assert (0, 3) in pairs and len(exact) == 50
+
+
+class TestBigramLM:
+    def _docs(self):
+        texts = [
+            "the cat sat on the mat",
+            "the cat ate",
+            "solo",
+            "",
+            "the cat sat on the mat",  # exact dup: identical score
+            "unseen words entirely here",
+        ]
+        return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())}), texts
+
+    def test_matches_naive_and_edge_cases(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_bigram_lm
+        from text_to_graph_ray.functions.text import bigram_lm_nll
+
+        t, texts = self._docs()
+        got = bigram_lm_nll(_ray.data.from_arrow(t).repartition(3)).to_pandas()
+        nb, nll = naive_bigram_lm(list(range(len(texts))), texts)
+        assert got["n_bigrams"].tolist() == nb
+        assert got["nll"].tolist() == nll
+        assert got.loc[2, "n_bigrams"] == 0 and got.loc[2, "nll"] == 0.0  # 1 token
+        assert got.loc[3, "n_bigrams"] == 0 and got.loc[3, "nll"] == 0.0  # empty
+        assert got.loc[0, "nll"] == got.loc[4, "nll"]  # dup docs score equal
+        # dup'd doc is MORE likely under the corpus model than the unique one
+        assert got.loc[0, "nll"] < got.loc[5, "nll"]
+
+    def test_broadcast_and_exchange_plans_identical(self, ray_session):
+        """counts_broadcast_max=0 forces lookup_join's bucketed fallback for
+        both count attachments; quantized term sums make the paths
+        bit-identical."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import bigram_lm_nll
+
+        t, _ = self._docs()
+        a = bigram_lm_nll(_ray.data.from_arrow(t).repartition(3)).to_pandas()
+        b = bigram_lm_nll(_ray.data.from_arrow(t).repartition(3), counts_broadcast_max=0).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
+
+
+class TestDriftChi2:
+    def test_matches_naive_and_detects_planted_drift(self, ray_session):
+        """Category 'z' appears only in cohort B: its chi2 term must
+        dominate; a perfectly balanced category contributes ~0; totals and
+        terms must match a plain-dict recomputation."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import categorical_drift_chi2
+
+        cats = ["x"] * 50 + ["y"] * 30 + ["z"] * 20
+        side = [False, True] * 25 + [False] * 15 + [True] * 15 + [True] * 20
+        t = pa.table({"cat": pa.array(cats, type=pa.string()),
+                      "side": pa.array(side, type=pa.bool_())})
+        got = categorical_drift_chi2(_ray.data.from_arrow(t).repartition(4), "cat", "side").to_pandas()
+
+        from collections import Counter
+        ca = Counter(c for c, s in zip(cats, side) if not s)
+        cb = Counter(c for c, s in zip(cats, side) if s)
+        ta, tb = float(sum(ca.values())), float(sum(cb.values()))
+        want = []
+        for c in sorted(set(cats)):
+            na, nb = ca.get(c, 0), cb.get(c, 0)
+            ea = (na + nb) * ta / (ta + tb)
+            eb = (na + nb) * tb / (ta + tb)
+            term = (0.0 if ea == 0 else (na - ea) * (na - ea) / ea) + (
+                0.0 if eb == 0 else (nb - eb) * (nb - eb) / eb)
+            want.append((c, na, nb, round(term, 6)))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        terms = dict(zip(got["cat"], got["chi2_term"]))
+        # the planted one-sided category dominates (13.33 vs <= 2.09: note
+        # even x's 25/25 split is drifted against the 40:60 cohort baseline)
+        assert terms["z"] == max(terms.values()) and terms["z"] > 5.0
+        assert max(terms["x"], terms["y"]) < 2.5

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v13"  # v13: +expected_cross_pairs (fuzzy decontam); v12: +expected_lexical
+EXPECTED_ROOT = "/tmp/graft_expected/v14"  # v14: +expected_lm_nll (bigram LM); v13: +expected_cross_pairs
 
 _MERSENNE = (1 << 61) - 1
 
@@ -271,6 +271,39 @@ def naive_cross_minhash_pairs(
                     pairs[(i, j)] = est
     out = sorted(pairs.items())
     return [p[0] for p, _ in out], [p[1] for p, _ in out], [e for _, e in out]
+
+
+def naive_bigram_lm(ids: list[int], texts: list[str]):
+    """Independent bigram-LM scores with plain dicts: Laplace-smoothed
+    p(w|prev) = (c(prev w)+1)/(c(prev ·)+V), V = distinct tokens corpus-wide;
+    per-doc nll = -(sum of round(log2(p)*1e9)) / 1e9 / n_bigrams, round 6
+    (0.0 and 0 bigrams for docs with < 2 tokens) — the engine contract,
+    recomputed from scratch."""
+    c_bg: dict = {}
+    c_f: dict = {}
+    vocab = set()
+    for t in texts:
+        toks = (t or "").split()
+        vocab.update(toks)
+        for fw, tw in zip(toks, toks[1:]):
+            c_bg[(fw, tw)] = c_bg.get((fw, tw), 0) + 1
+            c_f[fw] = c_f.get(fw, 0) + 1
+    v = float(len(vocab))
+    nb_out, nll_out = [], []
+    for t in texts:
+        toks = (t or "").split()
+        if len(toks) < 2:
+            nb_out.append(0)
+            nll_out.append(0.0)
+            continue
+        s = 0
+        for fw, tw in zip(toks, toks[1:]):
+            p = (c_bg[(fw, tw)] + 1.0) / (c_f[fw] + v)
+            s += int(np.rint(np.log2(np.float64(p)) * 1e9))
+        nb = len(toks) - 1
+        nb_out.append(nb)
+        nll_out.append(round(-(np.float64(s) / 1e9) / np.float64(nb), 6))
+    return nb_out, nll_out
 
 
 def naive_survivors(ids: list[int], texts: list[str], threshold: float, bands: int = 16) -> list[int]:
@@ -803,6 +836,20 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "a": pa.array(ca, type=pa.int64()),
                 "b": pa.array(cb, type=pa.int64()),
                 "est_jaccard": pa.array(ce, type=pa.float64()),
+            }
+        ),
+    )
+
+    # self-trained bigram-LM quality scores (Laplace smoothing, corpus vocab)
+    nb, nll = naive_bigram_lm(ids, texts)
+    _write(
+        tmp,
+        "expected_lm_nll",
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bigrams": pa.array(nb, type=pa.int64()),
+                "nll": pa.array(nll, type=pa.float64()),
             }
         ),
     )

@@ -355,6 +355,33 @@ def pagerank(
     return ranks_ds.sort("node")
 
 
+def _center_pair_arrays(s: np.ndarray, t: np.ndarray):
+    """All id-ordered pairs of each center's neighbor list, fully vectorized
+    (the repeat/arange combination trick — no Python loop over centers):
+    given (center, neighbor) rows, returns (center, lo, hi) numpy arrays
+    with lo < hi enumerated once per unordered pair, or None if no center
+    has >= 2 neighbors. Shared by triangle wedge generation and
+    common-neighbor counting."""
+    order = np.lexsort((t, s))
+    s, t = s[order], t[order]
+    n = len(s)
+    if n == 0:
+        return None
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    local = np.arange(n) - np.repeat(starts, sizes)
+    fc = np.repeat(sizes, sizes) - 1 - local  # pairs with this row as 'lo'
+    total = int(fc.sum())
+    if total == 0:
+        return None
+    i = np.repeat(np.arange(n), fc)
+    j = np.arange(total) - np.repeat(np.cumsum(fc) - fc, fc) + i + 1
+    return s[i], t[i], t[j]
+
+
 def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
                     num_buckets: int = 64, deg_broadcast_max: int = 5_000_000):
     """Per-node triangle counts over an undirected graph, fully distributed.
@@ -490,24 +517,9 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
     # makes every emitted pair (lo, hi) id-ordered for the closing probe.
     def wedge_arrays(df):
         """(s, lo, hi) numpy arrays of this bucket's wedges, or None."""
-        s = df["s"].to_numpy(dtype=np.int64)
-        t = df["t"].to_numpy(dtype=np.int64)
-        order = np.lexsort((t, s))
-        s, t = s[order], t[order]
-        n = len(s)
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = s[1:] != s[:-1]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, n))
-        local = np.arange(n) - np.repeat(starts, sizes)
-        fc = np.repeat(sizes, sizes) - 1 - local  # pairs with this row as 'lo'
-        total = int(fc.sum())
-        if total == 0:
-            return None
-        i = np.repeat(np.arange(n), fc)
-        j = np.arange(total) - np.repeat(np.cumsum(fc) - fc, fc) + i + 1
-        return s[i], t[i], t[j]
+        return _center_pair_arrays(
+            df["s"].to_numpy(dtype=np.int64), df["t"].to_numpy(dtype=np.int64)
+        )
 
     cnt_schema = pa.schema([("node", pa.int64()), ("cnt", pa.int64())])
 
@@ -876,3 +888,222 @@ def kcore_bounded(edges_ds, k: int = 8, max_rounds: int = 4, src_col: str = "src
 
         return rd.from_arrow(deg_schema.empty_table())
     return sort_coalesced(degrees(edges), "node")
+
+
+def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
+                         src_col: str = "src", dst_col: str = "dst",
+                         num_buckets: int = 64, edge_broadcast_max: int = 5_000_000,
+                         hub_degree_cap: int | None = None, stats: dict | None = None):
+    """Link prediction by common-neighbor count: the top-k NON-adjacent node
+    pairs (u, v, cn) ranked by (cn DESC, u, v) — the classic
+    missing-edge / entity-resolution candidate generator over the KG.
+
+    Plan: canonical DISTINCT undirected edges, symmetrized so every center's
+    full neighbor list lands in ONE bucket task of a center-keyed exchange
+    (``_center_pair_arrays`` enumerates id-ordered neighbor pairs
+    vectorized); each bucket PRE-COUNTS its (lo, hi) pairs, so the
+    pair-keyed exchange carries combiner partials, never raw wedges. After
+    the (lo, hi) sum, adjacency is removed via the packed sorted-uint64
+    edge-set broadcast (ids < 2^31 and |E| <= edge_broadcast_max) or a
+    side-tagged bucketed anti-join past the guard — both value-identical
+    (equivalence-tested). Top-k trims per batch BEFORE the single-task
+    final, so the driver-side result is answer-sized.
+
+    Scale note: unlike triangles, common-neighbor counting cannot be
+    degree-oriented — every center adjacent to a pair must see it, so the
+    transient per-bucket wedge volume is Σ deg(center)² over that bucket's
+    centers. ``hub_degree_cap`` SKIPS centers above the cap (their pairs
+    lose those hubs' votes — the Adamic-Adar observation that hub
+    co-neighbors carry little signal anyway) and surfaces the skipped count
+    loudly (stats["cn_hubs_skipped"] + driver WARNING); default None is
+    exact."""
+    import pyarrow.compute as pc
+    import ray
+
+    from text_to_graph_ray.functions.agg import (
+        BUCKET_COL, bucket_exchange, bucketed_aggregate, distinct_rows, with_bucket,
+    )
+    from text_to_graph_ray.util import compact_nonempty
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        s, d = pc.cast(t.column(src_col), pa.int64()), pc.cast(t.column(dst_col), pa.int64())
+        lo, hi = pc.min_element_wise(s, d), pc.max_element_wise(s, d)
+        out = pa.table({"a": lo, "b": hi})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    edges = distinct_rows(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"], edge_schema
+    ).materialize()
+    n_edges = edges.count()
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64())])
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    sym_schema = pa.schema([("s", pa.int64()), ("t", pa.int64())])
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sym_schema.empty_table()
+        a, b = t.column("a").combine_chunks(), t.column("b").combine_chunks()
+        return pa.table({"s": pa.concat_arrays([a, b]), "t": pa.concat_arrays([b, a])},
+                        schema=sym_schema)
+
+    part_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("n", pa.int64())])
+
+    def pair_partials(df) -> pa.Table:
+        if len(df) == 0:
+            return part_schema.empty_table()
+        s = df["s"].to_numpy(dtype=np.int64)
+        t = df["t"].to_numpy(dtype=np.int64)
+        skipped = 0
+        if hub_degree_cap is not None:
+            centers, counts = np.unique(s, return_counts=True)
+            hubs = centers[counts > hub_degree_cap]
+            if len(hubs):
+                skipped = len(hubs)
+                keep = ~np.isin(s, hubs)
+                s, t = s[keep], t[keep]
+        w = _center_pair_arrays(s, t) if len(s) else None
+        if w is None:
+            lo_u = hi_u = np.empty(0, dtype=np.int64)
+            cnts = np.empty(0, dtype=np.int64)
+        else:
+            _, lo, hi = w
+            key = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64) if lo.size and int(hi.max()) < 2**31 and int(lo.min()) >= 0 else None
+            if key is not None:
+                uk, cnts = np.unique(key, return_counts=True)
+                lo_u = (uk >> np.uint64(32)).astype(np.int64)
+                hi_u = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            else:
+                import pandas as pd
+
+                g = pd.DataFrame({"lo": lo, "hi": hi}).groupby(["lo", "hi"], sort=False).size()
+                lo_u = g.index.get_level_values(0).to_numpy(dtype=np.int64)
+                hi_u = g.index.get_level_values(1).to_numpy(dtype=np.int64)
+                cnts = g.to_numpy(dtype=np.int64)
+        if skipped:
+            bucket = int(df[BUCKET_COL].iloc[0])
+            lo_u = np.append(lo_u, -1 - bucket)
+            hi_u = np.append(hi_u, skipped)
+            cnts = np.append(cnts, 0)
+        return pa.table({"lo": pa.array(lo_u, type=pa.int64()), "hi": pa.array(hi_u, type=pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), type=pa.int64())}, schema=part_schema)
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow")
+    partials = bucket_exchange(
+        with_bucket(sym, "s", num_buckets, in_schema=sym_schema), pair_partials, part_schema, num_buckets
+    ).materialize()
+
+    sent = partials.map_batches(
+        lambda t: t.filter(pc.less(t.column("lo"), 0)), batch_format="pyarrow"
+    ).take_all()
+    if sent:
+        skipped_total = int(sum(r["hi"] for r in sent))
+        if stats is not None:
+            stats["cn_hubs_skipped"] = skipped_total
+        print(f"WARNING: common_neighbor_topk skipped {skipped_total} hub centers "
+              f"(degree > {hub_degree_cap}) — their co-neighbor votes are lost")
+        partials = compact_nonempty(partials.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("lo"), 0)), batch_format="pyarrow"
+        ).materialize())
+    elif stats is not None:
+        stats["cn_hubs_skipped"] = 0
+
+    cn = bucketed_aggregate(partials, ["lo", "hi"], {"cn": ("n", "sum")},
+                            out_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64())]),
+                            num_buckets=num_buckets)
+    cn = cn.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cn"), min_common)), batch_format="pyarrow"
+    )
+
+    # adjacency removal: guarded packed broadcast, else tagged bucketed anti-join
+    max_b = max(int(pc.max(t.column("b")).as_py()) for t in ray.get(edges.to_arrow_refs()) if t.num_rows) \
+        if n_edges <= edge_broadcast_max else None
+    if max_b is not None and max_b < 2**31:
+        et = pa.concat_tables([t for t in ray.get(edges.to_arrow_refs()) if t.num_rows])
+        ea = et.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        eb = et.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        edge_ref = ray.put(np.sort((ea << np.uint64(32)) | eb))
+
+        def drop_adjacent(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+            hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+            keys = (lo << np.uint64(32)) | hi
+            es = ray.get(edge_ref)
+            pos = np.minimum(np.searchsorted(es, keys), len(es) - 1)
+            return t.filter(pa.array(es[pos] != keys))
+
+        nonadj = cn.map_batches(drop_adjacent, batch_format="pyarrow")
+    else:
+        tag_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64()), ("side", pa.int64())])
+
+        def tag(side: int):
+            def f(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return tag_schema.empty_table()
+                cols = {"lo": t.column("a" if side == 0 else "lo"),
+                        "hi": t.column("b" if side == 0 else "hi"),
+                        "cn": pa.nulls(t.num_rows, type=pa.int64()) if side == 0 else t.column("cn"),
+                        "side": pa.array(np.full(t.num_rows, side), type=pa.int64())}
+                return pa.table(cols, schema=tag_schema)
+            return f
+
+        tagged = edges.map_batches(tag(0), batch_format="pyarrow").union(
+            cn.map_batches(tag(1), batch_format="pyarrow")
+        )
+
+        def anti(df) -> pa.Table:
+            if len(df) == 0:
+                return pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64())]).empty_table()
+            df = df.drop(columns=[BUCKET_COL])
+            adj = df[df["side"] == 0][["lo", "hi"]]
+            keep = df[df["side"] == 1].merge(adj, on=["lo", "hi"], how="left", indicator=True)
+            keep = keep[keep["_merge"] == "left_only"]
+            return pa.table({"lo": pa.array(keep["lo"].to_numpy(dtype=np.int64), type=pa.int64()),
+                             "hi": pa.array(keep["hi"].to_numpy(dtype=np.int64), type=pa.int64()),
+                             "cn": pa.array(keep["cn"].to_numpy(dtype=np.int64), type=pa.int64())})
+
+        nonadj = bucket_exchange(
+            with_bucket(tagged, ["lo", "hi"], num_buckets, in_schema=tag_schema), anti,
+            pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64())]), num_buckets,
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        import pandas as pd
+
+        df = pd.DataFrame({"lo": t.column("lo").to_numpy(zero_copy_only=False),
+                           "hi": t.column("hi").to_numpy(zero_copy_only=False),
+                           "cn": t.column("cn").to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["cn", "lo", "hi"], ascending=[False, True, True], kind="mergesort").head(k)
+        return pa.table({"lo": pa.array(df["lo"].to_numpy(dtype=np.int64), type=pa.int64()),
+                         "hi": pa.array(df["hi"].to_numpy(dtype=np.int64), type=pa.int64()),
+                         "cn": pa.array(df["cn"].to_numpy(dtype=np.int64), type=pa.int64())})
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        import pandas as pd
+
+        df = pd.DataFrame({"u": t.column("lo").to_numpy(zero_copy_only=False),
+                           "v": t.column("hi").to_numpy(zero_copy_only=False),
+                           "cn": t.column("cn").to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["cn", "u", "v"], ascending=[False, True, True], kind="mergesort").head(k)
+        return pa.table({"u": pa.array(df["u"].to_numpy(dtype=np.int64), type=pa.int64()),
+                         "v": pa.array(df["v"].to_numpy(dtype=np.int64), type=pa.int64()),
+                         "cn": pa.array(df["cn"].to_numpy(dtype=np.int64), type=pa.int64())}, schema=out_schema)
+
+    return (
+        nonadj.map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )

@@ -669,3 +669,84 @@ def mad_outliers(ds, key: str, col: str, k: float = 3.0, key_type: pa.DataType |
         out_schema=part_schema, num_buckets=num_buckets, in_schema=part_schema,
     )
     return sort_coalesced(out, key)
+
+
+CHI2_SCHEMA = pa.schema(
+    [("cat", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64()), ("chi2_term", pa.float64())]
+)
+
+
+def categorical_drift_chi2(ds, cat_col: str, side_col: str, num_buckets: int = 64):
+    """Distribution-drift monitor between two cohorts: the chi-square
+    decomposition of a categorical column's 2×K contingency table.
+    ``side_col`` is a bool Arrow column (False = cohort A, True = cohort B);
+    output is one row per category with the exact cohort counts and that
+    category's chi-square contribution
+
+        e_a = (n_a + n_b) * tot_a / (tot_a + tot_b)
+        chi2_term = (n_a - e_a)^2 / e_a + (n_b - e_b)^2 / e_b   (round 6)
+
+    — Σ chi2_term is the full statistic with K-1 dof; per-category terms
+    localize WHICH value drifted (the production data-quality view).
+
+    Scale shape: per-batch combiner partials (category × side counts — at
+    most 2K rows per batch cross the exchange, never events), one tiny
+    keyed sum, and a single-task finish because the answer is K-sized.
+    Floats: every term is the SAME expression tree over exact int64-derived
+    doubles on both engines; round(6) absorbs nothing real but pins the
+    contract."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+
+    part_schema = pa.schema([("cat", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        side = b.column(side_col).to_numpy(zero_copy_only=False).astype(bool)
+        g = (
+            pd.DataFrame({"cat": b.column(cat_col).to_pylist(), "b": side})
+            .groupby("cat", sort=False)["b"]
+            .agg(n="size", n_b="sum")
+            .reset_index()
+        )
+        return pa.table(
+            {"cat": pa.array(g["cat"], type=pa.string()),
+             "n_a": pa.array((g["n"] - g["n_b"]).to_numpy(dtype=np.int64), type=pa.int64()),
+             "n_b": pa.array(g["n_b"].to_numpy(dtype=np.int64), type=pa.int64())},
+            schema=part_schema,
+        )
+
+    sums = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), "cat",
+        {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")},
+        out_schema=part_schema, num_buckets=num_buckets, in_schema=part_schema,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return CHI2_SCHEMA.empty_table()
+        df = b.to_pandas().sort_values("cat", kind="mergesort")
+        na = df["n_a"].to_numpy(dtype=np.int64).astype(np.float64)
+        nb = df["n_b"].to_numpy(dtype=np.int64).astype(np.float64)
+        tot_a, tot_b = na.sum(), nb.sum()
+        grand = tot_a + tot_b
+        e_a = (na + nb) * tot_a / grand
+        e_b = (na + nb) * tot_b / grand
+        d_a, d_b = na - e_a, nb - e_b
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # d*d (not **2): the same multiply the SQL writes, so both
+            # engines evaluate an identical expression tree
+            term = np.where(e_a > 0, d_a * d_a / e_a, 0.0) + np.where(e_b > 0, d_b * d_b / e_b, 0.0)
+        term = np.asarray([round(float(x), 6) for x in term], dtype=np.float64)
+        return pa.table(
+            {"cat": pa.array(df["cat"], type=pa.string()),
+             "n_a": pa.array(df["n_a"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "n_b": pa.array(df["n_b"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "chi2_term": pa.array(term, type=pa.float64())},
+            schema=CHI2_SCHEMA,
+        )
+
+    return sums.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)

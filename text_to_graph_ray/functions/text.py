@@ -947,3 +947,222 @@ def search_topk(ds, terms, k: int = 10, text_col: str = "text", id_col: str = "d
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def length_band_stats(ds, lo_q: float = 0.05, hi_q: float = 0.95,
+                      text_col: str = "text", group_col: str = "source",
+                      max_groups: int = 100_000):
+    """Per-group token-length percentile band filter (the CCNet/Gopher-style
+    "drop the freak-length tails" curation gate), reported as per-group
+    surviving counts: (group, kept, kept_tokens) for docs whose whitespace
+    token count lies in [p(lo_q), p(hi_q)] of their OWN group's length
+    distribution — each source's band adapts to that source's shape.
+
+    Scale shape: one pass computes (group, n_tokens) rows (the established
+    text_stats tokenization contract); the exact per-group quantiles ship
+    through grouped_quantiles_cont's ONE keyed exchange; the thresholds
+    table is answer-sized (2 rows per group, loudly guarded at max_groups)
+    and rides into the filter pass as a closure broadcast — the filter then
+    emits per-batch PARTIAL (group, kept, kept_tokens) sums, so the final
+    exchange carries combiner output, never documents. Threshold floats are
+    round(6)-quantized on both engines (the hash-green grouped-quantiles
+    discipline); token counts are ints, so band membership is exact."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.quantiles import grouped_quantiles_cont
+
+    pair_schema = pa.schema([(group_col, pa.string()), ("n_tokens", pa.int64())])
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        toks = [len((t or "").split()) for t in b.column(text_col).to_pylist()]
+        return pa.table(
+            {group_col: pc.cast(b.column(group_col), pa.string()),
+             "n_tokens": pa.array(toks, type=pa.int64())},
+            schema=pair_schema,
+        )
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow")
+    qs = grouped_quantiles_cont(pairs, group_col, "n_tokens", [lo_q, hi_q]).materialize()
+    if qs.count() > 2 * max_groups:
+        raise ValueError(
+            f"length_band_stats: >{max_groups} groups — the thresholds table is no longer "
+            "answer-sized; raise max_groups deliberately or pre-bucket the group column"
+        )
+    th = qs.to_pandas()
+    lo = dict(zip(th[th["q"] == lo_q][group_col], th[th["q"] == lo_q]["value"]))
+    hi = dict(zip(th[th["q"] == hi_q][group_col], th[th["q"] == hi_q]["value"]))
+
+    part_schema = pa.schema([(group_col, pa.string()), ("kept", pa.int64()), ("kept_tokens", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        df = pd.DataFrame({group_col: b.column(group_col).to_pylist(),
+                           "n_tokens": b.column("n_tokens").to_numpy(zero_copy_only=False)})
+        n = df["n_tokens"].to_numpy(dtype=np.int64)
+        keep = (n >= df[group_col].map(lo).to_numpy(dtype=np.float64)) & (
+            n <= df[group_col].map(hi).to_numpy(dtype=np.float64)
+        )
+        g = (
+            df[keep]
+            .groupby(group_col, sort=False, as_index=False)["n_tokens"]
+            .agg(kept="size", kept_tokens="sum")
+        )
+        return pa.table(
+            {group_col: pa.array(g[group_col], type=pa.string()),
+             "kept": pa.array(g["kept"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "kept_tokens": pa.array(g["kept_tokens"].to_numpy(dtype=np.int64), type=pa.int64())},
+            schema=part_schema,
+        )
+
+    partials = pairs.map_batches(partial, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        g = (
+            b.to_pandas()
+            .groupby(group_col, sort=False, as_index=False)[["kept", "kept_tokens"]]
+            .sum()
+            .sort_values(group_col, kind="mergesort")
+        )
+        return pa.table(
+            {group_col: pa.array(g[group_col], type=pa.string()),
+             "kept": pa.array(g["kept"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "kept_tokens": pa.array(g["kept_tokens"].to_numpy(dtype=np.int64), type=pa.int64())},
+            schema=part_schema,
+        )
+
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+LM_NLL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()), ("nll", pa.float64())])
+
+
+def bigram_lm_nll(ds, text_col: str = "text", id_col: str = "doc_id",
+                  counts_broadcast_max: int = 2_000_000, num_buckets: int = 64):
+    """Per-document bigram language-model score — the CCNet/Gopher-style
+    perplexity quality filter, self-trained on the corpus: fit a Laplace-
+    smoothed bigram LM over the whole corpus (whitespace tokens, the
+    established contract) in one counting pass, then score every document's
+    mean negative log2-likelihood per bigram:
+
+        p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1} ·) + V)
+        nll = -(Σ round(log2(p)·1e9)) / 1e9 / n_bigrams        (round 6)
+
+    with V = distinct token types corpus-wide. Quantizing each bigram term
+    to int64 BEFORE summing makes the per-doc sum order- and plan-
+    independent (the lexical_stats entropy discipline), so the broadcast
+    and exchange scoring paths are bit-identical. Docs with < 2 tokens
+    score (0, 0.0).
+
+    Scale shape: the counting pass pre-combines bigram multiplicities per
+    batch, so the count exchange carries (bigram, partial) rows; scoring
+    attaches c(fw) and c(f·) via ``joins.lookup_join`` — ONE collected,
+    key-sorted broadcast per table while counts fit
+    ``counts_broadcast_max`` rows, a side-tagged bucketed exchange past it
+    (lookup_join's own equivalence-tested fallback); the per-doc reduce is
+    a combiner-first keyed sum. Returns (doc_id, n_bigrams, nll) sorted."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, distinct_rows
+    from text_to_graph_ray.functions.joins import lookup_join
+    from text_to_graph_ray.util import sort_coalesced
+
+    bg_schema = pa.schema([("doc_id", pa.int64()), ("bg", pa.string()), ("f", pa.string()), ("m", pa.int64())])
+    tok_schema = pa.schema([("tok", pa.string())])
+
+    def explode_bigrams(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return bg_schema.empty_table()
+        ids = b.column(id_col).to_pylist()
+        doc_out, bg_out, f_out, m_out = [], [], [], []
+        for i, t in zip(ids, b.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            if len(toks) < 2:
+                continue
+            local: dict = {}
+            for fw, tw in zip(toks, toks[1:]):
+                local[(fw, tw)] = local.get((fw, tw), 0) + 1
+            for (fw, tw), m in local.items():
+                doc_out.append(i)
+                bg_out.append(fw + "\x1f" + tw)
+                f_out.append(fw)
+                m_out.append(m)
+        return pa.table({"doc_id": pa.array(doc_out, type=pa.int64()),
+                         "bg": pa.array(bg_out, type=pa.string()),
+                         "f": pa.array(f_out, type=pa.string()),
+                         "m": pa.array(m_out, type=pa.int64())}, schema=bg_schema)
+
+    def explode_tokens(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return tok_schema.empty_table()
+        s = pc.utf8_split_whitespace(pc.fill_null(b.column(text_col).cast(pa.string()), ""))
+        flat = pc.list_flatten(s)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return pa.table({"tok": flat}, schema=tok_schema)
+
+    docbg = ds.map_batches(explode_bigrams, batch_format="pyarrow").materialize()
+
+    # corpus model: bigram counts, context counts, vocabulary size
+    c_bg = bucketed_aggregate(docbg.select_columns(["bg", "m"]), "bg", {"c_fw": ("m", "sum")},
+                              out_schema=pa.schema([("bg", pa.string()), ("c_fw", pa.int64())]),
+                              num_buckets=num_buckets)
+    c_f = bucketed_aggregate(docbg.select_columns(["f", "m"]), "f", {"c_f": ("m", "sum")},
+                             out_schema=pa.schema([("f", pa.string()), ("c_f", pa.int64())]),
+                             num_buckets=num_buckets)
+    vocab = distinct_rows(ds.map_batches(explode_tokens, batch_format="pyarrow"), ["tok"], tok_schema)
+    v_size = vocab.count()
+
+    scored = lookup_join(docbg, c_bg, key="bg", cols=["c_fw"], broadcast_max=counts_broadcast_max,
+                         num_buckets=num_buckets)
+    scored = lookup_join(scored, c_f, key="f", cols=["c_f"], broadcast_max=counts_broadcast_max,
+                         num_buckets=num_buckets)
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("sq", pa.int64()), ("nb", pa.int64())])
+
+    def term_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        m = b.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        c_fw = b.column("c_fw").to_numpy(zero_copy_only=False).astype(np.float64)
+        cf = b.column("c_f").to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.rint(np.log2((c_fw + 1.0) / (cf + np.float64(v_size))) * 1e9).astype(np.int64)
+        g = pd.DataFrame({"doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
+                          "sq": q * m, "nb": m}).groupby("doc_id", sort=False, as_index=False).sum()
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+                         "sq": pa.array(g["sq"].to_numpy(dtype=np.int64), type=pa.int64()),
+                         "nb": pa.array(g["nb"].to_numpy(dtype=np.int64), type=pa.int64())}, schema=part_schema)
+
+    def doc_zero(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        n = b.num_rows
+        return pa.table({"doc_id": pc.cast(b.column(id_col), pa.int64()),
+                         "sq": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                         "nb": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64())}, schema=part_schema)
+
+    partials = scored.map_batches(term_partials, batch_format="pyarrow").union(
+        ds.map_batches(doc_zero, batch_format="pyarrow")
+    )
+    sums = bucketed_aggregate(partials, "doc_id", {"sq": ("sq", "sum"), "nb": ("nb", "sum")},
+                              out_schema=pa.schema([("doc_id", pa.int64()), ("sq", pa.int64()), ("nb", pa.int64())]),
+                              num_buckets=num_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return LM_NLL_SCHEMA.empty_table()
+        sq = b.column("sq").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = b.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
+        safe = np.maximum(nb, 1).astype(np.float64)
+        nll = np.where(nb > 0, -(sq.astype(np.float64) / 1e9) / safe, 0.0)
+        nll = np.asarray([round(float(x), 6) for x in nll], dtype=np.float64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_bigrams": pa.array(nb, type=pa.int64()),
+                         "nll": pa.array(nll, type=pa.float64())}, schema=LM_NLL_SCHEMA)
+
+    return sort_coalesced(sums.map_batches(finish, batch_format="pyarrow"), "doc_id")

@@ -1977,3 +1977,82 @@ def rolling_active_users(sf_dir: str, window_days: int = 7, num_buckets: int = 6
     out = nunique_per_group(ud.map_batches(fan, batch_format="pyarrow"), ["we_day"], "user_id",
                             out_name="n_users", num_buckets=num_buckets)
     return sort_coalesced(out, "we_day")
+
+
+def event_type_transitions(sf_dir: str, num_buckets: int = 64):
+    """Markov transition matrix over per-user event-type sequences: for each
+    (from_type, to_type) adjacent pair in a user's (ts, event_id)-ordered
+    stream, the global count ``n`` and row-conditional probability
+    ``p = n / sum(n) over from_type`` (the session-model / next-action
+    building block; reference parity: the same per-stream ordered scan as
+    graph_extractor's chunk sequencing, generalized to event streams).
+
+    Scale shape: ONE keyed coarse-bucket exchange on user_id (all of a
+    user's rows land in one task); each bucket sorts vectorized, shifts
+    event_type by one row, masks user boundaries, and emits LOCAL
+    (from, to, partial-count) rows — the exchange after that carries at
+    most num_buckets * |types|^2 rows, never events. The final sum +
+    probability runs in one task because the answer is |types|^2-sized.
+    Float discipline: p is ONE IEEE division of two int64-derived doubles,
+    bit-identical to the SQL ``n::DOUBLE / sum(n)::DOUBLE`` with no
+    rounding."""
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("event_type", pa.string())]
+    )
+    part_schema = pa.schema([("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64())])
+    out_schema = pa.schema(
+        [("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64()), ("p", pa.float64())]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return part_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        to_t = df["event_type"].to_numpy()
+        from_t = np.roll(to_t, 1)
+        same_user = df["user_id"].to_numpy() == np.roll(df["user_id"].to_numpy(), 1)
+        same_user[0] = False
+        g = (
+            pd.DataFrame({"from_type": from_t[same_user], "to_type": to_t[same_user]})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "from_type": pa.array(g["from_type"], type=pa.string()),
+                "to_type": pa.array(g["to_type"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partials = bucket_exchange(
+        with_bucket(ev, "user_id", num_buckets, in_schema=in_schema), per_bucket, part_schema, num_buckets
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = (
+            b.to_pandas()
+            .groupby(["from_type", "to_type"], sort=False, as_index=False)["n"]
+            .sum()
+            .sort_values(["from_type", "to_type"], kind="mergesort")
+        )
+        n = g["n"].to_numpy(dtype=np.int64)
+        totals = g.groupby("from_type", sort=False)["n"].transform("sum").to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "from_type": pa.array(g["from_type"], type=pa.string()),
+                "to_type": pa.array(g["to_type"], type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "p": pa.array(n.astype(np.float64) / totals.astype(np.float64), type=pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)

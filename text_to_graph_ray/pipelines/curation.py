@@ -113,30 +113,25 @@ def pretraining_corpus(
     # (eval-gram scan) are independent subplans that each end in an eager
     # materialize; run them CONCURRENTLY (Ray Data executes per-thread
     # streams against the shared cluster with backpressure) instead of
-    # serializing two cluster-wide barriers.
-    import threading
+    # serializing two cluster-wide barriers. ThreadPoolExecutor (not a raw
+    # daemon thread): Future.result() re-raises the branch's exception on
+    # the caller thread and the executor propagates execution context to
+    # its worker under stricter per-thread Ray contexts.
+    from concurrent.futures import ThreadPoolExecutor
 
-    branch: dict = {}
-
-    def _contaminated():
-        try:
-            branch["bad"] = ngram_contamination(docs, eval_sources=eval_sources, n=n).materialize()
-        except BaseException as e:  # surface on the caller thread
-            branch["err"] = e
-
-    th = threading.Thread(target=_contaminated, daemon=True)
-    th.start()
-    survivors = near_dup_survivors(gated, threshold=threshold)  # (doc_id,)
-    th.join()
-    if "err" in branch:
-        raise branch["err"]
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            lambda: ngram_contamination(docs, eval_sources=eval_sources, n=n).materialize()
+        )
+        survivors = near_dup_survivors(gated, threshold=threshold)  # (doc_id,)
+        bad = fut.result()
 
     from text_to_graph_ray.functions.joins import filter_by_keys
 
     # contaminated ids are vocabulary-sized (tens of rows vs the corpus):
     # guarded broadcast anti-filter (keys projected inside the helper),
     # distributed left_anti past the guard
-    clean = filter_by_keys(survivors, branch["bad"], "doc_id", mode="anti")
+    clean = filter_by_keys(survivors, bad, "doc_id", mode="anti")
     return sort_coalesced(clean, "doc_id")
 
 
