@@ -592,6 +592,64 @@ def _q_graph_common_neighbors(sf_dir):
     return common_neighbor_topk(ds, k=100, min_common=2)
 
 
+def _q_dedup_minhash_incr(sf_dir):
+    """INCREMENTAL near-dup maintenance (the incremental-KG story applied
+    to dedup): when the newest 20% of the corpus arrives, the pairs
+    involving any new doc decompose as pairs(new) ∪ cross_pairs(old, new) —
+    the old-old volume is never re-enumerated. Banding finds a pair iff the
+    two docs share any band bucket, a property preserved by the split, so
+    the union equals the full recompute's new-involving slice EXACTLY while
+    no hot-bucket truncation fires (sentinels surface it if it ever does).
+    Oracle: the SAME expected_minhash_pairs table as dedup_minhash,
+    filtered to pairs whose max id is new — hash equality IS the
+    incremental == full-rebuild proof."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.dedup import minhash_cross_pairs, minhash_near_dup_pairs
+    from text_to_graph_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).materialize()
+    cutoff = docs.count() * 4 // 5  # doc_ids are dense 0..n-1 (synth contract)
+    old = docs.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), pa.scalar(cutoff, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    new = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("doc_id"), pa.scalar(cutoff, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    p_new = minhash_near_dup_pairs(new, threshold=0.5)
+    p_cross = minhash_cross_pairs(old, new, threshold=0.5)
+    return p_new.union(p_cross).sort(["a", "b"])
+
+
+def _q_graph_link_ra(sf_dir):
+    """Resource-Allocation link prediction (Zhou et al. 2009) over the same
+    1000-node graph: top-100 non-adjacent pairs by Σ 1/deg(common neighbor),
+    hub co-neighbors downweighted. Weights quantized EXACTLY as 10^9 // deg
+    (integer division — no libm drift), summed as int64, divided once at
+    the output; ranked by the quantized sum so the LIMIT cut is identical
+    on both engines."""
+    from text_to_graph_ray.functions.graph import common_neighbor_topk
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import numpy as np
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 1000, type=pa.int64()), "dst": pa.array(sk % 1000, type=pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return common_neighbor_topk(ds, k=100, min_common=2, rank_by="ra", include_ra=True)
+
+
 def _q_docs_length_band(sf_dir):
     """Per-source token-length percentile band gate (drop each source's
     freak-length tails): docs within [p5, p95] of their OWN source's
@@ -2140,6 +2198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "dedup_minhash_incr": _q_dedup_minhash_incr,
+        "graph_link_ra": _q_graph_link_ra,
         "events_drift_chi2": _q_events_drift_chi2,
         "text_lm_score": _q_text_lm_score,
         "graph_common_neighbors": _q_graph_common_neighbors,
@@ -3150,6 +3210,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN m USING (l_returnflag) WHERE l.l_quantity IS NOT NULL) "
             "SELECT l_returnflag, round(quantile_cont(dev, 0.5), 6) AS mad "
             "FROM d GROUP BY 1 ORDER BY 1"
+        ),
+        "dedup_minhash_incr": (
+            # a pair involves a new doc iff its max id is new (new ids are
+            # the dense top 20%); same expected table as dedup_minhash
+            f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_minhash_pairs.parquet') "
+            "WHERE est_jaccard >= 0.5 "
+            "AND b >= (SELECT count(*) * 4 // 5 FROM documents)"
+        ),
+        "graph_link_ra": (
+            # RA weight 10^9 // deg is exact integer division on both
+            # engines; ORDER BY the quantized sum q (not the rounded float)
+            # so the LIMIT cut is bit-identical
+            "WITH raw AS (SELECT l_partkey % 1000 AS x, l_suppkey % 1000 AS y FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y), "
+            "adj AS MATERIALIZED (SELECT a AS c, b AS nb FROM e UNION ALL SELECT b, a FROM e), "
+            "deg AS MATERIALIZED (SELECT c AS node, count(*)::BIGINT AS d FROM adj GROUP BY 1), "
+            "cn AS (SELECT x.c AS u, y.c AS v, count(*)::BIGINT AS cn, "
+            "sum(1000000000 // d.d)::BIGINT AS q "
+            " FROM adj x JOIN adj y ON x.nb = y.nb AND x.c < y.c "
+            " JOIN deg d ON d.node = x.nb GROUP BY 1, 2) "
+            "SELECT u, v, cn, round(q::DOUBLE / 1e9, 6) AS ra "
+            "FROM cn LEFT JOIN e ON e.a = cn.u AND e.b = cn.v "
+            "WHERE e.a IS NULL AND cn >= 2 ORDER BY q DESC, u, v LIMIT 100"
         ),
         "events_drift_chi2": (
             # expected counts and terms written as the engine's EXACT

@@ -770,3 +770,92 @@ class TestDriftChi2:
         # even x's 25/25 split is drifted against the 40:60 cohort baseline)
         assert terms["z"] == max(terms.values()) and terms["z"] > 5.0
         assert max(terms["x"], terms["y"]) < 2.5
+
+
+class TestResourceAllocationLink:
+    def test_ra_matches_naive_and_reranks(self, ray_session):
+        """RA scores must equal a dense recomputation (sum of 10^9//deg per
+        common neighbor, /1e9, round 6); ranking by RA must downweight
+        hub-mediated pairs relative to count ranking."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import common_neighbor_topk
+
+        rng = np.random.default_rng(17)
+        n = 30
+        adj = np.triu(rng.random((n, n)) < 0.25, 1)
+        # add a hub adjacent to everyone: every non-adjacent pair gains a
+        # weak (1/deg≈1/29) vote; low-degree shared neighbors dominate RA
+        edges = [(int(a), int(b)) for a, b in np.argwhere(adj)] + [(i, 99) for i in range(n)]
+        sym = adj | adj.T
+        full = np.zeros((100, 100), dtype=bool)
+        full[:n, :n] = sym
+        full[99, :n] = True
+        full[:n, 99] = True
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        got = common_neighbor_topk(_ray.data.from_arrow(t).repartition(4),
+                                   k=40, min_common=1, rank_by="ra", include_ra=True).to_pandas()
+
+        deg = full.sum(axis=1).astype(np.int64)
+        w = np.zeros(100, dtype=np.int64)
+        w[deg > 0] = np.int64(1_000_000_000) // deg[deg > 0]
+        rows = []
+        for u in range(100):
+            for v in range(u + 1, 100):
+                if full[u, v]:
+                    continue
+                commons = np.flatnonzero(full[u] & full[v])
+                if len(commons) < 1:
+                    continue
+                q = int(w[commons].sum())
+                rows.append((u, v, len(commons), q))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        want = [(u, v, cn, round(q / 1e9, 6)) for u, v, cn, q in rows[:40]]
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        # every surviving pair shares the hub, so cn >= 1 everywhere; the
+        # top RA rows must carry MORE weight than the hub alone provides
+        assert got.iloc[0]["ra"] > round(int(w[99]) / 1e9, 6)
+
+
+class TestIncrementalMinhash:
+    def test_incremental_equals_full_rebuild_slice(self, ray_session):
+        """pairs(new) ∪ cross(old, new) must hash-equal the full corpus
+        recompute restricted to pairs involving a new doc — planted dups in
+        all three configurations: old-old (must NOT appear), old-new and
+        new-new (must appear)."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.dedup import (
+            minhash_cross_pairs, minhash_near_dup_pairs,
+        )
+
+        base = [
+            "alpha beta gamma delta epsilon zeta " * 5,
+            "one two three four five six seven " * 5,
+            "lorem ipsum dolor sit amet consectetur " * 5,
+        ]
+        texts = (
+            [base[0], base[0] + " tailword"]       # old-old near-dup (ids 0,1)
+            + [base[1], "filler doc about nothing relevant"]   # 2, 3
+            + [base[1] + " coda", base[2], base[2]]  # new: 4 (dups old 2), 5/6 (new-new dup)
+        )
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        full = minhash_near_dup_pairs(
+            _ray.data.from_arrow(t).repartition(3), threshold=0.5).to_pandas()
+        cutoff = 4
+        old_t, new_t = t.slice(0, cutoff), t.slice(cutoff)
+        inc = (
+            minhash_near_dup_pairs(_ray.data.from_arrow(new_t).repartition(2), threshold=0.5)
+            .union(minhash_cross_pairs(_ray.data.from_arrow(old_t).repartition(2),
+                                       _ray.data.from_arrow(new_t).repartition(2), threshold=0.5))
+            .sort(["a", "b"])
+            .to_pandas()
+        )
+        want = full[full["b"] >= cutoff].reset_index(drop=True)
+        assert inc.values.tolist() == want.values.tolist()
+        pairs = {(int(r.a), int(r.b)) for r in inc.itertuples()}
+        assert (2, 4) in pairs and (5, 6) in pairs   # old-new and new-new found
+        assert (0, 1) not in pairs                   # old-old never re-enumerated
+        assert (0, 1) in {(int(r.a), int(r.b)) for r in full.itertuples()}

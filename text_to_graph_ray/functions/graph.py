@@ -893,7 +893,8 @@ def kcore_bounded(edges_ds, k: int = 8, max_rounds: int = 4, src_col: str = "src
 def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
                          src_col: str = "src", dst_col: str = "dst",
                          num_buckets: int = 64, edge_broadcast_max: int = 5_000_000,
-                         hub_degree_cap: int | None = None, stats: dict | None = None):
+                         hub_degree_cap: int | None = None, stats: dict | None = None,
+                         rank_by: str = "cn", include_ra: bool = False):
     """Link prediction by common-neighbor count: the top-k NON-adjacent node
     pairs (u, v, cn) ranked by (cn DESC, u, v) — the classic
     missing-edge / entity-resolution candidate generator over the KG.
@@ -916,7 +917,18 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
     lose those hubs' votes — the Adamic-Adar observation that hub
     co-neighbors carry little signal anyway) and surfaces the skipped count
     loudly (stats["cn_hubs_skipped"] + driver WARNING); default None is
-    exact."""
+    exact.
+
+    ``include_ra=True`` additionally scores each pair with the
+    Resource-Allocation index (Zhou et al. 2009): Σ over common neighbors
+    of 1/deg(center) — hub centers contribute less. The per-center weight
+    is quantized EXACTLY as ``10^9 // deg`` (integer division — unlike
+    Adamic-Adar's 1/log2(deg), there is no libm term to drift a ulp), the
+    per-pair sum is integer, and ``ra = q / 1e9`` rounds to 6 dp only at
+    the output, so engine and SQL oracle are bit-identical. A center's
+    degree is its full undirected degree, computed locally because ALL of
+    a center's symmetrized rows land in its bucket (no extra exchange).
+    ``rank_by``: "cn" (count) or "ra"."""
     import pyarrow.compute as pc
     import ray
 
@@ -939,7 +951,10 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
         edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"], edge_schema
     ).materialize()
     n_edges = edges.count()
-    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64())])
+    out_fields = [("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64())]
+    if include_ra:
+        out_fields.append(("ra", pa.float64()))
+    out_schema = pa.schema(out_fields)
     if n_edges == 0:
         import ray.data as rd
 
@@ -954,7 +969,7 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
         return pa.table({"s": pa.concat_arrays([a, b]), "t": pa.concat_arrays([b, a])},
                         schema=sym_schema)
 
-    part_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("n", pa.int64())])
+    part_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("n", pa.int64()), ("q", pa.int64())])
 
     def pair_partials(df) -> pa.Table:
         if len(df) == 0:
@@ -962,8 +977,12 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
         s = df["s"].to_numpy(dtype=np.int64)
         t = df["t"].to_numpy(dtype=np.int64)
         skipped = 0
+        # full undirected degree of every center in this bucket (all of a
+        # center's symmetrized rows land here), BEFORE any hub filtering —
+        # the RA weight 10^9 // deg is exact integer arithmetic
+        centers, counts = np.unique(s, return_counts=True)
+        q_center = np.int64(1_000_000_000) // counts.astype(np.int64)
         if hub_degree_cap is not None:
-            centers, counts = np.unique(s, return_counts=True)
             hubs = centers[counts > hub_degree_cap]
             if len(hubs):
                 skipped = len(hubs)
@@ -972,28 +991,37 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
         w = _center_pair_arrays(s, t) if len(s) else None
         if w is None:
             lo_u = hi_u = np.empty(0, dtype=np.int64)
-            cnts = np.empty(0, dtype=np.int64)
+            cnts = qs = np.empty(0, dtype=np.int64)
         else:
-            _, lo, hi = w
+            wc, lo, hi = w
+            qw = q_center[np.searchsorted(centers, wc)].astype(np.float64)
             key = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64) if lo.size and int(hi.max()) < 2**31 and int(lo.min()) >= 0 else None
             if key is not None:
-                uk, cnts = np.unique(key, return_counts=True)
+                uk, inv, cnts = np.unique(key, return_inverse=True, return_counts=True)
                 lo_u = (uk >> np.uint64(32)).astype(np.int64)
                 hi_u = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                # weights <= 1e9 and wedge multiplicities bounded, so the
+                # float64 bincount sums are exact (< 2^53)
+                qs = np.bincount(inv, weights=qw, minlength=len(uk)).astype(np.int64)
             else:
                 import pandas as pd
 
-                g = pd.DataFrame({"lo": lo, "hi": hi}).groupby(["lo", "hi"], sort=False).size()
+                g = pd.DataFrame({"lo": lo, "hi": hi, "q": qw}).groupby(["lo", "hi"], sort=False)["q"].agg(
+                    n="size", q="sum"
+                )
                 lo_u = g.index.get_level_values(0).to_numpy(dtype=np.int64)
                 hi_u = g.index.get_level_values(1).to_numpy(dtype=np.int64)
-                cnts = g.to_numpy(dtype=np.int64)
+                cnts = g["n"].to_numpy(dtype=np.int64)
+                qs = g["q"].to_numpy(dtype=np.float64).astype(np.int64)
         if skipped:
             bucket = int(df[BUCKET_COL].iloc[0])
             lo_u = np.append(lo_u, -1 - bucket)
             hi_u = np.append(hi_u, skipped)
             cnts = np.append(cnts, 0)
+            qs = np.append(qs, 0)
         return pa.table({"lo": pa.array(lo_u, type=pa.int64()), "hi": pa.array(hi_u, type=pa.int64()),
-                         "n": pa.array(cnts.astype(np.int64), type=pa.int64())}, schema=part_schema)
+                         "n": pa.array(cnts.astype(np.int64), type=pa.int64()),
+                         "q": pa.array(qs.astype(np.int64), type=pa.int64())}, schema=part_schema)
 
     sym = edges.map_batches(symmetrize, batch_format="pyarrow")
     partials = bucket_exchange(
@@ -1015,8 +1043,9 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
     elif stats is not None:
         stats["cn_hubs_skipped"] = 0
 
-    cn = bucketed_aggregate(partials, ["lo", "hi"], {"cn": ("n", "sum")},
-                            out_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64())]),
+    cn = bucketed_aggregate(partials, ["lo", "hi"], {"cn": ("n", "sum"), "q": ("q", "sum")},
+                            out_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                                  ("cn", pa.int64()), ("q", pa.int64())]),
                             num_buckets=num_buckets)
     cn = cn.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("cn"), min_common)), batch_format="pyarrow"
@@ -1043,15 +1072,19 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
 
         nonadj = cn.map_batches(drop_adjacent, batch_format="pyarrow")
     else:
-        tag_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64()), ("side", pa.int64())])
+        tag_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64()),
+                                ("q", pa.int64()), ("side", pa.int64())])
+        kept_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64()), ("q", pa.int64())])
 
         def tag(side: int):
             def f(t: pa.Table) -> pa.Table:
                 if t.num_rows == 0:
                     return tag_schema.empty_table()
+                nulls = pa.nulls(t.num_rows, type=pa.int64())
                 cols = {"lo": t.column("a" if side == 0 else "lo"),
                         "hi": t.column("b" if side == 0 else "hi"),
-                        "cn": pa.nulls(t.num_rows, type=pa.int64()) if side == 0 else t.column("cn"),
+                        "cn": nulls if side == 0 else t.column("cn"),
+                        "q": nulls if side == 0 else t.column("q"),
                         "side": pa.array(np.full(t.num_rows, side), type=pa.int64())}
                 return pa.table(cols, schema=tag_schema)
             return f
@@ -1062,32 +1095,32 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
 
         def anti(df) -> pa.Table:
             if len(df) == 0:
-                return pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64())]).empty_table()
+                return kept_schema.empty_table()
             df = df.drop(columns=[BUCKET_COL])
             adj = df[df["side"] == 0][["lo", "hi"]]
             keep = df[df["side"] == 1].merge(adj, on=["lo", "hi"], how="left", indicator=True)
             keep = keep[keep["_merge"] == "left_only"]
             return pa.table({"lo": pa.array(keep["lo"].to_numpy(dtype=np.int64), type=pa.int64()),
                              "hi": pa.array(keep["hi"].to_numpy(dtype=np.int64), type=pa.int64()),
-                             "cn": pa.array(keep["cn"].to_numpy(dtype=np.int64), type=pa.int64())})
+                             "cn": pa.array(keep["cn"].to_numpy(dtype=np.int64), type=pa.int64()),
+                             "q": pa.array(keep["q"].to_numpy(dtype=np.int64), type=pa.int64())})
 
         nonadj = bucket_exchange(
             with_bucket(tagged, ["lo", "hi"], num_buckets, in_schema=tag_schema), anti,
-            pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("cn", pa.int64())]), num_buckets,
+            kept_schema, num_buckets,
         )
+
+    rank_col = "q" if rank_by == "ra" else "cn"
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
             return t
         import pandas as pd
 
-        df = pd.DataFrame({"lo": t.column("lo").to_numpy(zero_copy_only=False),
-                           "hi": t.column("hi").to_numpy(zero_copy_only=False),
-                           "cn": t.column("cn").to_numpy(zero_copy_only=False)})
-        df = df.sort_values(["cn", "lo", "hi"], ascending=[False, True, True], kind="mergesort").head(k)
-        return pa.table({"lo": pa.array(df["lo"].to_numpy(dtype=np.int64), type=pa.int64()),
-                         "hi": pa.array(df["hi"].to_numpy(dtype=np.int64), type=pa.int64()),
-                         "cn": pa.array(df["cn"].to_numpy(dtype=np.int64), type=pa.int64())})
+        df = pd.DataFrame({c: t.column(c).to_numpy(zero_copy_only=False) for c in ("lo", "hi", "cn", "q")})
+        df = df.sort_values([rank_col, "lo", "hi"], ascending=[False, True, True], kind="mergesort").head(k)
+        return pa.table({c: pa.array(df[c].to_numpy(dtype=np.int64), type=pa.int64())
+                         for c in ("lo", "hi", "cn", "q")})
 
     def final_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1096,11 +1129,17 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
 
         df = pd.DataFrame({"u": t.column("lo").to_numpy(zero_copy_only=False),
                            "v": t.column("hi").to_numpy(zero_copy_only=False),
-                           "cn": t.column("cn").to_numpy(zero_copy_only=False)})
-        df = df.sort_values(["cn", "u", "v"], ascending=[False, True, True], kind="mergesort").head(k)
-        return pa.table({"u": pa.array(df["u"].to_numpy(dtype=np.int64), type=pa.int64()),
-                         "v": pa.array(df["v"].to_numpy(dtype=np.int64), type=pa.int64()),
-                         "cn": pa.array(df["cn"].to_numpy(dtype=np.int64), type=pa.int64())}, schema=out_schema)
+                           "cn": t.column("cn").to_numpy(zero_copy_only=False),
+                           "q": t.column("q").to_numpy(zero_copy_only=False)})
+        rc = "q" if rank_by == "ra" else "cn"
+        df = df.sort_values([rc, "u", "v"], ascending=[False, True, True], kind="mergesort").head(k)
+        cols = {"u": pa.array(df["u"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "v": pa.array(df["v"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "cn": pa.array(df["cn"].to_numpy(dtype=np.int64), type=pa.int64())}
+        if include_ra:
+            ra = df["q"].to_numpy(dtype=np.int64).astype(np.float64) / 1e9
+            cols["ra"] = pa.array([round(float(x), 6) for x in ra], type=pa.float64())
+        return pa.table(cols, schema=out_schema)
 
     return (
         nonadj.map_batches(local_topk, batch_format="pyarrow")
