@@ -859,3 +859,62 @@ class TestIncrementalMinhash:
         assert (2, 4) in pairs and (5, 6) in pairs   # old-new and new-new found
         assert (0, 1) not in pairs                   # old-old never re-enumerated
         assert (0, 1) in {(int(r.a), int(r.b)) for r in full.itertuples()}
+
+
+class TestExplodeBigramsVectorized:
+    def test_differential_vs_per_row_contract(self):
+        """Batch kernel == per-row kernel as a multiset of (doc, bg, f, m),
+        over adversarial inputs: every ASCII char as separator candidates,
+        leading/trailing/repeated whitespace, 0/1-token docs, dup bigrams,
+        non-ASCII fallback rows, nulls."""
+        import pandas as pd
+
+        from text_to_graph_ray.functions.text import (
+            _explode_bigrams_rows, explode_bigrams_batch,
+        )
+
+        texts = [
+            "a b a b a",                    # dup bigrams
+            "  leading and  trailing  ",
+            "single",
+            "",
+            None,
+            "café au lait café au",  # non-ascii fallback
+            "x\ty\nz\x0b w \x0c q",
+            "\x1c a \x1d b \x1e c \x1f d",  # ascii control seps (str.split strips)
+            " ".join(f"w{i%7}" for i in range(50)),
+        ]
+        ids = list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = explode_bigrams_batch(t).to_pandas()
+        d, bgs, f, m = _explode_bigrams_rows(ids, ["" if x is None else x for x in texts])
+        want = pd.DataFrame({"doc_id": d, "bg": bgs, "f": f, "m": m})
+        key = ["doc_id", "bg", "f", "m"]
+        assert (
+            got.sort_values(key).reset_index(drop=True)[key].values.tolist()
+            == want.sort_values(key).reset_index(drop=True)[key].values.tolist()
+        )
+        assert (got["m"] > 0).all() and len(got) > 0
+
+    def test_all_128_ascii_one_char_seps(self):
+        """For every ASCII char c, 'a<c>b' must tokenize identically in the
+        batch kernel and str.split (whitespace chars split, others glue)."""
+        import pandas as pd
+
+        from text_to_graph_ray.functions.text import (
+            _explode_bigrams_rows, explode_bigrams_batch,
+        )
+
+        texts = [f"a{chr(c)}b x" for c in range(128)]
+        ids = list(range(128))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = explode_bigrams_batch(t).to_pandas()
+        d, bgs, f, m = _explode_bigrams_rows(ids, texts)
+        want = pd.DataFrame({"doc_id": d, "bg": bgs, "f": f, "m": m})
+        key = ["doc_id", "bg", "f", "m"]
+        assert (
+            got.sort_values(key).reset_index(drop=True)[key].values.tolist()
+            == want.sort_values(key).reset_index(drop=True)[key].values.tolist()
+        )
