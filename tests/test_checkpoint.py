@@ -52,18 +52,20 @@ def test_partial_resume_recomputes_only_missing(ray_session, small_corpus, cfg, 
     store = CheckpointStore(f"{out}/checkpoints", cfg.config_hash())
     done = sorted(store.done_parts("records"))
     killed = done[: len(done) // 2]
-    mdir = os.path.join(store.base, "_manifest", "records")
-    for p in killed:  # simulate a crash that lost half the partitions
-        os.remove(os.path.join(mdir, f"part-{p}.json"))
+    # simulate losing half the partitions (a completed run compacts its
+    # manifest, so forgetting goes through the store API, not file removal)
+    store.invalidate_parts("records", killed)
+    for p in killed:
         shutil.rmtree(os.path.join(store.stage_dir("records"), f"part_id={p}"), ignore_errors=True)
-    survivor_mtimes = {p: os.path.getmtime(os.path.join(mdir, f"part-{p}.json")) for p in done if p not in killed}
+    survivor_meta = {p: store.manifest("records", p) for p in done if p not in killed}
 
     r2 = kg.run(small_corpus["path"], out, cfg)
     assert r2["parts_computed"] == len(killed)
     assert r2["parts_skipped"] == len(done) - len(killed)
-    # completed partitions were not recomputed (manifests untouched)
-    for p, mt in survivor_mtimes.items():
-        assert os.path.getmtime(os.path.join(mdir, f"part-{p}.json")) == mt
+    # completed partitions were not recomputed: their manifest rows (which
+    # carry the writing run's wall_ms) are byte-identical after the resume
+    for p, meta in survivor_meta.items():
+        assert store.manifest("records", p) == meta
 
     assert _read_sorted(f"{out}/edges").equals(edges_before)
     assert _read_sorted(f"{out}/nodes").equals(nodes_before)

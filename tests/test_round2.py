@@ -78,7 +78,7 @@ def test_merged_checkpoint_resumes_final_sink(ray_session, small_corpus, tmp_pat
     store = CheckpointStore(f"{out}/checkpoints", cfg.config_hash())
     # simulate dying after the merge but before the sink: graph manifest +
     # outputs gone, merged checkpoint intact
-    os.remove(os.path.join(store.base, "_manifest", "graph", "part-0.json"))
+    store.invalidate_parts("graph", [0])
     shutil.rmtree(f"{out}/nodes")
     shutil.rmtree(f"{out}/edges")
     merged_files_before = sorted(os.listdir(store.stage_dir("merged")))

@@ -2,6 +2,9 @@
 pinned bucketed-write schema, filter_by_all_keys type guard, and the
 half-up cents rounding contract."""
 
+import os
+import shutil
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -918,3 +921,87 @@ class TestExplodeBigramsVectorized:
             got.sort_values(key).reset_index(drop=True)[key].values.tolist()
             == want.sort_values(key).reset_index(drop=True)[key].values.tolist()
         )
+
+
+class TestCheckpointCompactionAndGC:
+    """VERDICT r4 #8: manifest compaction + config-hash retention keep a
+    long-lived checkpoint root bounded."""
+
+    def test_overlay_individual_row_wins_until_next_compaction(self, tmp_path):
+        from text_to_graph_ray.state.checkpoint import CheckpointStore
+
+        st = CheckpointStore(str(tmp_path), "cfgA")
+        st.mark_done("s", 1, rows=10)
+        st.mark_done("s", 2, rows=20)
+        assert st.compact_stage("s") == 2
+        mdir = os.path.join(st.base, "_manifest", "s")
+        assert sorted(os.listdir(mdir)) == ["compacted.json"]
+        assert st.done_parts("s") == {1, 2}
+        assert st.manifest("s", 2)["rows"] == 20
+        # a newer individual row shadows the snapshot...
+        st.mark_done("s", 2, rows=99)
+        assert st.manifest("s", 2)["rows"] == 99
+        # ...and survives the next compaction
+        assert st.compact_stage("s") == 2
+        assert st.manifest("s", 2)["rows"] == 99
+        assert sorted(os.listdir(mdir)) == ["compacted.json"]
+        # invalidation removes from the snapshot too
+        st.invalidate_parts("s", [1])
+        assert st.done_parts("s") == {2}
+        assert st.manifest("s", 1) is None
+
+    def test_resume_after_compaction_skips_completed(self, ray_session, small_corpus, tmp_path_factory):
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+        from text_to_graph_ray.state.checkpoint import CheckpointStore
+
+        cfg = PipelineConfig(num_partitions=8)
+        out = str(tmp_path_factory.mktemp("ckpt_compact"))
+        r1 = kg.run(small_corpus["path"], out, cfg)
+        store = CheckpointStore(f"{out}/checkpoints", cfg.config_hash())
+        # a completed run leaves exactly one manifest file per stage
+        for stage in ("records", "merged", "graph"):
+            mdir = os.path.join(store.base, "_manifest", stage)
+            assert sorted(os.listdir(mdir)) == ["compacted.json"], stage
+        r2 = kg.run(small_corpus["path"], out, cfg)
+        assert r2["parts_computed"] == 0
+        assert r2["parts_skipped"] == r1["parts_total"]
+        # forget two partitions -> resume recomputes exactly those
+        victims = sorted(store.done_parts("records"))[:2]
+        store.invalidate_parts("records", victims)
+        for p in victims:
+            shutil.rmtree(os.path.join(store.stage_dir("records"), f"part_id={p}"), ignore_errors=True)
+        r3 = kg.run(small_corpus["path"], out, cfg)
+        assert r3["parts_computed"] == len(victims)
+        assert (r3["nodes"], r3["edges"]) == (r1["nodes"], r1["edges"])
+
+    def test_gc_keeps_recent_and_current(self, tmp_path):
+        import time as _time
+
+        from text_to_graph_ray.state.checkpoint import CheckpointStore, gc_config_roots
+
+        root = str(tmp_path / "ck")
+        for i in range(4):
+            st = CheckpointStore(root, f"cfg{i}")
+            st.mark_done("s", 0, rows=i)
+            # distinct marker mtimes (ns resolution is enough, but be safe)
+            _time.sleep(0.01)
+        removed = gc_config_roots(root, keep_last=2, current="cfg0")
+        # cfg3/cfg2 newest -> kept; cfg0 is current -> kept; cfg1 dropped
+        assert removed == ["cfg1"]
+        assert sorted(os.listdir(root)) == ["cfg0", "cfg2", "cfg3"]
+        # re-opening an old store refreshes its recency
+        CheckpointStore(root, "cfg2")
+        _time.sleep(0.01)
+        assert sorted(gc_config_roots(root, keep_last=1, current="cfg2")) == ["cfg0", "cfg3"]
+
+    def test_run_gc_drops_stale_config_tree(self, ray_session, small_corpus, tmp_path_factory):
+        from text_to_graph_ray.config import PipelineConfig
+        from text_to_graph_ray.pipelines import kg
+
+        out = str(tmp_path_factory.mktemp("ckpt_gc"))
+        c1 = PipelineConfig(num_partitions=4)
+        c2 = PipelineConfig(num_partitions=4, chunk_size=300)
+        kg.run(small_corpus["path"], out, c1)
+        kg.run(small_corpus["path"], out, c2, gc_keep_configs=0)  # keep only current
+        assert sorted(os.listdir(f"{out}/checkpoints")) == [c2.config_hash()]

@@ -836,21 +836,35 @@ def _unpack_lists(batch: pa.Table) -> pa.Table:
     return out
 
 
-def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, resume: bool = True) -> dict:
+def run(
+    input_path: str,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+    gc_keep_configs: int | None = 3,
+) -> dict:
     """Checkpointed pipeline. Layout:
 
         <out_dir>/checkpoints/<config_hash>/records/        per-partition extraction
         <out_dir>/checkpoints/<config_hash>/_manifest/...   completion markers
         <out_dir>/nodes/, <out_dir>/edges/                  final graph tables
 
+    On open, checkpoint trees for all but the ``gc_keep_configs``
+    most-recently-used config hashes are dropped (None disables), and a
+    completed run compacts its per-partition manifest rows into one snapshot
+    — both keep a long-lived checkpoint root bounded on a 100-TB run that
+    iterates on config.
+
     Returns counters {parts_total, parts_skipped, parts_computed, nodes, edges}.
     """
     import ray.data as rd
 
-    from text_to_graph_ray.state.checkpoint import input_fingerprint
+    from text_to_graph_ray.state.checkpoint import gc_config_roots, input_fingerprint
 
     t0 = time.monotonic()
     store = CheckpointStore(f"{out_dir}/checkpoints", cfg.config_hash())
+    if gc_keep_configs is not None:
+        gc_config_roots(f"{out_dir}/checkpoints", keep_last=gc_keep_configs, current=cfg.config_hash())
     fp = input_fingerprint(input_path)
     if resume:
         existing = store.counters("records")
@@ -958,6 +972,10 @@ def run(input_path: str, out_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, res
     store.mark_done(
         "graph", 0, nodes=n_nodes, edges=n_edges, input_fingerprint=fp, wall_ms=int((time.monotonic() - t0) * 1000)
     )
+    # run completed: fold per-partition manifest rows into one snapshot so
+    # the manifest dir stays O(1) files across arbitrarily many run/resume
+    # cycles (resume reads the snapshot + any newer individual rows)
+    store.compact()
     return {
         "parts_total": len(all_parts),
         "parts_skipped": len(all_parts) - len(pending),
