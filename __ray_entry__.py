@@ -113,7 +113,7 @@ def _q_kg_nodes_incremental(sf_dir):
         kg.merged_graph(kg.keyed_records(kg.extract_chain(half(p), nolink), nolink), nolink)
         for p in (0, 1)
     ]
-    merged = kg.merge_increment(parts, PipelineConfig(link_aliases=True))
+    merged = kg.merge_increment(parts, PipelineConfig(link_aliases=True), delta=True)
     nodes = kg.nodes_from_merged(merged).to_pandas()
     return nodes[["entity_id", "entity_key", "label", "types_packed", "repos_packed"]]
 
@@ -145,7 +145,7 @@ def _q_kg_triples_incremental(sf_dir):
         kg.merged_graph(kg.keyed_records(kg.extract_chain(half(p), nolink), nolink), nolink)
         for p in (0, 1)
     ]
-    merged = kg.merge_increment(parts, PipelineConfig(link_aliases=True))
+    merged = kg.merge_increment(parts, PipelineConfig(link_aliases=True), delta=True)
     edges = kg.edges_from_merged(merged).to_pandas()
     return edges[["src_key", "pred", "dst_key", "repos_packed"]]
 

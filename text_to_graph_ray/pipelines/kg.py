@@ -985,7 +985,12 @@ def run(
     }
 
 
-def merge_increment(merged_parts: list, cfg: PipelineConfig = DEFAULT_CONFIG):
+def merge_increment(
+    merged_parts: list,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    delta: bool = False,
+    delta_keys_max: int = 2_000_000,
+):
     """Incremental KG maintenance: union ALREADY-MERGED (packed) graph
     increments — e.g. yesterday's persisted merged graph plus today's
     new-files increment — and re-merge in ONE vocabulary-sized exchange
@@ -1003,7 +1008,63 @@ def merge_increment(merged_parts: list, cfg: PipelineConfig = DEFAULT_CONFIG):
     Linking (``cfg.link_aliases``) runs AFTER the final merge: defs
     discovered in one increment must rewrite mentions extracted in another,
     so per-increment builds pass ``link_aliases=False`` and the combined
-    graph links once here."""
+    graph links once here.
+
+    ``delta=True`` scopes the re-merge exchange to the increment
+    (VERDICT r4 #6): ``merged_parts[0]`` is treated as the BASE — an
+    already-merged graph in which every merge identity ("n": k1; "e"/"d":
+    (k1,k2,k3)) has exactly one row, which is what merged_graph /
+    _remerge_all / a previous merge_increment produce — and only base rows
+    whose identity appears in the increments join the bucket exchange;
+    the rest stream through untouched (associativity: their merge groups
+    have no increment member, so their merged row is already final). The
+    increment identity set is collected under a loud guard
+    (``delta_keys_max`` distinct upper-bound rows); past it, or with fewer
+    than two parts, the full vocabulary-sized plan runs — both plans are
+    hash-identical (equivalence-tested at delta_keys_max=0)."""
+    import ray
+
+    if delta and len(merged_parts) >= 2:
+        base = merged_parts[0]
+        inc = merged_parts[1]
+        for p in merged_parts[2:]:
+            inc = inc.union(p)
+        inc = inc.materialize()  # increments are small by premise; scanned twice below
+
+        def identity(b: pa.Table) -> pa.Array:
+            is_n = pc.equal(b.column("kind"), "n")
+            full = pc.binary_join_element_wise(
+                b.column("kind"), b.column("k1"), b.column("k2"), b.column("k3"), "\x00"
+            )
+            node = pc.binary_join_element_wise(b.column("kind"), b.column("k1"), "\x00")
+            return pc.if_else(is_n, node, full).cast(pa.string())
+
+        # per-block-distinct identity blocks; O(#blocks) row counts gate the collect
+        krefs = inc.map_batches(
+            lambda b: pa.table({"ik": pc.unique(identity(b))}), batch_format="pyarrow"
+        ).to_arrow_refs()
+
+        @ray.remote
+        def _nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        if sum(ray.get([_nrows.remote(r) for r in krefs])) <= delta_keys_max:
+            arrays = [t.column("ik").combine_chunks().cast(pa.string()) for t in ray.get(krefs) if t.num_rows]
+            keys = pc.unique(pa.concat_arrays(arrays)) if arrays else pa.array([], type=pa.string())
+            kref = ray.put(keys)
+
+            def split(b: pa.Table, want_touched: bool) -> pa.Table:
+                hit = pc.is_in(identity(b), value_set=ray.get(kref))
+                return b.filter(hit if want_touched else pc.invert(hit))
+
+            touched = base.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+            untouched = base.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+            merged = untouched.union(_remerge_all(touched.union(inc), cfg)).materialize()
+            if cfg.link_aliases:
+                merged = link_merged(merged, cfg)
+            return merged
+        # guard tripped: fall through to the full re-merge below
+
     out = merged_parts[0]
     for p in merged_parts[1:]:
         out = out.union(p)
