@@ -1104,3 +1104,39 @@ class TestDeltaScopedIncrementalMerge:
         row = got[got.entity_key == "f3"]
         assert len(row) == 1 and row.iloc[0]["label"] == "F3"
         assert row.iloc[0]["repos_packed"] == "r1|r2"
+
+
+class TestBucketedJoinNodeAffinity:
+    """VERDICT r4 #9: node-local-storage co-location behind a flag. The
+    affinity plan (one soft-pinned raw task per bucket, results re-entering
+    Ray Data via from_arrow_refs) must be value-identical to the default
+    map_batches plan; single-node we can only pin to the local node, but
+    the wiring (strategy construction, per-bucket fan-out, ref assembly)
+    is fully exercised."""
+
+    def test_affinity_plan_matches_default(self, ray_session, tmp_path):
+        import ray as _ray
+
+        from text_to_graph_ray.sources.bucketed import bucketed_join, write_bucketed
+
+        n = 200
+        left = pa.table({"k": pa.array(range(n), type=pa.int64()),
+                         "v": pa.array([i * 3 for i in range(n)], type=pa.int64())})
+        right = pa.table({"k2": pa.array(range(0, n, 2), type=pa.int64()),
+                          "w": pa.array([i + 7 for i in range(0, n, 2)], type=pa.int64())})
+        pl, pr = str(tmp_path / "L"), str(tmp_path / "R")
+        write_bucketed(_ray.data.from_arrow(left).repartition(4), "k", pl, num_buckets=8)
+        write_bucketed(_ray.data.from_arrow(right).repartition(4), "k2", pr, num_buckets=8)
+
+        base = bucketed_join(pl, pr, on=("k", "k2")).to_pandas().sort_values("k").reset_index(drop=True)
+        me = _ray.get_runtime_context().get_node_id()
+        # mixed map: some buckets pinned, some unmapped (falls back to default scheduling)
+        amap = {k: me for k in range(0, 8, 2)}
+        aff = (
+            bucketed_join(pl, pr, on=("k", "k2"), node_affinity=amap)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(aff, base)
+        assert len(base) == n // 2 and (base["w"] == base["k"] + 7).all()

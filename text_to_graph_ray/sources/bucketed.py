@@ -91,14 +91,32 @@ def _bucket_files(path: str, k: int) -> list[str]:
     return sorted(os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet"))
 
 
-def bucketed_join(path_a: str, path_b: str, on: tuple, suffix: str = "_r"):
+def bucketed_join(
+    path_a: str,
+    path_b: str,
+    on: tuple,
+    suffix: str = "_r",
+    node_affinity: dict[int, str] | None = None,
+):
     """INNER join of two co-partitioned bucketed tables with NO runtime
     exchange: one task per bucket id present on BOTH sides; each task reads
     its own bucket from each side and merges locally (vectorized pandas hash
     join). ``on = (key_a, key_b)``; the join key is emitted once under
     ``key_a``'s name; other colliding column names take ``suffix`` on the
     right. Output schema is pinned from the stored footers so empty buckets
-    cannot destabilize downstream blocks."""
+    cannot destabilize downstream blocks.
+
+    Co-location contract (VERDICT r4 #9): each bucket task reads BOTH sides'
+    bucket files. On shared storage (S3/HDFS/NFS — the 100-TB deployment
+    shape) any node reads any bucket and placement is irrelevant. On
+    node-LOCAL storage, pass ``node_affinity={bucket_id: ray_node_id}``
+    (e.g. from wherever the layout writer placed each bucket): every bucket
+    then runs as one raw Ray task pinned SOFT to its node —
+    ``NodeAffinitySchedulingStrategy(soft=True)``, so a lost node degrades
+    to a remote read instead of failing the job — and the results re-enter
+    Ray Data via ``from_arrow_refs`` without leaving the object store. Both
+    plans are value-identical (tested single-node with every bucket mapped
+    to the local node)."""
     import pandas as pd
     import ray.data as rd
 
@@ -149,6 +167,25 @@ def bucketed_join(path_a: str, path_b: str, on: tuple, suffix: str = "_r"):
             m = dfa.merge(dfb, left_on=key_a, right_on=key_b, how="inner", suffixes=("", suffix))
             out.append(pa.table({f.name: pa.array(m[f.name], type=f.type) for f in out_schema}, schema=out_schema))
         return pa.concat_tables(out) if out else out_schema.empty_table()
+
+    if node_affinity is not None:
+        import ray
+        from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+        @ray.remote
+        def _join_one(k: int) -> pa.Table:
+            return join_bucket(pa.table({"bucket": pa.array([k], type=pa.int64())}))
+
+        refs = []
+        for k in buckets:
+            node = node_affinity.get(k)
+            opts = (
+                {"scheduling_strategy": NodeAffinitySchedulingStrategy(node_id=node, soft=True)}
+                if node is not None
+                else {}
+            )
+            refs.append(_join_one.options(**opts).remote(k))
+        return rd.from_arrow_refs(refs)
 
     items = pa.table({"bucket": pa.array(buckets, type=pa.int64())})
     # one task per bucket: the fan-out dataset is bucket ids only; all data
