@@ -399,6 +399,99 @@ def run_scaling_dedup() -> dict:
     }
 
 
+def run_once_segdedup() -> dict:
+    """Timed corpus-level exact segment dedup over the doc scaling corpus
+    (child of run_scaling_segdedup). Unlike the KG/minhash pairs this
+    workload is EXCHANGE-bound: a digest-keyed global-first exchange plus a
+    doc-keyed reassembly exchange, with the full segment text crossing the
+    wire — the shuffle-heavy regime the third scaling criterion pair is
+    meant to evidence."""
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    from text_to_graph_ray.functions.text import segment_dedup
+
+    corpus = os.environ["GRAFT_SEGDEDUP_INPUT"]
+    # warm-up: page-cache one column + spin workers with a tiny pass
+    read_parquet_clean(corpus, columns=["doc_id"]).count()
+    small = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    segment_dedup(small).count()
+
+    t0 = time.monotonic()
+    docs = read_parquet_clean(corpus, columns=["doc_id", "text"])
+    # 1.6M docs -> 40M surviving segments: above the operator's conservative
+    # 25M default, so size the survivor-index broadcast to this box (two
+    # int64 arrays, 640 MB plasma, zero-copy to every actor) the way a real
+    # deployment sizes it to cluster memory
+    n_out = segment_dedup(docs, kept_broadcast_max=64_000_000).count()
+    wall = round(time.monotonic() - t0, 3)
+    n_docs = docs.count()
+    out = {
+        "metric": "segment_dedup_wall",
+        "value": wall,
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_out": n_out,
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling_segdedup() -> dict:
+    """Third scaling pair (VERDICT r4 #7), shuffle/exchange-bound workload:
+    exact segment dedup over a 1.6M-doc corpus (~4.4 GB text, 40M segments)
+    at 8 vs 32 CPUs in fresh processes — the KG and minhash pairs are
+    extraction/scan-dominant; this one is dominated by a 40M-row digest
+    exchange, a 640 MB survivor-index broadcast, and a 4.4 GB text sort.
+    Legs INTERLEAVE (lo, hi, lo, hi, ...) so shared-host noise windows hit
+    both widths; min-of-N per leg."""
+    import subprocess
+
+    from text_to_graph_ray.synth import ensure_doc_scaling_corpus
+
+    corpus = ensure_doc_scaling_corpus(n_docs=int(os.environ.get("GRAFT_SEGDEDUP_DOCS", "1600000")))
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, GRAFT_SEGDEDUP_INPUT=corpus)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--segdedup-child"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats + 1):
+        runs_lo.append(child(lo))
+        runs_hi.append(child(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "segment_dedup_scaling",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "sec_8_all": [r["value"] for r in runs_lo],
+        "sec_32_all": [r["value"] for r in runs_hi],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "docs": r_lo.get("docs"),
+        "docs_out": r_lo.get("docs_out"),
+        "docs_per_sec_8": r_lo.get("docs_per_sec"),
+        "docs_per_sec_32": r_hi.get("docs_per_sec"),
+        "corpus": corpus,
+        "num_cpus": [lo, hi],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -406,5 +499,9 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_dedup()))
     elif "--dedup-child" in sys.argv:
         print(json.dumps(run_once_dedup()))
+    elif "--scaling-segdedup" in sys.argv:
+        print(json.dumps(run_scaling_segdedup()))
+    elif "--segdedup-child" in sys.argv:
+        print(json.dumps(run_once_segdedup()))
     else:
         print(json.dumps(run_once()))

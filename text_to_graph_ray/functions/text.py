@@ -737,7 +737,7 @@ def normalize_text(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
 
 
 def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str = "doc_id",
-                  num_buckets: int = 64):
+                  num_buckets: int = 64, kept_broadcast_max: int = 25_000_000):
     """Corpus-level EXACT segment dedup — the MassiveText/Gopher "remove
     exact duplicate lines across the corpus" curation op, reshaped for
     single-line corpora: each document is cut into consecutive
@@ -747,45 +747,55 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
     (ordered by ``(doc_id, seg_idx)``) is removed, and the survivors
     re-join in order.
 
-    Plan (two keyed exchanges, corpus never collected):
+    Plan — the exchanges carry FIXED-WIDTH IDS, never segment text (the
+    round-5 rewrite: shipping text through two keyed exchanges made the op
+    memory-bandwidth-bound on one box and network-bound on many — 8→32 cpu
+    efficiency 0.39; ids-only rows are 48 bytes regardless of segment
+    length):
 
-    1. explode: one scan emits (doc_id, seg_idx, seg, sha256-as-4xint64,
-       n_segs) per segment. The digest rides as four int64 columns — full
-       256-bit identity in 32 fixed bytes (the exact_dedup raw-digest
-       discipline) AND a native-int key for the vectorized SipHash
-       bucketing / drop_duplicates kernels.
+    1. explode: one scan emits (sha256-as-4xint64, doc_id, seg_idx) per
+       segment. The digest rides as four int64 columns — full 256-bit
+       identity in 32 fixed bytes (the exact_dedup raw-digest discipline)
+       AND a native-int key for the vectorized SipHash bucketing /
+       drop_duplicates kernels. The segment text is hashed and DROPPED.
     2. ``latest_per_key(descending=False)`` keeps the single globally-first
        (doc_id, seg_idx) row per digest; its per-batch combiner means the
-       exchange carries at most one candidate row per digest per upstream
-       batch. Winners CARRY their segment text, so no join back to the
-       corpus is needed (for very long segments flip to an id-only
-       exchange + fetch join — dedup.py's sigjoin pattern).
-    3. one doc_id-keyed bucket exchange reassembles: sort by seg_idx,
-       per-group join — vectorized groupby around an inherently per-group
-       string concat (ordered_string_agg's shape).
+       exchange carries at most one 48-byte candidate row per digest per
+       upstream batch.
+    3. reassembly joins the surviving (doc_id, seg_idx) set back to the
+       CORPUS, not the exchange: while the survivor set fits
+       ``kept_broadcast_max`` rows it is collected once, (doc,idx)-sorted
+       into two int64 numpy arrays, and ``ray.put`` (16 B/row — 25M rows
+       ≈ 400 MB, one zero-copy plasma read per actor); a second corpus
+       scan then rebuilds each doc from its own text with a searchsorted
+       range probe — the text never leaves its blocks. Past the guard it
+       falls back to ONE side-tagged doc_id-bucketed exchange (doc text
+       crosses once, survivor ids ride alongside) — both plans
+       value-identical (kept_broadcast_max=0 equivalence test).
 
     Output: (doc_id, text_dedup, n_kept, n_segs) sorted by doc_id. A doc
     whose EVERY segment was seen earlier drops out (mirrors SQL GROUP BY
     over surviving segments; callers holding the id universe left-join).
+    ``doc_id`` must be unique (document-table contract).
     """
     import hashlib
 
     import pandas as pd
+    import ray
 
     from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, latest_per_key, with_bucket
     from text_to_graph_ray.util import sort_coalesced
 
     hcols = ["__h1", "__h2", "__h3", "__h4"]
     seg_schema = pa.schema(
-        [(c, pa.int64()) for c in hcols]
-        + [(id_col, pa.int64()), ("seg_idx", pa.int64()), ("seg", pa.string()), ("n_segs", pa.int64())]
+        [(c, pa.int64()) for c in hcols] + [(id_col, pa.int64()), ("seg_idx", pa.int64())]
     )
 
     def explode(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return seg_schema.empty_table()
         ids = b.column(id_col).to_pylist()
-        o_id, o_idx, o_seg, o_n, digs = [], [], [], [], []
+        o_id, o_idx, digs = [], [], []
         for did, t in zip(ids, b.column(text_col).to_pylist()):
             toks = (t or "").split(" ")
             n = (len(toks) + seg_tokens - 1) // seg_tokens
@@ -793,15 +803,11 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
                 seg = " ".join(toks[i * seg_tokens : (i + 1) * seg_tokens])
                 o_id.append(did)
                 o_idx.append(i)
-                o_seg.append(seg)
-                o_n.append(n)
                 digs.append(hashlib.sha256(seg.encode("utf-8")).digest())
         h = np.frombuffer(b"".join(digs), dtype="<i8").reshape(-1, 4) if digs else np.empty((0, 4), dtype="<i8")
         cols = {c: pa.array(h[:, j], type=pa.int64()) for j, c in enumerate(hcols)}
         cols[id_col] = pa.array(o_id, type=pa.int64())
         cols["seg_idx"] = pa.array(o_idx, type=pa.int64())
-        cols["seg"] = pa.array(o_seg, type=pa.string())
-        cols["n_segs"] = pa.array(o_n, type=pa.int64())
         return pa.table(cols, schema=seg_schema)
 
     segs = ds.map_batches(explode, batch_format="pyarrow")
@@ -809,22 +815,125 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
         segs, keys=hcols, order_by=[id_col, "seg_idx"], out_schema=seg_schema,
         descending=False, num_buckets=num_buckets,
     )
+    kept = winners.select_columns([id_col, "seg_idx"]).materialize()
 
     out_schema = pa.schema(
         [(id_col, pa.int64()), ("text_dedup", pa.string()), ("n_kept", pa.int64()), ("n_segs", pa.int64())]
     )
 
+    def rebuild(did: int, t: str, kept_idx) -> tuple:
+        # kept_idx: ascending array of surviving seg_idx values for this doc
+        toks = (t or "").split(" ")
+        n = (len(toks) + seg_tokens - 1) // seg_tokens
+        parts = [" ".join(toks[i * seg_tokens : (i + 1) * seg_tokens]) for i in kept_idx]
+        return did, " ".join(parts), len(kept_idx), n
+
+    def rows_table(rows: list) -> pa.Table:
+        if not rows:
+            return out_schema.empty_table()
+        return pa.table({
+            id_col: pa.array([r[0] for r in rows], type=pa.int64()),
+            "text_dedup": pa.array([r[1] for r in rows], type=pa.string()),
+            "n_kept": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_segs": pa.array([r[3] for r in rows], type=pa.int64()),
+        }, schema=out_schema)
+
+    n_kept_total = kept.count()
+    if n_kept_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    if n_kept_total <= kept_broadcast_max:
+        blocks = [t for t in ray.get(kept.to_arrow_refs()) if t.num_rows]
+        tb = pa.concat_tables(blocks).combine_chunks()
+        d = tb.column(id_col).to_numpy()
+        i = tb.column("seg_idx").to_numpy()
+        o = np.lexsort((i, d))
+        ref = ray.put((np.ascontiguousarray(d[o]), np.ascontiguousarray(i[o])))
+
+        def reassemble(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            docs, idxs = ray.get(ref)  # zero-copy int64 views into plasma
+            ids = b.column(id_col).to_numpy()
+            lo = np.searchsorted(docs, ids, side="left")
+            hi = np.searchsorted(docs, ids, side="right")
+            texts = b.column(text_col).to_pylist()
+            rows = [
+                rebuild(int(ids[r]), texts[r], idxs[lo[r]:hi[r]])
+                for r in range(len(ids)) if hi[r] > lo[r]
+            ]
+            return rows_table(rows)
+
+        out = ds.map_batches(reassemble, batch_format="pyarrow")
+        return sort_coalesced(out, id_col)
+
+    # distributed fallback: ONE side-tagged doc_id-bucketed exchange over
+    # SEGMENT-sized rows — a second scan re-explodes each doc into
+    # (doc_id, seg_idx, seg, n_segs) rows (side 0) and the survivor ids ride
+    # alongside (side 1); per bucket an inner merge keeps the surviving
+    # segments and the groupby concat reassembles. Segment rows are uniform
+    # ~100-byte rows, so the exchange's row-balanced repartition is also
+    # byte-balanced — shipping whole docs here byte-skews the repartition
+    # (2.3 KB doc rows cluster block-contiguous) and a block can blow
+    # Arrow's 2 GB string-offset ceiling.
+    comb = pa.schema([(id_col, pa.int64()), ("seg_idx", pa.int64()),
+                      ("seg", pa.string()), ("n_segs", pa.int64()), ("__side", pa.int8())])
+
+    def explode_txt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return comb.empty_table()
+        ids = b.column(id_col).to_pylist()
+        o_id, o_idx, o_seg, o_n = [], [], [], []
+        for did, t in zip(ids, b.column(text_col).to_pylist()):
+            toks = (t or "").split(" ")
+            n = (len(toks) + seg_tokens - 1) // seg_tokens
+            for i in range(n):
+                o_id.append(did)
+                o_idx.append(i)
+                o_seg.append(" ".join(toks[i * seg_tokens : (i + 1) * seg_tokens]))
+                o_n.append(n)
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "seg_idx": pa.array(o_idx, type=pa.int64()),
+            "seg": pa.array(o_seg, type=pa.string()),
+            "n_segs": pa.array(o_n, type=pa.int64()),
+            "__side": pa.array(np.zeros(len(o_id), dtype="int8")),
+        }, schema=comb)
+
+    def kept_side(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return comb.empty_table()
+        n = b.num_rows
+        return pa.table({
+            id_col: b.column(id_col),
+            "seg_idx": b.column("seg_idx"),
+            "seg": pa.nulls(n, type=pa.string()),
+            "n_segs": pa.nulls(n, type=pa.int64()),
+            "__side": pa.array(np.ones(n, dtype="int8")),
+        }, schema=comb)
+
+    unioned = ds.map_batches(explode_txt, batch_format="pyarrow").union(
+        kept.map_batches(kept_side, batch_format="pyarrow")
+    )
+
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return out_schema.empty_table()
-        df = df.drop(columns=[BUCKET_COL]).sort_values([id_col, "seg_idx"], kind="mergesort")
-        g = df.groupby(id_col, sort=False).agg(
+        df = df.drop(columns=[BUCKET_COL])
+        segs = df[df.__side == 0]
+        ids = df.loc[df.__side == 1, [id_col, "seg_idx"]]
+        m = segs.merge(ids, on=[id_col, "seg_idx"], how="inner")
+        if len(m) == 0:
+            return out_schema.empty_table()
+        m = m.sort_values([id_col, "seg_idx"], kind="mergesort")
+        g = m.groupby(id_col, sort=False).agg(
             text_dedup=("seg", " ".join), n_kept=("seg", "size"), n_segs=("n_segs", "first")
         ).reset_index()
         return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in out_schema}, schema=out_schema)
 
     out = bucket_exchange(
-        with_bucket(winners, [id_col], num_buckets, in_schema=seg_schema), per_bucket, out_schema, num_buckets
+        with_bucket(unioned, [id_col], num_buckets, in_schema=comb), per_bucket, out_schema, num_buckets
     )
     return sort_coalesced(out, id_col)
 
