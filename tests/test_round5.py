@@ -1140,3 +1140,79 @@ class TestBucketedJoinNodeAffinity:
 
         pd.testing.assert_frame_equal(aff, base)
         assert len(base) == n // 2 and (base["w"] == base["k"] + 7).all()
+
+
+class TestShuffleShards:
+    def test_permutation_balance_and_naive_match(self, ray_session):
+        import hashlib
+
+        import ray as _ray
+
+        from text_to_graph_ray.functions.sample import shuffle_shards
+
+        ids = [7, 1, 42, 300, 5, 19, 88, 250, 3, 1001, 64, 12]
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+        got = shuffle_shards(_ray.data.from_arrow(t).repartition(3), n_shards=5).to_pandas()
+        # pos is a permutation of 0..N-1
+        assert sorted(got["pos"]) == list(range(len(ids)))
+        # shard striping: pos % n_shards, so shard sizes balanced within 1
+        assert (got["shard"] == got["pos"] % 5).all()
+        sizes = got.groupby("shard").size()
+        assert sizes.max() - sizes.min() <= 1
+        # exact per-row position matches the naive md5-ordered rank
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want = {i: p for p, i in enumerate(order)}
+        assert {r.doc_id: r.pos for r in got.itertuples()} == want
+
+
+class TestMixturePlan:
+    @staticmethod
+    def _naive(rows, budget):
+        # rows: list of (source, tokens-per-doc lists)
+        tot = {s: sum(ts) for s, ts in rows}
+        total = sum(tot.values())
+        base = {s: budget * v // total for s, v in tot.items()}
+        left = budget - sum(base.values())
+        for s in sorted(tot, key=lambda s: (-(budget * tot[s] % total), s))[:left]:
+            base[s] += 1
+        return tot, base
+
+    def test_exact_hamilton_allocation(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.sample import mixture_plan
+
+        rows = [
+            ("web", ["a b c", "d e", "f"]),           # 6 tokens
+            ("code", ["x y z w", "q"]),               # 5 tokens
+            ("books", ["l m n o p r s"]),             # 7 tokens
+        ]
+        flat_src, flat_txt = [], []
+        for s, ts in rows:
+            for txt in ts:
+                flat_src.append(s)
+                flat_txt.append(txt)
+        t = pa.table({"source": pa.array(flat_src, type=pa.string()),
+                      "text": pa.array(flat_txt, type=pa.string())})
+        budget = 100
+        got = mixture_plan(_ray.data.from_arrow(t).repartition(4), budget_tokens=budget).to_pandas()
+        tok_rows = [(s, [len(x.split(" ")) for x in ts]) for s, ts in rows]
+        tot, want = self._naive(tok_rows, budget)
+        assert got["alloc_tokens"].sum() == budget
+        assert dict(zip(got["source"], got["n_tokens"])) == tot
+        assert dict(zip(got["source"], got["alloc_tokens"])) == want
+        assert dict(zip(got["source"], got["n_docs"])) == {s: len(ts) for s, ts in rows}
+
+    def test_ties_and_empty_text(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.sample import mixture_plan
+
+        # equal token counts force remainder ties -> source-ASC tiebreak
+        t = pa.table({"source": pa.array(["b", "a", "c"], type=pa.string()),
+                      "text": pa.array(["x y", "p q", ""], type=pa.string())})
+        got = mixture_plan(_ray.data.from_arrow(t), budget_tokens=7).to_pandas()
+        # tokens: b=2, a=2, c=1 (empty text = 1 token by the split contract)
+        tot, want = self._naive([("b", [2]), ("a", [2]), ("c", [1])], 7)
+        assert dict(zip(got["source"], got["alloc_tokens"])) == want
+        assert got["alloc_tokens"].sum() == 7

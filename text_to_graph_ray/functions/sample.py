@@ -219,3 +219,133 @@ def budget_select(ds, budget_tokens: int | None = None, budget_denom: int = 3,
 
     out_refs = [keep_within.remote(r, b) for r, b in zip(refs, bases) if b <= budget]
     return rd.from_arrow_refs(out_refs)
+
+
+def shuffle_shards(ds, n_shards: int = 16, id_col: str = "doc_id"):
+    """Deterministic global corpus shuffle + shard assignment — the
+    pre-training "shuffle the corpus once, write N shards" step. Every row
+    gets a content-independent shuffle key ``md5(str(id))`` (the hash_split
+    md5-on-decimal-string contract: both engines have it natively, so the
+    exact per-row position — not just shard sizes — is cross-checkable);
+    the corpus is globally ordered by ``(md5, id)``; ``pos`` is the 0-based
+    rank in that order; ``shard = pos % n_shards`` stripes the shuffled
+    order round-robin, so every shard is (a) an unbiased 1/n slice of the
+    corpus and (b) balanced to within one row, with no shard ever holding
+    two originally-adjacent documents.
+
+    Scale shape: the sort exchange carries ONLY (id, 32-hex digest) — 40
+    bytes/row regardless of document size (a 100-TB corpus's shuffle
+    exchange is ~40 GB of ids, not 100 TB of text; callers join the
+    assignment back to text inside their shard writers, or pass the
+    text through by id-bucketed exchange). The global rank is
+    canonicalize.add_dense_index's block-offset pattern: per-block counts
+    to the driver (#blocks ints), offsets back, a range column per block —
+    no data leaves the object store. md5-per-row is C-speed (the measured
+    hash_split argument).
+
+    Returns (doc_id, pos, shard) ordered by pos (= the shuffled order)."""
+    import hashlib
+
+    from text_to_graph_ray.stages.canonicalize import add_dense_index
+    from text_to_graph_ray.util import sort_coalesced
+
+    key_schema = pa.schema([(id_col, pa.int64()), ("__h", pa.string())])
+
+    def with_key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return key_schema.empty_table()
+        ids = b.column(id_col).to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({id_col: pa.array(ids, type=pa.int64()), "__h": pa.array(hs, type=pa.string())},
+                        schema=key_schema)
+
+    keyed = sort_coalesced(ds.map_batches(with_key, batch_format="pyarrow"), ["__h", id_col])
+    ranked = add_dense_index(keyed, col="pos")
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("pos", pa.int64()), ("shard", pa.int64())])
+
+    def project(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        pos = np.asarray(b.column("pos"), dtype=np.int64)
+        return pa.table({id_col: b.column(id_col), "pos": b.column("pos"),
+                         "shard": pa.array(pos % np.int64(n_shards), type=pa.int64())}, schema=out_schema)
+
+    return ranked.map_batches(project, batch_format="pyarrow")
+
+
+def mixture_plan(ds, budget_tokens: int, by: str = "source", text_col: str = "text",
+                 max_groups: int = 100_000):
+    """Domain-mixture token allocation — apportion a fixed training budget
+    across sources proportionally to their available whitespace tokens,
+    using largest-remainder (Hamilton) rounding so the allocations are
+    EXACT integers that sum to the budget (no float weights, no drift):
+
+        base_i   = budget * tokens_i // total        (floor share)
+        leftover = budget - sum(base_i)              (< #sources)
+        +1 to the ``leftover`` sources with the largest remainder
+        ``budget * tokens_i % total`` (source-name tiebreak, ascending)
+
+    All pure int64 math, identical in SQL — the driver hash-checks every
+    allocation, not just the totals.
+
+    Scale shape: per-batch combiner partials (source, docs, tokens) — the
+    token count is ONE vectorized Arrow kernel, ``count_substring(' ')+1``
+    == len(split(' ')) by the string_split contract — then a #sources-row
+    groupby; the apportionment itself runs on the driver over the final
+    per-source table (mixture sources are inherently few — domains, not
+    documents; ``max_groups`` guards the collect LOUDLY rather than
+    degrading).
+
+    Returns (source, n_docs, n_tokens, alloc_tokens) sorted by source;
+    sum(alloc_tokens) == budget_tokens exactly (when total > 0)."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([(by, pa.string()), ("n_docs", pa.int64()), ("n_tokens", pa.int64())])
+
+    def partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        txt = pc.fill_null(b.column(text_col), "")
+        ntok = pc.add(pc.count_substring(txt, " "), 1)
+        tt = pa.table({by: b.column(by), "n_tokens": pc.cast(ntok, pa.int64())})
+        df = tt.to_pandas().groupby(by, as_index=False).agg(n_docs=("n_tokens", "size"),
+                                                            n_tokens=("n_tokens", "sum"))
+        return pa.table({by: pa.array(df[by], type=pa.string()),
+                         "n_docs": pa.array(df["n_docs"], type=pa.int64()),
+                         "n_tokens": pa.array(df["n_tokens"], type=pa.int64())}, schema=part_schema)
+
+    per_src = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    ).materialize()
+    n_groups = per_src.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"mixture_plan: {n_groups} distinct {by!r} groups exceeds max_groups={max_groups} — "
+            "mixture planning is a per-DOMAIN op; a group column this wide wants grouped_sum + "
+            "a distributed apportionment, not this driver-side exact plan"
+        )
+    import ray.data as rd
+
+    rows = sorted(per_src.take_all(), key=lambda r: r[by])  # bounded: one row per source
+    total = sum(int(r["n_tokens"]) for r in rows)
+    alloc = {r[by]: 0 for r in rows}
+    if total > 0 and rows:
+        for r in rows:
+            alloc[r[by]] = budget_tokens * int(r["n_tokens"]) // total
+        leftover = budget_tokens - sum(alloc.values())
+        by_rem = sorted(rows, key=lambda r: (-(budget_tokens * int(r["n_tokens"]) % total), r[by]))
+        for r in by_rem[:leftover]:
+            alloc[r[by]] += 1
+
+    out_schema = pa.schema([(by, pa.string()), ("n_docs", pa.int64()), ("n_tokens", pa.int64()),
+                            ("alloc_tokens", pa.int64())])
+    out = pa.table({
+        by: pa.array([r[by] for r in rows], type=pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], type=pa.int64()),
+        "n_tokens": pa.array([int(r["n_tokens"]) for r in rows], type=pa.int64()),
+        "alloc_tokens": pa.array([alloc[r[by]] for r in rows], type=pa.int64()),
+    }, schema=out_schema)
+    return rd.from_arrow(out)

@@ -1756,6 +1756,25 @@ def documents_hash_split(sf_dir: str):
     return hash_split(docs, "doc_id", thresh_hex="1999")
 
 
+def documents_shuffle_shards(sf_dir: str, n_shards: int = 16):
+    """Deterministic global corpus shuffle + round-robin shard assignment
+    (see sample.shuffle_shards; md5-on-decimal-id shuffle key, exact per-row
+    position cross-checked against DuckDB's row_number over the same key)."""
+    from text_to_graph_ray.functions.sample import shuffle_shards
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_shards(docs, n_shards=n_shards)
+
+
+def documents_mixture_plan(sf_dir: str, budget_tokens: int = 1_000_000):
+    """Domain-mixture token apportionment over documents.source (see
+    sample.mixture_plan; largest-remainder integer allocation, exact)."""
+    from text_to_graph_ray.functions.sample import mixture_plan
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return mixture_plan(docs, budget_tokens=budget_tokens, by="source")
+
+
 def user_longest_streak(sf_dir: str):
     """Longest run of CONSECUTIVE active days per user (the gaps-and-islands
     pattern): exact distinct (user, day) through the combiner, one keyed
