@@ -2206,6 +2206,46 @@ def _q_docs_mixture_plan(sf_dir):
     return documents_mixture_plan(sf_dir)
 
 
+def _q_events_throttle(sf_dir):
+    """Rate-limit dedup: first event per (user, 60 s window) + suppressed
+    count — combiner-first, one user-bucketed exchange."""
+    from text_to_graph_ray.pipelines.analytics import events_throttle_first
+
+    return events_throttle_first(sf_dir, window_s=60)
+
+
+def _q_docs_mixture_temperature(sf_dir):
+    """Temperature-scaled (alpha=0.5) mixture apportionment — sqrt weights
+    int64-quantized before the largest-remainder split, so every per-source
+    allocation is exact and cross-checked (IEEE sqrt is correctly rounded:
+    numpy and DuckDB compute the identical weight)."""
+    from text_to_graph_ray.pipelines.analytics import documents_mixture_temperature
+
+    return documents_mixture_temperature(sf_dir)
+
+
+def _q_dedup_semdedup(sf_dir):
+    """SemDeDup cluster-scoped semantic dedup — every (vec_id, cluster,
+    kept) row cross-checked against the independent naive k-means +
+    within-cluster min-id domination oracle."""
+    from text_to_graph_ray.functions.dedup import semdedup
+    from text_to_graph_ray.util import read_parquet_clean
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup(emb, tau=0.45, n_centroids=8)
+
+
+def _q_text_bpe_merges(sf_dir):
+    """BPE tokenizer training: first 40 merge rules over the documents
+    corpus — one corpus-sized word-count exchange, then a vocabulary-sized
+    merge loop. Oracle: independent full-recount naive BPE (expected.py)."""
+    from text_to_graph_ray.functions.bpe import bpe_train
+    from text_to_graph_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train(docs, n_merges=40)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS for external evidence: the driver snapshot covers the
     # FIRST 50 entries, and rounds 1-4 always snapshotted the same 50 —
@@ -2214,6 +2254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "text_bpe_merges": _q_text_bpe_merges,
+        "dedup_semdedup": _q_dedup_semdedup,
+        "docs_mixture_temperature": _q_docs_mixture_temperature,
+        "events_throttle": _q_events_throttle,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
         "docs_mixture_plan": _q_docs_mixture_plan,
         "dedup_minhash_incr": _q_dedup_minhash_incr,
@@ -2399,6 +2443,41 @@ def oracle_sql() -> dict[str, str]:
     repo_files = f"{d}/repo_files.parquet"
     return {
         # --- naive-reference oracles (expected.py) ---
+        "text_bpe_merges": (
+            f"SELECT rank, \"left\", \"right\", pair_count "
+            f"FROM read_parquet('{e}/expected_bpe_merges.parquet') ORDER BY rank"
+        ),
+        "dedup_semdedup": (
+            f"SELECT vec_id, cluster, kept FROM read_parquet('{e}/expected_semdedup.parquet') ORDER BY vec_id"
+        ),
+        "events_throttle": (
+            # first event per (user, 60s tumbling window) under (ts, event_id)
+            # + window event count; floor(epoch/60) == engine ts_us // 60e6
+            "WITH b AS (SELECT user_id, CAST(floor(epoch(ts) / 60) AS BIGINT) AS w, ts, event_id FROM events), "
+            "r AS (SELECT user_id, w, event_id, "
+            "row_number() OVER (PARTITION BY user_id, w ORDER BY ts, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY user_id, w) AS n FROM b) "
+            "SELECT user_id, w, event_id AS first_event_id, n::BIGINT AS n_events "
+            "FROM r WHERE rn = 1 ORDER BY user_id, w"
+        ),
+        "docs_mixture_temperature": (
+            # alpha=0.5 temperature weights, int64-quantized (IEEE sqrt is
+            # correctly rounded => identical weight in numpy and DuckDB);
+            # HUGEINT for budget*w so the apportionment can't overflow
+            "WITH t AS (SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(len(str_split(coalesce(text, ''), ' ')))::BIGINT AS n_tokens "
+            "FROM documents GROUP BY source), "
+            "q AS (SELECT source, n_docs, n_tokens, "
+            "floor(sqrt(n_tokens) * 1000000 + 0.5)::BIGINT AS w FROM t), "
+            "tot AS (SELECT SUM(w)::HUGEINT AS total FROM q), "
+            "b AS (SELECT source, n_docs, n_tokens, "
+            "(1000000::HUGEINT * w) // total AS base, (1000000::HUGEINT * w) % total AS rem "
+            "FROM q, tot), "
+            "l AS (SELECT 1000000 - SUM(base) AS leftover FROM b) "
+            "SELECT source, n_docs, n_tokens, "
+            "(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC) <= leftover "
+            "THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens FROM b, l ORDER BY source"
+        ),
         "dedup_minhash": f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_minhash_pairs.parquet') WHERE est_jaccard >= 0.5",
         "dedup_minhash_sigjoin": f"SELECT a, b, est_jaccard FROM read_parquet('{e}/expected_minhash_pairs.parquet') WHERE est_jaccard >= 0.5",
         "dedup_simhash": f"SELECT a, b, hamming FROM read_parquet('{e}/expected_simhash_pairs.parquet')",

@@ -1216,3 +1216,169 @@ class TestMixturePlan:
         tot, want = self._naive([("b", [2]), ("a", [2]), ("c", [1])], 7)
         assert dict(zip(got["source"], got["alloc_tokens"])) == want
         assert got["alloc_tokens"].sum() == 7
+
+
+class TestBpeTrain:
+    def _docs(self, texts):
+        import ray as _ray
+
+        return _ray.data.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())})).repartition(3)
+
+    def test_hand_checked_merges(self, ray_session):
+        """'low low low lower' x1: first merge is the most frequent adjacent
+        pair; hand-derived sequence for a corpus small enough to eyeball."""
+        from text_to_graph_ray.functions.bpe import bpe_train
+
+        got = bpe_train(self._docs(["low low low", "lower"]), n_merges=3).to_pandas()
+        # pairs: (l,o)x4 (o,w)x4 (w,</w>)x3 (w,e)x1 (e,r)x1 (r,</w>)x1
+        # rank1 = ('l','o') count 4 (ties with ('o','w'), left asc wins)
+        assert list(got.itertuples(index=False, name=None)) == [
+            (1, "l", "o", 4),
+            (2, "lo", "w", 4),
+            (3, "low", "</w>", 3),
+        ]
+
+    def test_plans_identical_and_match_naive(self, ray_session):
+        """Driver (collect) and distributed (word_collect_max=0) plans must
+        produce identical merge tables, and both must match the independent
+        full-recount naive implementation."""
+        import pandas as pd
+
+        from text_to_graph_ray.expected import naive_bpe_merges
+        from text_to_graph_ray.functions.bpe import bpe_train
+
+        rng = np.random.default_rng(55)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+        texts = [" ".join(rng.choice(words, size=rng.integers(3, 30))) for _ in range(40)]
+        ds = self._docs(texts)
+        a = bpe_train(ds, n_merges=15).to_pandas()
+        b = bpe_train(ds, n_merges=15, word_collect_max=0).to_pandas()
+        exp = pd.DataFrame(naive_bpe_merges(texts, 15))
+        assert a.equals(b)
+        assert a.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+    def test_stops_when_pairs_exhausted(self, ray_session):
+        """A one-word corpus runs out of adjacent pairs before n_merges; the
+        merge table must stop early, not pad."""
+        from text_to_graph_ray.functions.bpe import bpe_train
+
+        got = bpe_train(self._docs(["ab ab"]), n_merges=10).to_pandas()
+        # 'ab</w>' has pairs (a,b), (b,</w>) -> merges collapse to ONE symbol
+        # in 2 steps; after that no pair remains
+        assert len(got) == 2
+        assert got["rank"].tolist() == [1, 2]
+
+    def test_unicode_fallback_rows(self, ray_session):
+        """Non-ASCII rows take the per-row str.split path; results must match
+        the naive oracle (which always uses str.split)."""
+        import pandas as pd
+
+        from text_to_graph_ray.expected import naive_bpe_merges
+        from text_to_graph_ray.functions.bpe import bpe_train
+
+        texts = ["héllo wörld héllo", "plain ascii words here", "héllo wörld"]
+        got = bpe_train(self._docs(texts), n_merges=8).to_pandas()
+        exp = pd.DataFrame(naive_bpe_merges(texts, 8))
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+class TestSemDeDup:
+    def _emb(self, ids, vecs):
+        import ray as _ray
+
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        return _ray.data.from_arrow(t).repartition(3)
+
+    def test_matches_naive_and_min_id_kept(self, ray_session):
+        """Planted near-dup pairs: engine == naive oracle, and within every
+        removed group the smallest id survives."""
+        from text_to_graph_ray.expected import naive_semdedup
+        from text_to_graph_ray.functions.dedup import semdedup
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((40, 8))
+        vecs = list(base)
+        # ids 100/101 nearly identical; 200/201/202 a near-dup triple
+        vecs += [base[0] + 1e-4 * rng.standard_normal(8) for _ in range(2)]
+        ids = list(range(40)) + [100, 101]
+        dup = rng.standard_normal(8)
+        vecs += [dup, dup + 1e-4 * rng.standard_normal(8), dup + 1e-4 * rng.standard_normal(8)]
+        ids += [200, 201, 202]
+        got = semdedup(self._emb(ids, vecs), tau=0.95, n_centroids=4).to_pandas()
+        exp = pd.DataFrame(naive_semdedup(np.asarray(ids, dtype=np.int64),
+                                          np.asarray(vecs, dtype=np.float32).astype(np.float64),
+                                          tau=0.95, n_centroids=4))
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+        k = dict(zip(got["vec_id"], got["kept"]))
+        # 100 is itself a near-dup of vec 0 (same cluster guaranteed? both
+        # derive from base[0]) — at minimum the planted triples behave:
+        assert k[200] and not k[201] and not k[202]
+        assert not k[101]  # 100 < 101, same cluster (identical direction)
+
+    def test_cluster_cap_raises_loudly(self, ray_session):
+        from text_to_graph_ray.functions.dedup import semdedup
+
+        rng = np.random.default_rng(9)
+        vecs = rng.standard_normal((30, 4))
+        ds = self._emb(list(range(30)), list(vecs))
+        with pytest.raises(Exception, match="cluster_rows_max"):
+            semdedup(ds, tau=0.99, n_centroids=1, cluster_rows_max=10).to_pandas()
+
+
+class TestMixtureTemperature:
+    def test_sqrt_weights_hand_checked(self, ray_session):
+        """Two sources, 9x token imbalance: plain plan splits 90/10, the
+        alpha=0.5 plan splits 75/25 (sqrt(9):sqrt(1) = 3:1)."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.sample import mixture_plan
+
+        t = pa.table({
+            "source": pa.array(["big"] * 9 + ["small"], type=pa.string()),
+            # one token per doc -> n_tokens = doc counts
+            "text": pa.array(["x"] * 10, type=pa.string()),
+        })
+        ds = _ray.data.from_arrow(t).repartition(2)
+        plain = mixture_plan(ds, budget_tokens=100, by="source").to_pandas()
+        temp = mixture_plan(ds, budget_tokens=100, by="source", temperature=True).to_pandas()
+        assert dict(zip(plain["source"], plain["alloc_tokens"])) == {"big": 90, "small": 10}
+        assert dict(zip(temp["source"], temp["alloc_tokens"])) == {"big": 75, "small": 25}
+        assert temp["alloc_tokens"].sum() == 100
+
+
+class TestEventsThrottle:
+    def test_hand_fixture(self, ray_session, tmp_path):
+        """Three users; windows and winners derived by hand, including a
+        same-timestamp tie broken by event_id."""
+        import pandas as pd
+
+        from text_to_graph_ray.pipelines.analytics import events_throttle_first
+
+        rows = [
+            # user 1: two events in window 0 (ts 5s, 50s), one in window 1 (65s)
+            (10, 5_000_000, 1), (11, 50_000_000, 1), (12, 65_000_000, 1),
+            # user 2: same-ts tie in window 0 -> event_id 20 wins over 21
+            (21, 30_000_000, 2), (20, 30_000_000, 2),
+            # user 3: single event far out (window 100)
+            (30, 6_000_000_000, 3),
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["x"] * len(rows), type=pa.string()),
+            "value": pa.array([0.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = events_throttle_first(str(tmp_path), window_s=60).to_pandas()
+        expect = pd.DataFrame({
+            "user_id": [1, 1, 2, 3],
+            "w": [0, 1, 0, 100],
+            "first_event_id": [10, 12, 20, 30],
+            "n_events": [2, 1, 2, 1],
+        })
+        assert got.reset_index(drop=True).equals(expect)

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v14"  # v14: +expected_lm_nll (bigram LM); v13: +expected_cross_pairs
+EXPECTED_ROOT = "/tmp/graft_expected/v15"  # v15: +expected_bpe_merges +expected_semdedup; v14: +expected_lm_nll
 
 _MERSENNE = (1 << 61) - 1
 
@@ -143,6 +143,47 @@ def naive_simhash64(text: str) -> int:
         if acc[i] > 0:
             fp |= 1 << i
     return fp
+
+
+def naive_bpe_merges(texts, n_merges: int = 40):
+    """Naive full-recount BPE (Sennrich 2016) — independent of the engine's
+    incremental pair index: word counts via one Counter pass, then per
+    iteration a FULL pair recount over the whole vocabulary and a rescan
+    merge of every word. Spec shared with functions/bpe.py: words =
+    str.split(), symbols = chars + trailing "</w>", winner = max total
+    frequency with (left ASC, right ASC) tiebreak."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update((t or "").split())
+    seqs = {w: tuple(w) + ("</w>",) for w in wc}
+    rows = {"rank": [], "left": [], "right": [], "pair_count": []}
+    for rank in range(1, n_merges + 1):
+        pair_counts: Counter = Counter()
+        for w, f in wc.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        (la, rb), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows["rank"].append(rank)
+        rows["left"].append(la)
+        rows["right"].append(rb)
+        rows["pair_count"].append(cnt)
+        for w, s in seqs.items():
+            out = []
+            j = 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == la and s[j + 1] == rb:
+                    out.append(la + rb)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            seqs[w] = tuple(out)
+    return rows
 
 
 def naive_simhash_pairs(ids: list[int], texts: list[str], max_hamming: int = 3):
@@ -560,6 +601,49 @@ def naive_ann_lsh(ids: np.ndarray, vecs: np.ndarray, n_queries: int, k: int, n_p
     return rows
 
 
+def naive_semdedup(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    tau: float = 0.45,
+    n_centroids: int = 8,
+    train_rows: int = 2048,
+    iters: int = 10,
+):
+    """Single-threaded SemDeDup, same spec as functions/dedup.semdedup but
+    re-derived without engine imports: deterministic Lloyd k-means on the
+    first train_rows vectors by id, cosine cluster assignment, and within
+    each cluster (members id-ascending) member i removed iff some j < i has
+    round(cos_sim, 6) >= tau. Returns (vec_id, cluster, kept) id-sorted."""
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order].astype(np.float64)
+    vn = _norm_rows(vecs)
+
+    sample = vn[:train_rows]
+    nc = min(n_centroids, len(sample))
+    cent = sample[:nc].copy()
+    for _ in range(iters):
+        cn = _norm_rows(cent)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for c in range(nc):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    cent = _norm_rows(cent)
+
+    clusters = np.argmax(vn @ cent.T, axis=1)
+    kept = np.ones(len(ids), dtype=bool)
+    for c in np.unique(clusters):
+        idx = np.where(clusters == c)[0]  # already id-ascending
+        sims = np.round(vn[idx] @ vn[idx].T, 6)
+        hit = (sims >= tau) & np.tri(len(idx), len(idx), -1, dtype=bool)
+        kept[idx[hit.any(axis=1)]] = False
+    return {
+        "vec_id": [int(i) for i in ids],
+        "cluster": [int(c) for c in clusters],
+        "kept": [bool(k) for k in kept],
+    }
+
+
 # ---------------------------------------------------------------------------
 # fake media decode (the decoder's fake kernel is itself the spec:
 # crc32-seeded RandomState pseudo-pixels)
@@ -794,6 +878,21 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
         ),
     )
 
+    # BPE merge table (first 40 merges, full-recount naive implementation)
+    bpe = naive_bpe_merges(texts, n_merges=40)
+    _write(
+        tmp,
+        "expected_bpe_merges",
+        pa.table(
+            {
+                "rank": pa.array(bpe["rank"], type=pa.int64()),
+                "left": pa.array(bpe["left"], type=pa.string()),
+                "right": pa.array(bpe["right"], type=pa.string()),
+                "pair_count": pa.array(bpe["pair_count"], type=pa.int64()),
+            }
+        ),
+    )
+
     # simhash pairs (hamming <= 3 — the banding-guaranteed regime)
     sa, sb, sh = naive_simhash_pairs(ids, texts, max_hamming=3)
     _write(
@@ -930,6 +1029,18 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "a": pa.array(ea, type=pa.int64()),
                 "b": pa.array(eb, type=pa.int64()),
                 "sim": pa.array(es, type=pa.float64()),
+            }
+        ),
+    )
+    sd = naive_semdedup(vids, vecs, tau=0.45, n_centroids=8)
+    _write(
+        tmp,
+        "expected_semdedup",
+        pa.table(
+            {
+                "vec_id": pa.array(sd["vec_id"], type=pa.int64()),
+                "cluster": pa.array(sd["cluster"], type=pa.int64()),
+                "kept": pa.array(sd["kept"], type=pa.bool_()),
             }
         ),
     )

@@ -957,3 +957,102 @@ def minhash_cross_pairs(
         })
 
     return deduped.map_batches(decode, batch_format="pyarrow").sort(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    ds,
+    tau: float = 0.45,
+    n_centroids: int = 8,
+    train_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_rows_max: int = 65_536,
+):
+    """Semantic dedup the SemDeDup way: k-means-cluster the embeddings, then
+    look for near-duplicates ONLY within each cluster — the clustering bounds
+    the quadratic, and cross-cluster dups are out of scope BY DESIGN (that is
+    the paper's trade; the unclustered exact path is embedding_near_dup_pairs).
+
+    Deterministic spec (shared with expected.naive_semdedup):
+      * quantizer = kmeans_fit on the first ``train_rows`` vectors by id
+        (no RNG; init = first rows; empty clusters keep their centroid),
+        centroids broadcast once via ray.put
+      * assignment = argmax cosine per batch (IvfAssigner actor pool)
+      * within a cluster, members sorted by id; member i is REMOVED iff some
+        earlier member j < i has round(cos_sim(i, j), 6) >= tau (min-id
+        keeper — a deterministic stand-in for the paper's
+        keep-lowest-centroid-similarity choice)
+
+    Scale shape: ONE cluster-keyed exchange (groupby.map_groups); inside a
+    group the |C|^2 sims run as a single full matmul up to 8192 rows (the
+    oracle's exact op) and row-blocked above it against the same full matrix
+    (identical dot products, memory O(block x |C|)). Groups past
+    ``cluster_rows_max`` raise LOUDLY — at that size the fix is more
+    centroids, not a silent all-pairs blowup.
+
+    Returns (vec_id, cluster int64, kept bool) sorted by vec_id.
+    """
+    import pandas as pd
+    import ray
+
+    from text_to_graph_ray.functions.ann import IvfAssigner, kmeans_fit
+
+    sample_rows = ds.sort(id_col).limit(train_rows).take_all()
+    out_schema = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64()), ("kept", pa.bool_())])
+    if not sample_rows:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent_ref = ray.put(kmeans_fit(sample, n_centroids))
+
+    assigned = ds.map_batches(
+        IvfAssigner, fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def per_cluster(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        if n > cluster_rows_max:
+            raise ValueError(
+                f"semdedup: cluster {int(df['list_id'].iloc[0])} has {n} rows > "
+                f"cluster_rows_max={cluster_rows_max} — retrain with more centroids "
+                "instead of paying an unbounded within-cluster quadratic"
+            )
+        order = np.argsort(df[id_col].to_numpy())
+        ids = df[id_col].to_numpy()[order]
+        v = np.asarray(list(df[vec_col].to_numpy()[order]), dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        vn = v / nrm
+        removed = np.zeros(n, dtype=bool)
+        block = 8192
+        if n <= block:
+            sims = np.round(vn @ vn.T, 6)  # the oracle's exact op
+            hit = sims >= tau
+            hit &= np.tri(n, n, -1, dtype=bool)  # strictly earlier ids only
+            removed = hit.any(axis=1)
+        else:
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                sims = np.round(vn[s:e] @ vn.T, 6)
+                hit = sims >= tau
+                cols = np.arange(n)[None, :]
+                rows = np.arange(s, e)[:, None]
+                hit &= cols < rows
+                removed[s:e] = hit.any(axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(np.full(n, int(df["list_id"].iloc[0]), dtype=np.int64)),
+                "kept": pa.array(~removed),
+            },
+            schema=out_schema,
+        )
+
+    return assigned.groupby("list_id").map_groups(per_cluster, batch_format="pandas").sort(id_col)

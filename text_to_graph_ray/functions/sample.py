@@ -275,7 +275,7 @@ def shuffle_shards(ds, n_shards: int = 16, id_col: str = "doc_id"):
 
 
 def mixture_plan(ds, budget_tokens: int, by: str = "source", text_col: str = "text",
-                 max_groups: int = 100_000):
+                 max_groups: int = 100_000, temperature: bool = False):
     """Domain-mixture token allocation — apportion a fixed training budget
     across sources proportionally to their available whitespace tokens,
     using largest-remainder (Hamilton) rounding so the allocations are
@@ -296,6 +296,17 @@ def mixture_plan(ds, budget_tokens: int, by: str = "source", text_col: str = "te
     per-source table (mixture sources are inherently few — domains, not
     documents; ``max_groups`` guards the collect LOUDLY rather than
     degrading).
+
+    ``temperature=True`` switches to temperature-scaled (alpha = 0.5)
+    sampling weights — the standard multilingual/domain rebalancing trick
+    (upsample the tail, downsample the head): allocations go proportional
+    to ``sqrt(n_tokens)`` instead of ``n_tokens``. The weight is quantized
+    to int64 FIRST (``floor(sqrt(n_tokens)*1e6 + 0.5)``) so the whole
+    apportionment stays exact integer math — IEEE sqrt is correctly
+    rounded, so numpy and DuckDB produce the identical weight and the
+    driver can hash-check every allocation. alpha is fixed at 0.5 because
+    sqrt is the one power IEEE-754 guarantees exactly; a general pow()
+    differs by ULPs across libms and would make the oracle flaky.
 
     Returns (source, n_docs, n_tokens, alloc_tokens) sorted by source;
     sum(alloc_tokens) == budget_tokens exactly (when total > 0)."""
@@ -330,13 +341,19 @@ def mixture_plan(ds, budget_tokens: int, by: str = "source", text_col: str = "te
     import ray.data as rd
 
     rows = sorted(per_src.take_all(), key=lambda r: r[by])  # bounded: one row per source
-    total = sum(int(r["n_tokens"]) for r in rows)
+    import math
+
+    def w(r) -> int:
+        n = int(r["n_tokens"])
+        return int(math.floor(math.sqrt(n) * 1e6 + 0.5)) if temperature else n
+
+    total = sum(w(r) for r in rows)
     alloc = {r[by]: 0 for r in rows}
     if total > 0 and rows:
         for r in rows:
-            alloc[r[by]] = budget_tokens * int(r["n_tokens"]) // total
+            alloc[r[by]] = budget_tokens * w(r) // total
         leftover = budget_tokens - sum(alloc.values())
-        by_rem = sorted(rows, key=lambda r: (-(budget_tokens * int(r["n_tokens"]) % total), r[by]))
+        by_rem = sorted(rows, key=lambda r: (-(budget_tokens * w(r) % total), r[by]))
         for r in by_rem[:leftover]:
             alloc[r[by]] += 1
 

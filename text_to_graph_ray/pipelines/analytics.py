@@ -1775,6 +1775,104 @@ def documents_mixture_plan(sf_dir: str, budget_tokens: int = 1_000_000):
     return mixture_plan(docs, budget_tokens=budget_tokens, by="source")
 
 
+def documents_mixture_temperature(sf_dir: str, budget_tokens: int = 1_000_000):
+    """Temperature-scaled (alpha = 0.5) domain-mixture apportionment: the
+    upsample-the-tail rebalancing used for multilingual/domain training
+    mixes. Weights = int64-quantized sqrt(n_tokens) so every allocation is
+    exact integer math the SQL oracle reproduces bit-for-bit."""
+    from text_to_graph_ray.functions.sample import mixture_plan
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return mixture_plan(docs, budget_tokens=budget_tokens, by="source", temperature=True)
+
+
+def events_throttle_first(sf_dir: str, window_s: int = 60):
+    """Event throttling / rate-limit dedup: keep the FIRST event per
+    (user, ``window_s``-second tumbling window) under (ts, event_id), and
+    count what was suppressed — the standard at-most-one-per-window gate in
+    front of a notification or feature-update stream.
+
+    Scale shape: per-batch combiner keeps one candidate + a count per
+    (user, window) — the exchange carries one partial row per key per
+    upstream batch, never raw events — then ONE user-bucketed exchange
+    resolves global winners (min (ts_us, event_id)) and sums counts.
+    Window id = ts_us // (window_s * 1e6); floor(epoch(ts)/window_s) in SQL
+    is identical for microsecond timestamps (boundary analysis: 1 us is
+    4x the double spacing at epoch magnitude, so the floor can't flip).
+
+    Returns (user_id, w, first_event_id, n_events) sorted by (user_id, w).
+    """
+    from text_to_graph_ray.functions.agg import bucket_exchange, with_bucket, BUCKET_COL
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    win_us = int(window_s) * 1_000_000
+
+    part_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("w", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("w", pa.int64()),
+            ("first_event_id", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        ts_us = pc.cast(b.column("ts"), pa.int64())
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "w": pc.divide(ts_us, win_us),  # non-negative us: int floor-div
+                "ts_us": ts_us,
+                "event_id": b.column("event_id"),
+            }
+        )
+        df = t.to_pandas()
+        win = (
+            df.sort_values(["ts_us", "event_id"], kind="mergesort")
+            .drop_duplicates(["user_id", "w"], keep="first")
+        )
+        cnt = df.groupby(["user_id", "w"], as_index=False).size().rename(columns={"size": "n"})
+        m = win.merge(cnt, on=["user_id", "w"])
+        return pa.table({f.name: pa.array(m[f.name], type=f.type) for f in part_schema})
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        if BUCKET_COL in df.columns:
+            df = df.drop(columns=[BUCKET_COL])
+        win = (
+            df.sort_values(["ts_us", "event_id"], kind="mergesort")
+            .drop_duplicates(["user_id", "w"], keep="first")
+        )
+        cnt = df.groupby(["user_id", "w"], as_index=False)["n"].sum()
+        m = win.drop(columns=["n"]).merge(cnt, on=["user_id", "w"]).sort_values(["user_id", "w"])
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"], type=pa.int64()),
+                "w": pa.array(m["w"], type=pa.int64()),
+                "first_event_id": pa.array(m["event_id"], type=pa.int64()),
+                "n_events": pa.array(m["n"], type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    pre = ev.map_batches(partials, batch_format="pyarrow")
+    out = bucket_exchange(with_bucket(pre, ["user_id"], 64, in_schema=part_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, ["user_id", "w"])
+
+
 def user_longest_streak(sf_dir: str):
     """Longest run of CONSECUTIVE active days per user (the gaps-and-islands
     pattern): exact distinct (user, day) through the combiner, one keyed
