@@ -237,6 +237,24 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_dedup_cross_corpus(sf_dir).count()
     times["dedup_cross_corpus"] = round(time.monotonic() - t0, 3)
 
+    # round-5 part-6 families: BPE tokenizer training, SemDeDup, the
+    # temperature mixture plan, and window throttling
+    t0 = time.monotonic()
+    _e._q_text_bpe_merges(sf_dir).count()
+    times["text_bpe_merges"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_dedup_semdedup(sf_dir).count()
+    times["dedup_semdedup"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_events_throttle(sf_dir).count()
+    times["events_throttle"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_docs_mixture_temperature(sf_dir).count()
+    times["docs_mixture_temperature"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 
@@ -423,11 +441,9 @@ def run_once_segdedup() -> dict:
 
     t0 = time.monotonic()
     docs = read_parquet_clean(corpus, columns=["doc_id", "text"])
-    # 1.6M docs -> 40M surviving segments: above the operator's conservative
-    # 25M default, so size the survivor-index broadcast to this box (two
-    # int64 arrays, 640 MB plasma, zero-copy to every actor) the way a real
-    # deployment sizes it to cluster memory
-    n_out = segment_dedup(docs, kept_broadcast_max=64_000_000).count()
+    # the removed set for this corpus is ~32k rows (2% near-dup docs), far
+    # under the 25M default — the broadcast is O(duplicates), not O(corpus)
+    n_out = segment_dedup(docs).count()
     wall = round(time.monotonic() - t0, 3)
     n_docs = docs.count()
     out = {

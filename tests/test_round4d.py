@@ -64,8 +64,9 @@ class TestSegmentDedup:
         assert out.text_dedup.item() == ""
 
     def test_broadcast_and_exchange_plans_identical(self, ray_session):
-        # kept_broadcast_max=0 forces the side-tagged doc-bucketed exchange;
-        # both reassembly plans must produce byte-identical output
+        # removed_broadcast_max=-1 forces the side-tagged doc-bucketed
+        # exchange (the removed set can legitimately be empty, so the forcing
+        # value is negative); both reassembly plans must be byte-identical
         from text_to_graph_ray.functions.text import segment_dedup
 
         rows = [(i, " ".join(f"w{(i * 5 + j) % 31}" for j in range(37))) for i in range(80)]
@@ -73,7 +74,7 @@ class TestSegmentDedup:
         rows.append((81, ""))
         ds = _docs_ds(rows).repartition(9)
         bcast = segment_dedup(ds, seg_tokens=4).to_pandas()
-        exch = segment_dedup(ds, seg_tokens=4, kept_broadcast_max=0).to_pandas()
+        exch = segment_dedup(ds, seg_tokens=4, removed_broadcast_max=-1).to_pandas()
         pd.testing.assert_frame_equal(bcast.reset_index(drop=True), exch.reset_index(drop=True))
         assert (bcast.n_kept <= bcast.n_segs).all() and len(bcast) > 0
 

@@ -10,6 +10,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[.!?,;:]")
@@ -737,7 +738,7 @@ def normalize_text(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
 
 
 def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str = "doc_id",
-                  num_buckets: int = 64, kept_broadcast_max: int = 25_000_000):
+                  num_buckets: int = 64, removed_broadcast_max: int = 25_000_000):
     """Corpus-level EXACT segment dedup — the MassiveText/Gopher "remove
     exact duplicate lines across the corpus" curation op, reshaped for
     single-line corpora: each document is cut into consecutive
@@ -747,31 +748,35 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
     (ordered by ``(doc_id, seg_idx)``) is removed, and the survivors
     re-join in order.
 
-    Plan — the exchanges carry FIXED-WIDTH IDS, never segment text (the
-    round-5 rewrite: shipping text through two keyed exchanges made the op
-    memory-bandwidth-bound on one box and network-bound on many — 8→32 cpu
-    efficiency 0.39; ids-only rows are 48 bytes regardless of segment
-    length):
+    Plan — the exchange carries FIXED-WIDTH IDS, never segment text, and
+    everything downstream of it is sized by the DUPLICATES, not the corpus
+    (the round-5 part-7 inversion: the previous plan materialized,
+    driver-lexsorted and broadcast the SURVIVOR set, which for a
+    low-duplication corpus is ~every segment — a 640 MB broadcast plus
+    ~23 s of serial driver time at 40M segments that capped 8→32 cpu
+    scaling at ~0.37; the removed set for the same corpus is 32k rows):
 
     1. explode: one scan emits (sha256-as-4xint64, doc_id, seg_idx) per
-       segment. The digest rides as four int64 columns — full 256-bit
-       identity in 32 fixed bytes (the exact_dedup raw-digest discipline)
-       AND a native-int key for the vectorized SipHash bucketing /
-       drop_duplicates kernels. The segment text is hashed and DROPPED.
-    2. ``latest_per_key(descending=False)`` keeps the single globally-first
-       (doc_id, seg_idx) row per digest; its per-batch combiner means the
-       exchange carries at most one 48-byte candidate row per digest per
-       upstream batch.
-    3. reassembly joins the surviving (doc_id, seg_idx) set back to the
-       CORPUS, not the exchange: while the survivor set fits
-       ``kept_broadcast_max`` rows it is collected once, (doc,idx)-sorted
-       into two int64 numpy arrays, and ``ray.put`` (16 B/row — 25M rows
-       ≈ 400 MB, one zero-copy plasma read per actor); a second corpus
-       scan then rebuilds each doc from its own text with a searchsorted
-       range probe — the text never leaves its blocks. Past the guard it
+       segment — full 256-bit identity in 32 fixed bytes (the exact_dedup
+       raw-digest discipline) AND a native-int key for the vectorized
+       bucketing kernels. The segment text is hashed and DROPPED. Rows
+       that lose to an earlier (doc_id, seg_idx) within their OWN batch
+       are flagged losers on the spot (they ride the same exchange —
+       already 48-byte rows — but skip the reduce's winner scan).
+    2. ONE digest-bucketed exchange; per bucket the reducer keeps the
+       globally-first (doc_id, seg_idx) per digest and emits every OTHER
+       row — the REMOVED set. Output is O(duplicate segments).
+    3. reassembly re-reads the corpus: while the removed set fits
+       ``removed_broadcast_max`` rows it is (doc,idx)-sorted (driver cost
+       O(dups), not O(corpus)) and ``ray.put`` once; a second corpus scan
+       passes every UNTOUCHED doc through zero-copy (text unchanged,
+       n_segs via one vectorized count_substring — no split) and rebuilds
+       only the docs that actually lost a segment. Past the guard it
        falls back to ONE side-tagged doc_id-bucketed exchange (doc text
-       crosses once, survivor ids ride alongside) — both plans
-       value-identical (kept_broadcast_max=0 equivalence test).
+       crosses once as uniform segment rows, removed ids ride alongside,
+       per-bucket anti-merge) — both plans value-identical
+       (removed_broadcast_max=-1 equivalence test; the removed set can be
+       legitimately empty, so the test guard is negative).
 
     Output: (doc_id, text_dedup, n_kept, n_segs) sorted by doc_id. A doc
     whose EVERY segment was seen earlier drops out (mirrors SQL GROUP BY
@@ -783,13 +788,15 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
     import pandas as pd
     import ray
 
-    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, latest_per_key, with_bucket
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
     from text_to_graph_ray.util import sort_coalesced
 
     hcols = ["__h1", "__h2", "__h3", "__h4"]
     seg_schema = pa.schema(
-        [(c, pa.int64()) for c in hcols] + [(id_col, pa.int64()), ("seg_idx", pa.int64())]
+        [(c, pa.int64()) for c in hcols]
+        + [(id_col, pa.int64()), ("seg_idx", pa.int64()), ("__loser", pa.int8())]
     )
+    rem_schema = pa.schema([(id_col, pa.int64()), ("seg_idx", pa.int64())])
 
     def explode(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -805,28 +812,62 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
                 o_idx.append(i)
                 digs.append(hashlib.sha256(seg.encode("utf-8")).digest())
         h = np.frombuffer(b"".join(digs), dtype="<i8").reshape(-1, 4) if digs else np.empty((0, 4), dtype="<i8")
+        # batch-local loser detection in explicit (doc_id, seg_idx) order —
+        # block row order is NOT assumed ascending; the batch-min per digest
+        # is the one forwarded candidate, so the global winner is never
+        # flagged here
+        a_id, a_idx = np.asarray(o_id, dtype=np.int64), np.asarray(o_idx, dtype=np.int64)
+        order = np.lexsort((a_idx, a_id))
+        dfo = pd.DataFrame({"h1": h[order, 0], "h2": h[order, 1], "h3": h[order, 2], "h4": h[order, 3]})
+        ls = dfo.duplicated(["h1", "h2", "h3", "h4"], keep="first").to_numpy()
+        loser = np.empty(len(order), dtype=bool)
+        loser[order] = ls
         cols = {c: pa.array(h[:, j], type=pa.int64()) for j, c in enumerate(hcols)}
         cols[id_col] = pa.array(o_id, type=pa.int64())
         cols["seg_idx"] = pa.array(o_idx, type=pa.int64())
+        cols["__loser"] = pa.array(loser.astype("int8"))
         return pa.table(cols, schema=seg_schema)
 
+    def losers_per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return rem_schema.empty_table()
+        if BUCKET_COL in df.columns:
+            df = df.drop(columns=[BUCKET_COL])
+        df = df.reset_index(drop=True)  # concat'd group frames can repeat labels
+        cand = df[df["__loser"] == 0]
+        win = (
+            cand.sort_values([id_col, "seg_idx"], kind="mergesort")
+            .drop_duplicates(hcols, keep="first")
+        )
+        lost = df.drop(win.index)
+        return pa.table(
+            {
+                id_col: pa.array(lost[id_col], type=pa.int64()),
+                "seg_idx": pa.array(lost["seg_idx"], type=pa.int64()),
+            },
+            schema=rem_schema,
+        )
+
     segs = ds.map_batches(explode, batch_format="pyarrow")
-    winners = latest_per_key(
-        segs, keys=hcols, order_by=[id_col, "seg_idx"], out_schema=seg_schema,
-        descending=False, num_buckets=num_buckets,
-    )
-    kept = winners.select_columns([id_col, "seg_idx"]).materialize()
+    removed = bucket_exchange(
+        with_bucket(segs, hcols, num_buckets, in_schema=seg_schema),
+        losers_per_bucket, rem_schema, num_buckets,
+    ).materialize()
 
     out_schema = pa.schema(
         [(id_col, pa.int64()), ("text_dedup", pa.string()), ("n_kept", pa.int64()), ("n_segs", pa.int64())]
     )
 
-    def rebuild(did: int, t: str, kept_idx) -> tuple:
-        # kept_idx: ascending array of surviving seg_idx values for this doc
+    def rebuild(did: int, t: str, gone) -> tuple | None:
+        # gone: ascending array of removed seg_idx values for this doc
         toks = (t or "").split(" ")
         n = (len(toks) + seg_tokens - 1) // seg_tokens
-        parts = [" ".join(toks[i * seg_tokens : (i + 1) * seg_tokens]) for i in kept_idx]
-        return did, " ".join(parts), len(kept_idx), n
+        gone_set = set(int(x) for x in gone)
+        keep = [i for i in range(n) if i not in gone_set]
+        if not keep:
+            return None
+        parts = [" ".join(toks[i * seg_tokens : (i + 1) * seg_tokens]) for i in keep]
+        return did, " ".join(parts), len(keep), n
 
     def rows_table(rows: list) -> pa.Table:
         if not rows:
@@ -838,40 +879,60 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
             "n_segs": pa.array([r[3] for r in rows], type=pa.int64()),
         }, schema=out_schema)
 
-    n_kept_total = kept.count()
-    if n_kept_total == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(out_schema.empty_table())
-    if n_kept_total <= kept_broadcast_max:
-        blocks = [t for t in ray.get(kept.to_arrow_refs()) if t.num_rows]
-        tb = pa.concat_tables(blocks).combine_chunks()
-        d = tb.column(id_col).to_numpy()
-        i = tb.column("seg_idx").to_numpy()
-        o = np.lexsort((i, d))
-        ref = ray.put((np.ascontiguousarray(d[o]), np.ascontiguousarray(i[o])))
+    n_removed = removed.count()
+    if 0 <= n_removed <= removed_broadcast_max:
+        if n_removed == 0:
+            ref = None
+        else:
+            blocks = [t for t in ray.get(removed.to_arrow_refs()) if t.num_rows]
+            tb = pa.concat_tables(blocks).combine_chunks()
+            d = tb.column(id_col).to_numpy()
+            i = tb.column("seg_idx").to_numpy()
+            o = np.lexsort((i, d))  # O(dups), not O(corpus)
+            ref = ray.put((np.ascontiguousarray(d[o]), np.ascontiguousarray(i[o])))
 
         def reassemble(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
                 return out_schema.empty_table()
-            docs, idxs = ray.get(ref)  # zero-copy int64 views into plasma
+            txt = pc.fill_null(b.column(text_col), "")
+            # vectorized n_segs: tokens = count_substring(' ')+1 (split(' ')
+            # contract: "" -> [''] -> 1 token), segs = ceil(tokens/seg_tokens)
+            ntok = pc.add(pc.count_substring(txt, " "), 1)
+            nseg = pc.cast(
+                pc.divide(pc.add(pc.cast(ntok, pa.int64()), seg_tokens - 1), seg_tokens), pa.int64()
+            )
             ids = b.column(id_col).to_numpy()
-            lo = np.searchsorted(docs, ids, side="left")
-            hi = np.searchsorted(docs, ids, side="right")
-            texts = b.column(text_col).to_pylist()
-            rows = [
-                rebuild(int(ids[r]), texts[r], idxs[lo[r]:hi[r]])
-                for r in range(len(ids)) if hi[r] > lo[r]
-            ]
-            return rows_table(rows)
+            if ref is None:
+                lo = hi = np.zeros(len(ids), dtype=np.int64)
+                touched = np.zeros(len(ids), dtype=bool)
+            else:
+                docs_r, idxs_r = ray.get(ref)  # zero-copy int64 views into plasma
+                lo = np.searchsorted(docs_r, ids, side="left")
+                hi = np.searchsorted(docs_r, ids, side="right")
+                touched = hi > lo
+            clean = pa.table({
+                id_col: b.column(id_col).filter(pa.array(~touched)),
+                "text_dedup": txt.filter(pa.array(~touched)),
+                "n_kept": nseg.filter(pa.array(~touched)),
+                "n_segs": nseg.filter(pa.array(~touched)),
+            }, schema=out_schema)
+            if not touched.any():
+                return clean
+            texts = txt.take(pa.array(np.where(touched)[0])).to_pylist()
+            rows = []
+            for k, r in enumerate(np.where(touched)[0]):
+                got = rebuild(int(ids[r]), texts[k], idxs_r[lo[r]:hi[r]])
+                if got is not None:
+                    rows.append(got)
+            return pa.concat_tables([clean, rows_table(rows)])
 
         out = ds.map_batches(reassemble, batch_format="pyarrow")
         return sort_coalesced(out, id_col)
 
     # distributed fallback: ONE side-tagged doc_id-bucketed exchange over
     # SEGMENT-sized rows — a second scan re-explodes each doc into
-    # (doc_id, seg_idx, seg, n_segs) rows (side 0) and the survivor ids ride
-    # alongside (side 1); per bucket an inner merge keeps the surviving
+    # (doc_id, seg_idx, seg, n_segs) rows (side 0) and the removed ids ride
+    # alongside (side 1); per bucket an anti-merge drops the removed
     # segments and the groupby concat reassembles. Segment rows are uniform
     # ~100-byte rows, so the exchange's row-balanced repartition is also
     # byte-balanced — shipping whole docs here byte-skews the repartition
@@ -901,7 +962,7 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
             "__side": pa.array(np.zeros(len(o_id), dtype="int8")),
         }, schema=comb)
 
-    def kept_side(b: pa.Table) -> pa.Table:
+    def removed_side(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return comb.empty_table()
         n = b.num_rows
@@ -914,16 +975,17 @@ def segment_dedup(ds, seg_tokens: int = 16, text_col: str = "text", id_col: str 
         }, schema=comb)
 
     unioned = ds.map_batches(explode_txt, batch_format="pyarrow").union(
-        kept.map_batches(kept_side, batch_format="pyarrow")
+        removed.map_batches(removed_side, batch_format="pyarrow")
     )
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
             return out_schema.empty_table()
         df = df.drop(columns=[BUCKET_COL])
-        segs = df[df.__side == 0]
-        ids = df.loc[df.__side == 1, [id_col, "seg_idx"]]
-        m = segs.merge(ids, on=[id_col, "seg_idx"], how="inner")
+        segs_b = df[df.__side == 0]
+        gone = df.loc[df.__side == 1, [id_col, "seg_idx"]]
+        m = segs_b.merge(gone, on=[id_col, "seg_idx"], how="left", indicator=True)
+        m = m[m["_merge"] == "left_only"]
         if len(m) == 0:
             return out_schema.empty_table()
         m = m.sort_values([id_col, "seg_idx"], kind="mergesort")
