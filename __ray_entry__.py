@@ -2206,6 +2206,18 @@ def _q_docs_mixture_plan(sf_dir):
     return documents_mixture_plan(sf_dir)
 
 
+def _q_emb_gram_matrix(sf_dir):
+    """Distributed Gram-matrix accumulation (PCA/whitening prep): per-batch
+    dim x dim int64 partials, answer-sized exchange; every cell exact —
+    per-row products quantized half-up before summing so numpy and DuckDB
+    agree bit-for-bit."""
+    from text_to_graph_ray.functions.stats import gram_matrix
+    from text_to_graph_ray.util import read_parquet_clean
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return gram_matrix(emb)
+
+
 def _q_events_throttle(sf_dir):
     """Rate-limit dedup: first event per (user, 60 s window) + suppressed
     count — combiner-first, one user-bucketed exchange."""
@@ -2258,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semdedup": _q_dedup_semdedup,
         "docs_mixture_temperature": _q_docs_mixture_temperature,
         "events_throttle": _q_events_throttle,
+        "emb_gram_matrix": _q_emb_gram_matrix,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
         "docs_mixture_plan": _q_docs_mixture_plan,
         "dedup_minhash_incr": _q_dedup_minhash_incr,
@@ -2449,6 +2462,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_semdedup": (
             f"SELECT vec_id, cluster, kept FROM read_parquet('{e}/expected_semdedup.parquet') ORDER BY vec_id"
+        ),
+        "emb_gram_matrix": (
+            # per-row products quantized half-up BEFORE the sum: float32 ->
+            # double widening is exact and the double multiply is one IEEE op,
+            # so numpy and DuckDB produce the identical int64 cell
+            "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx, "
+            "unnest(embedding) AS a FROM embeddings) "
+            "SELECT e1.idx::BIGINT AS i, e2.idx::BIGINT AS j, "
+            "SUM(CAST(floor(CAST(e1.a AS DOUBLE) * CAST(e2.a AS DOUBLE) * 1000000 + 0.5) AS BIGINT))::BIGINT AS g "
+            "FROM e e1 JOIN e e2 USING (vec_id) GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_throttle": (
             # first event per (user, 60s tumbling window) under (ts, event_id)

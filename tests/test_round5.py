@@ -1382,3 +1382,45 @@ class TestEventsThrottle:
             "n_events": [2, 1, 2, 1],
         })
         assert got.reset_index(drop=True).equals(expect)
+
+
+class TestGramMatrix:
+    def _emb(self, vecs):
+        import ray as _ray
+
+        t = pa.table({"embedding": pa.array([list(map(float, v)) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        return _ray.data.from_arrow(t).repartition(2)
+
+    def test_hand_checked_cells(self, ray_session):
+        from text_to_graph_ray.functions.stats import gram_matrix
+
+        got = gram_matrix(self._emb([[1, 2], [3, 4]])).to_pandas()
+        cells = {(r.i, r.j): r.g for r in got.itertuples(index=False)}
+        assert cells == {(0, 0): 10_000_000, (0, 1): 14_000_000,
+                         (1, 0): 14_000_000, (1, 1): 20_000_000}
+
+    def test_half_up_quantization_not_bankers(self, ray_session):
+        """Product 1.25 at scale=2 -> 2.5 -> half-up 3 (np.round would give
+        the banker's 2); all values exact in float32 so the cell is exact."""
+        from text_to_graph_ray.functions.stats import gram_matrix
+
+        got = gram_matrix(self._emb([[1.0, 1.25]]), scale=2).to_pandas()
+        cells = {(r.i, r.j): r.g for r in got.itertuples(index=False)}
+        assert cells[(0, 1)] == 3 and cells[(1, 0)] == 3
+        assert cells[(0, 0)] == 2 and cells[(1, 1)] == 3  # 1.5625*2 = 3.125 -> 3
+
+    def test_partials_sum_across_blocks(self, ray_session):
+        """Many blocks, one row each: the answer-sized exchange must sum the
+        per-block partials to the same cells as a single-block run."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import gram_matrix
+
+        rng = np.random.default_rng(13)
+        vecs = rng.standard_normal((50, 6)).astype(np.float32)
+        a = gram_matrix(self._emb(list(vecs))).to_pandas()
+        t = pa.table({"embedding": pa.array([list(map(float, v)) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        b = gram_matrix(_ray.data.from_arrow(t).repartition(25)).to_pandas()
+        assert a.equals(b)

@@ -750,3 +750,52 @@ def categorical_drift_chi2(ds, cat_col: str, side_col: str, num_buckets: int = 6
         )
 
     return sums.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def gram_matrix(ds, vec_col: str = "embedding", scale: int = 1_000_000):
+    """Distributed feature Gram matrix over an embedding column — the
+    accumulation behind PCA / whitening / covariance feature prep:
+    G[i, j] = sum over rows of q(v[i] * v[j]), with each per-row product
+    int64-quantized BEFORE summing (q(x) = floor(x * scale + 0.5) — half-up,
+    negative-safe, the engine's established cents discipline) so the sum is
+    order- and plan-independent and a SQL oracle can reproduce it exactly:
+    float32 -> float64 widening is exact, the double multiply is one IEEE op
+    identical in numpy and DuckDB, and everything after is integer.
+
+    Scale shape: combiner-first all the way — each batch reduces to ONE
+    dim x dim int64 partial (numpy blocked outer products, nothing
+    row-sized leaves the task), the exchange carries dim^2-row partials,
+    and the final groupby is answer-sized (dim^2 rows, e.g. 4096 for
+    dim=64). No driver-side math beyond the final table.
+
+    Returns (i int64, j int64, g int64) sorted by (i, j), full dense matrix
+    (including symmetric duplicates — the oracle's cross-join shape).
+    """
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("i", pa.int64()), ("j", pa.int64()), ("g", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        v = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        dim = v.shape[1]
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        block = max(1, 8_388_608 // (dim * dim))  # ~64 MB of f64 outer products
+        for s in range(0, v.shape[0], block):
+            outer = v[s : s + block, :, None] * v[s : s + block, None, :]
+            acc += np.floor(outer * scale + 0.5).astype(np.int64).sum(axis=0)
+        ii, jj = np.meshgrid(np.arange(dim, dtype=np.int64), np.arange(dim, dtype=np.int64), indexing="ij")
+        return pa.table(
+            {"i": pa.array(ii.ravel()), "j": pa.array(jj.ravel()), "g": pa.array(acc.ravel())},
+            schema=part_schema,
+        )
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("g", alias_name="g"))
+    )
+    return sort_coalesced(out, ["i", "j"])
