@@ -2206,6 +2206,19 @@ def _q_docs_mixture_plan(sf_dir):
     return documents_mixture_plan(sf_dir)
 
 
+def _q_text_bpe_encode(sf_dir):
+    """The apply half of the tokenizer story: learn 40 merges from the
+    corpus (bpe_train), broadcast the table, encode every document —
+    per-doc word and subword counts each hash-checked against the
+    independent naive apply (expected.py)."""
+    from text_to_graph_ray.functions.bpe import bpe_encode_counts, bpe_train
+    from text_to_graph_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = [(r["left"], r["right"]) for r in bpe_train(docs, n_merges=40).take_all()]
+    return bpe_encode_counts(docs, merges)
+
+
 def _q_emb_gram_matrix(sf_dir):
     """Distributed Gram-matrix accumulation (PCA/whitening prep): per-batch
     dim x dim int64 partials, answer-sized exchange; every cell exact —
@@ -2271,6 +2284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_temperature": _q_docs_mixture_temperature,
         "events_throttle": _q_events_throttle,
         "emb_gram_matrix": _q_emb_gram_matrix,
+        "text_bpe_encode": _q_text_bpe_encode,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
         "docs_mixture_plan": _q_docs_mixture_plan,
         "dedup_minhash_incr": _q_dedup_minhash_incr,
@@ -2290,20 +2304,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
         "graph_kcore": _q_graph_kcore,
-        "kg_components": _q_kg_components,
+        "docs_parquet_profile": _q_docs_parquet_profile,
+        "events_cdc_merge": _q_events_cdc_merge,
+        "events_rolling_active": _q_events_rolling_active,
+        "events_retention": _q_events_retention,
+        "rel_mad": _q_rel_mad,
+        "rel_pricing_rollup": _q_rel_pricing_rollup,
+        "rel_pricing_cube": _q_rel_pricing_cube,
         "kg_pagerank_topk": _q_kg_pagerank_topk,
-        "kg_degree_topk": _q_kg_degree_topk,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_triples_incremental": _q_kg_triples_incremental,
-        "kg_relabeled": _q_kg_relabeled,
         "kg_scored_links": _q_kg_scored_links,
         "kg_reexport_links": _q_kg_reexport_links,
-        "kg_fixture_triples": _q_kg_fixture_triples,
-        "kg_fixture_nodes": _q_kg_fixture_nodes,
-        "conformance_parse": _q_conformance_parse,
         "pipeline_curation_full": _q_pipeline_curation_full,
         "pipeline_pretraining": _q_pipeline_pretraining,
-        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "text_segment_dedup": _q_text_segment_dedup,
         "dedup_decontaminate": _q_dedup_decontaminate,
         "text_repetition": _q_text_repetition,
@@ -2316,13 +2330,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bucketed_join": _q_rel_bucketed_join,
         "events_zorder_scan": _q_events_zorder_scan,
         "docs_partitioned_scan": _q_docs_partitioned_scan,
-        "docs_parquet_profile": _q_docs_parquet_profile,
-        "events_cdc_merge": _q_events_cdc_merge,
-        "events_rolling_active": _q_events_rolling_active,
-        "events_retention": _q_events_retention,
-        "rel_mad": _q_rel_mad,
-        "rel_pricing_rollup": _q_rel_pricing_rollup,
-        "rel_pricing_cube": _q_rel_pricing_cube,
         "rel_fuzzy_names": _q_rel_fuzzy_names,
         "rel_fuzzy_lookup": _q_rel_fuzzy_lookup,
         "rel_copart_pairs": _q_rel_copart_pairs,
@@ -2330,6 +2337,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_quantile_sketch": _q_stats_quantile_sketch,
         "events_users_per_type_kmv": _q_events_users_per_type_kmv,
         "events_window_distinct": _q_events_window_distinct,
+        "kg_components": _q_kg_components,
+        "kg_degree_topk": _q_kg_degree_topk,
+        "kg_relabeled": _q_kg_relabeled,
+        "kg_fixture_triples": _q_kg_fixture_triples,
+        "kg_fixture_nodes": _q_kg_fixture_nodes,
+        "conformance_parse": _q_conformance_parse,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "docs_budget_select": _q_docs_budget_select,
         "docs_quota_sample": _q_docs_quota_sample,
         "events_heavy_hitters": _q_events_heavy_hitters,
@@ -2462,6 +2476,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_semdedup": (
             f"SELECT vec_id, cluster, kept FROM read_parquet('{e}/expected_semdedup.parquet') ORDER BY vec_id"
+        ),
+        "text_bpe_encode": (
+            f"SELECT doc_id, n_words, n_subwords "
+            f"FROM read_parquet('{e}/expected_bpe_doclens.parquet') ORDER BY doc_id"
         ),
         "emb_gram_matrix": (
             # per-row products quantized half-up BEFORE the sum: float32 ->

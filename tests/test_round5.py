@@ -1424,3 +1424,39 @@ class TestGramMatrix:
                                             type=pa.list_(pa.float32()))})
         b = gram_matrix(_ray.data.from_arrow(t).repartition(25)).to_pandas()
         assert a.equals(b)
+
+
+class TestBpeEncode:
+    def test_train_then_apply_matches_naive(self, ray_session):
+        import pandas as pd
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_bpe_doclens, naive_bpe_merges
+        from text_to_graph_ray.functions.bpe import bpe_encode_counts, bpe_train
+
+        rng = np.random.default_rng(77)
+        words = ["lower", "newest", "widest", "low", "new", "wide"]
+        texts = [" ".join(rng.choice(words, size=rng.integers(1, 20))) for _ in range(30)]
+        texts += ["", "héllo wörld", "a  b"]  # empty / unicode / run-of-spaces
+        ids = list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        ds = _ray.data.from_arrow(t).repartition(4)
+        merges = [(r["left"], r["right"]) for r in bpe_train(ds, n_merges=10).take_all()]
+        got = bpe_encode_counts(ds, merges).to_pandas()
+        exp = pd.DataFrame(naive_bpe_doclens(ids, texts, merges))
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+    def test_full_merge_collapses_word_to_one_token(self, ray_session):
+        """With enough merges a frequent word collapses to a single symbol:
+        'low' -> l o w </w> needs 3 merges."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.bpe import bpe_encode_counts, bpe_train
+
+        t = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                      "text": pa.array(["low low low low"], type=pa.string())})
+        ds = _ray.data.from_arrow(t)
+        merges = [(r["left"], r["right"]) for r in bpe_train(ds, n_merges=10).take_all()]
+        got = bpe_encode_counts(ds, merges).to_pandas()
+        assert got.n_words.item() == 4 and got.n_subwords.item() == 4

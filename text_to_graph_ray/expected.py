@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v15"  # v15: +expected_bpe_merges +expected_semdedup; v14: +expected_lm_nll
+EXPECTED_ROOT = "/tmp/graft_expected/v16"  # v16: +expected_bpe_doclens; v15: +bpe_merges +semdedup
 
 _MERSENNE = (1 << 61) - 1
 
@@ -183,6 +183,42 @@ def naive_bpe_merges(texts, n_merges: int = 40):
                     out.append(s[j])
                     j += 1
             seqs[w] = tuple(out)
+    return rows
+
+
+def naive_bpe_doclens(ids, texts, merges):
+    """Per-document (n_words, n_subwords) after applying ``merges`` (list of
+    (left, right) in rank order) sequentially, left-to-right per word —
+    the spec shared with functions/bpe.BpeEncoder, re-derived naively
+    (one plain loop per word per doc; memo only for speed)."""
+
+    def enc(word: str) -> int:
+        s = list(word) + ["</w>"]
+        for la, rb in merges:
+            out = []
+            j = 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == la and s[j + 1] == rb:
+                    out.append(la + rb)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            s = out
+        return len(s)
+
+    memo: dict = {}
+    rows = {"doc_id": [], "n_words": [], "n_subwords": []}
+    for did, t in zip(ids, texts):
+        ws = (t or "").split()
+        total = 0
+        for w in ws:
+            if w not in memo:
+                memo[w] = enc(w)
+            total += memo[w]
+        rows["doc_id"].append(int(did))
+        rows["n_words"].append(len(ws))
+        rows["n_subwords"].append(total)
     return rows
 
 
@@ -889,6 +925,20 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "left": pa.array(bpe["left"], type=pa.string()),
                 "right": pa.array(bpe["right"], type=pa.string()),
                 "pair_count": pa.array(bpe["pair_count"], type=pa.int64()),
+            }
+        ),
+    )
+
+    # BPE apply: per-doc subword counts under the 40 learned merges
+    dl = naive_bpe_doclens(ids, texts, list(zip(bpe["left"], bpe["right"])))
+    _write(
+        tmp,
+        "expected_bpe_doclens",
+        pa.table(
+            {
+                "doc_id": pa.array(dl["doc_id"], type=pa.int64()),
+                "n_words": pa.array(dl["n_words"], type=pa.int64()),
+                "n_subwords": pa.array(dl["n_subwords"], type=pa.int64()),
             }
         ),
     )

@@ -271,3 +271,112 @@ def _distributed_bpe(vocab, n_merges: int) -> list[tuple]:
 
         words = words.map_batches(apply, batch_format="pyarrow").materialize()
     return merges
+
+
+def _encode_len(word: str, merges: list[tuple]) -> int:
+    """Subword count after applying ``merges`` sequentially in rank order,
+    left-to-right within the word — the spec shared with the naive oracle."""
+    s = list(word) + ["</w>"]
+    for la, rb in merges:
+        if la not in s:  # cheap skip: the left symbol must be present
+            continue
+        out = []
+        j = 0
+        n = len(s)
+        while j < n:
+            if j + 1 < n and s[j] == la and s[j + 1] == rb:
+                out.append(la + rb)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        s = out
+    return len(s)
+
+
+class BpeEncoder:
+    """Actor-pool encode stage: the merge table is held once per actor and
+    distinct words are encoded once per actor (unbounded dict cache — the
+    vocabulary is Heaps-law bounded, and the cache is per-process).
+
+    Per batch: one whitespace split (vectorized for ASCII rows, str.split
+    fallback otherwise), dictionary-encode the flattened tokens so each
+    DISTINCT word is encoded once, then per-doc subword sums via one
+    bincount over the doc index. Output (id_col, n_words, n_subwords)."""
+
+    def __init__(self, merges: list[tuple], text_col: str = "text", id_col: str = "doc_id"):
+        self.merges = [tuple(m) for m in merges]
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict = {}
+        self.out_schema = pa.schema(
+            [(id_col, pa.int64()), ("n_words", pa.int64()), ("n_subwords", pa.int64())]
+        )
+
+    def _enc(self, w: str) -> int:
+        got = self.cache.get(w)
+        if got is None:
+            got = self.cache[w] = _encode_len(w, self.merges)
+        return got
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return self.out_schema.empty_table()
+        txt = pc.fill_null(b.column(self.text_col), "").combine_chunks()
+        n = len(txt)
+        ascii_mask = pc.string_is_ascii(txt).to_numpy(zero_copy_only=False)
+        doc_idx_parts, tok_parts = [], []
+        if ascii_mask.any():
+            rows = np.where(ascii_mask)[0]
+            sub = pc.utf8_split_whitespace(txt.take(pa.array(rows)))
+            if isinstance(sub, pa.ChunkedArray):
+                sub = sub.combine_chunks()
+            flat = pc.list_flatten(sub)
+            keep = pc.not_equal(flat, "")
+            lens = np.diff(sub.offsets.to_numpy(zero_copy_only=False))
+            docrep = np.repeat(rows, lens)[keep.to_numpy(zero_copy_only=False)]
+            doc_idx_parts.append(docrep)
+            tok_parts.append(flat.filter(keep))
+        if not ascii_mask.all():
+            for r in np.where(~ascii_mask)[0]:
+                ws = txt[int(r)].as_py().split()
+                doc_idx_parts.append(np.full(len(ws), r, dtype=np.int64))
+                tok_parts.append(pa.array(ws, type=pa.string()))
+        n_words = np.zeros(n, dtype=np.int64)
+        n_sub = np.zeros(n, dtype=np.int64)
+        if tok_parts:
+            doc_idx = np.concatenate(doc_idx_parts).astype(np.int64)
+            toks = pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in tok_parts]
+            )
+            dic = pc.dictionary_encode(toks)
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            words = dic.dictionary.to_pylist()
+            enc = np.fromiter((self._enc(w) for w in words), dtype=np.int64, count=len(words))
+            n_words += np.bincount(doc_idx, minlength=n).astype(np.int64)
+            n_sub += np.bincount(doc_idx, weights=enc[codes], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: b.column(self.id_col),
+                "n_words": pa.array(n_words),
+                "n_subwords": pa.array(n_sub),
+            },
+            schema=self.out_schema,
+        )
+
+
+def bpe_encode_counts(ds, merges: list[tuple], text_col: str = "text", id_col: str = "doc_id"):
+    """Apply a learned BPE merge table to a documents Dataset and return
+    per-document (n_words, n_subwords) — the train->apply half of the
+    tokenizer story (``bpe_train`` learns the table). Embarrassingly
+    parallel: the merge table broadcasts in the actor constructor and every
+    distinct word is encoded once per actor."""
+    from text_to_graph_ray.util import sort_coalesced
+
+    out = ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges": merges, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return sort_coalesced(out, id_col)
