@@ -2231,6 +2231,43 @@ def _q_emb_gram_matrix(sf_dir):
     return gram_matrix(emb)
 
 
+def _q_text_gopher_rules(sf_dir):
+    """Gopher-style rule gate (Rae et al. 2021 document filters): token
+    count band, mean-word-length band, stopword floor — every per-doc
+    value, flag, and the AND checked by a REAL SQL mirror (no expected
+    table). Zero exchanges: the cheapest curation gate shape."""
+    from text_to_graph_ray.functions.text import gopher_rules
+    from text_to_graph_ray.util import read_parquet_clean, sort_coalesced
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sort_coalesced(ds.map_batches(gopher_rules, batch_format="pyarrow"), "doc_id")
+
+
+def _q_text_bm25_topk(sf_dir):
+    """BM25 retrieval (Okapi k1=1.5, b=0.75) over four query terms: global
+    top-10 docs. Stats pass folds (N, avgdl, df) from per-batch partials;
+    the score is a fixed-order IEEE op sequence mirrored token-for-token
+    in the SQL oracle; idf round(6) absorbs libm-vs-SQL ln drift."""
+    from text_to_graph_ray.functions.text import bm25_topk
+    from text_to_graph_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["table", "query", "fast", "stream"], k=10)
+
+
+def _q_emb_pca_project(sf_dir):
+    """PCA projection onto the top-2 uncentered principal directions —
+    gram_matrix's answer-sized exchange feeds a driver-side eigh (the
+    eigensolver contract), then one embarrassingly-parallel int64-exact
+    projection pass; every quantized coordinate matches the independent
+    naive oracle bit-for-bit."""
+    from text_to_graph_ray.functions.stats import pca_project
+    from text_to_graph_ray.util import read_parquet_clean
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pca_project(emb, n_components=2)
+
+
 def _q_events_throttle(sf_dir):
     """Rate-limit dedup: first event per (user, 60 s window) + suppressed
     count — combiner-first, one user-bucketed exchange."""
@@ -2279,6 +2316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "text_gopher_rules": _q_text_gopher_rules,
+        "text_bm25_topk": _q_text_bm25_topk,
+        "emb_pca_project": _q_emb_pca_project,
         "text_bpe_merges": _q_text_bpe_merges,
         "dedup_semdedup": _q_dedup_semdedup,
         "docs_mixture_temperature": _q_docs_mixture_temperature,
@@ -2469,7 +2509,54 @@ def oracle_sql() -> dict[str, str]:
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        "text_gopher_rules": (
+            # REAL SQL mirror of the Gopher rule gate: whitespace token
+            # contract, mean_tok_len = ONE int/int double division then
+            # round(6) (identical correctly-rounded IEEE op in numpy and
+            # DuckDB), rules compare the QUANTIZED value
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), tk -> tk <> '') AS toks FROM documents), "
+            "d AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+            " coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)::BIGINT AS sum_len, "
+            " len(list_filter(toks, tk -> tk IN ('the','a','of','to','and','in','is','on')))::BIGINT AS stop_hits FROM t), "
+            "v AS (SELECT doc_id, n_tokens, "
+            " CASE WHEN n_tokens = 0 THEN 0.0 ELSE round(sum_len::DOUBLE / n_tokens, 6) END AS mean_tok_len, "
+            " stop_hits FROM d) "
+            "SELECT doc_id, n_tokens, mean_tok_len, stop_hits, "
+            " (n_tokens >= 30 AND n_tokens <= 90)::BIGINT AS r_len, "
+            " (mean_tok_len >= 4.3 AND mean_tok_len <= 5.0)::BIGINT AS r_wordlen, "
+            " (stop_hits >= 2)::BIGINT AS r_stop, "
+            " (n_tokens >= 30 AND n_tokens <= 90 AND mean_tok_len >= 4.3 AND mean_tok_len <= 5.0 AND stop_hits >= 2)::BIGINT AS passed "
+            "FROM v ORDER BY doc_id"
+        ),
+        "text_bm25_topk": (
+            # token-for-token mirror of the engine's fixed-order BM25 op
+            # sequence (k1=1.5, b=0.75 — dyadic, so 2.5/0.25/0.75 are the
+            # exact doubles the engine multiplies by); idf round(6) is the
+            # shared ln contract; score sum is left-associated in both
+            "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), tk -> tk <> '') AS toks FROM documents), "
+            "d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM tok), "
+            "st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM d), "
+            "tf AS (SELECT doc_id, dl, "
+            " len(list_filter(toks, tk -> tk = 'table'))::BIGINT AS tf0, "
+            " len(list_filter(toks, tk -> tk = 'query'))::BIGINT AS tf1, "
+            " len(list_filter(toks, tk -> tk = 'fast'))::BIGINT AS tf2, "
+            " len(list_filter(toks, tk -> tk = 'stream'))::BIGINT AS tf3 FROM d), "
+            "f AS (SELECT count(*) FILTER (WHERE tf0 > 0)::BIGINT AS df0, "
+            " count(*) FILTER (WHERE tf1 > 0)::BIGINT AS df1, "
+            " count(*) FILTER (WHERE tf2 > 0)::BIGINT AS df2, "
+            " count(*) FILTER (WHERE tf3 > 0)::BIGINT AS df3 FROM tf), "
+            "sc AS (SELECT t.doc_id, round("
+            "   round(ln(((s.n - f.df0) + 0.5) / (f.df0 + 0.5) + 1.0), 6) * ((t.tf0 * 2.5) / (t.tf0 + 1.5 * (0.25 + (0.75 * t.dl) / (s.sdl::DOUBLE / s.n)))) "
+            " + round(ln(((s.n - f.df1) + 0.5) / (f.df1 + 0.5) + 1.0), 6) * ((t.tf1 * 2.5) / (t.tf1 + 1.5 * (0.25 + (0.75 * t.dl) / (s.sdl::DOUBLE / s.n)))) "
+            " + round(ln(((s.n - f.df2) + 0.5) / (f.df2 + 0.5) + 1.0), 6) * ((t.tf2 * 2.5) / (t.tf2 + 1.5 * (0.25 + (0.75 * t.dl) / (s.sdl::DOUBLE / s.n)))) "
+            " + round(ln(((s.n - f.df3) + 0.5) / (f.df3 + 0.5) + 1.0), 6) * ((t.tf3 * 2.5) / (t.tf3 + 1.5 * (0.25 + (0.75 * t.dl) / (s.sdl::DOUBLE / s.n)))) "
+            " , 6) AS score, (t.tf0 + t.tf1 + t.tf2 + t.tf3) AS hits FROM tf t, st s, f) "
+            "SELECT doc_id, score FROM sc WHERE hits > 0 ORDER BY score DESC, doc_id LIMIT 10"
+        ),
         # --- naive-reference oracles (expected.py) ---
+        "emb_pca_project": (
+            f"SELECT vec_id, pc0, pc1 FROM read_parquet('{e}/expected_pca.parquet') ORDER BY vec_id"
+        ),
         "text_bpe_merges": (
             f"SELECT rank, \"left\", \"right\", pair_count "
             f"FROM read_parquet('{e}/expected_bpe_merges.parquet') ORDER BY rank"

@@ -1460,3 +1460,146 @@ class TestBpeEncode:
         merges = [(r["left"], r["right"]) for r in bpe_train(ds, n_merges=10).take_all()]
         got = bpe_encode_counts(ds, merges).to_pandas()
         assert got.n_words.item() == 4 and got.n_subwords.item() == 4
+
+
+class TestGopherRules:
+    def _naive(self, doc_id, text):
+        toks = (text or "").split()
+        n = len(toks)
+        stops = {"the", "a", "of", "to", "and", "in", "is", "on"}
+        sh = sum(1 for t in toks if t in stops)
+        ml = round(sum(len(t) for t in toks) / n, 6) if n else 0.0
+        r1 = int(30 <= n <= 90)
+        r2 = int(4.3 <= ml <= 5.0)
+        r3 = int(sh >= 2)
+        return (doc_id, n, ml, sh, r1, r2, r3, r1 & r2 & r3)
+
+    def test_matches_naive_per_row(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import gopher_rules
+
+        texts = [
+            "",                                     # empty
+            "a  b",                                 # run of spaces
+            "the " * 50,                            # token-count band edge, 1-char words
+            " ".join(["abcd"] * 30),                # exactly min_tokens, mean 4.0
+            " ".join(["abcde"] * 30) + " the a",    # stop hits = 2 boundary
+            "héllo wörld the a of",                 # unicode lengths
+            " ".join(["words"] * 91),               # one past max_tokens
+        ]
+        ids = list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = (_ray.data.from_arrow(t).repartition(3)
+               .map_batches(gopher_rules, batch_format="pyarrow").to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        for i, row in got.iterrows():
+            assert tuple(row) == self._naive(ids[i], texts[i]), texts[i]
+
+    def test_rules_live_on_corpus(self, ray_session):
+        """Each rule must exclude SOMETHING at sf0.001 or the gate is dead."""
+        from text_to_graph_ray.functions.text import gopher_rules
+        from text_to_graph_ray.util import read_parquet_clean
+
+        ds = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                                columns=["doc_id", "text"])
+        df = ds.map_batches(gopher_rules, batch_format="pyarrow").to_pandas()
+        for col in ("r_len", "r_wordlen", "r_stop"):
+            assert df[col].min() == 0 and df[col].max() == 1, col
+        assert 0 < df["passed"].sum() < len(df)
+
+
+class TestBm25:
+    def _naive_scores(self, ids, texts, terms, k1=1.5, b=0.75):
+        import math
+
+        N = len(texts)
+        toklists = [(t or "").split() for t in texts]
+        dls = [len(tk) for tk in toklists]
+        avgdl = float(sum(dls)) / float(N)
+        dfs = [sum(1 for tk in toklists if term in tk) for term in terms]
+        idfs = [round(math.log(((N - df) + 0.5) / (df + 0.5) + 1.0), 6) for df in dfs]
+        out = {}
+        for did, toks, dl in zip(ids, toklists, dls):
+            s = 0.0
+            hit = False
+            for term, idf in zip(terms, idfs):
+                tf = float(toks.count(term))
+                if tf:
+                    hit = True
+                s = s + idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * float(dl)) / avgdl)))
+            if hit:
+                out[did] = round(s, 6)
+        return out
+
+    def test_matches_naive_and_ranks(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import bm25_topk
+
+        rng = np.random.default_rng(55)
+        vocab = ["table", "query", "fast", "stream", "row", "scan", "agg", "the"]
+        texts = [" ".join(rng.choice(vocab, size=int(rng.integers(2, 40)))) for _ in range(60)]
+        texts += ["table table", "table " + "filler " * 60]  # dl-normalization pair
+        ids = list(range(len(texts)))
+        terms = ["table", "query"]
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = bm25_topk(_ray.data.from_arrow(t).repartition(4), terms, k=10).to_pandas()
+        naive = self._naive_scores(ids, texts, terms)
+        want = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(got["doc_id"], got["score"])) == [(d, s) for d, s in want]
+        # doc-length normalization: same tf=2, shorter doc scores higher
+        assert naive[60] > naive[61]
+
+    def test_term_absent_everywhere(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import bm25_topk
+
+        t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array(["row scan", "agg merge"], type=pa.string())})
+        got = bm25_topk(_ray.data.from_arrow(t), ["zzz"], k=5).to_pandas()
+        assert len(got) == 0
+
+
+class TestPcaProject:
+    def test_matches_naive_and_partition_invariant(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_pca_project
+        from text_to_graph_ray.functions.stats import pca_project
+
+        rng = np.random.default_rng(99)
+        # anisotropic cloud so the top-2 directions are well separated
+        base = rng.normal(size=(200, 8)).astype(np.float32)
+        base[:, 0] *= 5.0
+        base[:, 1] *= 2.0
+        ids = np.arange(200, dtype=np.int64)
+        t = pa.table({"vec_id": pa.array(ids),
+                      "embedding": pa.array([list(map(float, v)) for v in base],
+                                            type=pa.list_(pa.float32()))})
+        exp = naive_pca_project(ids, np.asarray(base, dtype=np.float64), n_components=2)
+        for parts in (1, 7):
+            got = pca_project(_ray.data.from_arrow(t).repartition(parts),
+                              n_components=2).to_pandas()
+            assert got["vec_id"].tolist() == exp["vec_id"]
+            assert got["pc0"].tolist() == exp["pc0"]
+            assert got["pc1"].tolist() == exp["pc1"]
+
+    def test_first_component_captures_dominant_axis(self, ray_session):
+        """Variance along pc0 must dominate pc1 on an anisotropic cloud —
+        the projection is a real PCA, not an arbitrary rotation."""
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import pca_project
+
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=(300, 6)).astype(np.float32)
+        v[:, 2] *= 10.0
+        t = pa.table({"vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                      "embedding": pa.array([list(map(float, x)) for x in v],
+                                            type=pa.list_(pa.float32()))})
+        got = pca_project(_ray.data.from_arrow(t), n_components=2).to_pandas()
+        assert got["pc0"].astype(float).var() > 5.0 * got["pc1"].astype(float).var()

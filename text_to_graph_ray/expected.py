@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v16"  # v16: +expected_bpe_doclens; v15: +bpe_merges +semdedup
+EXPECTED_ROOT = "/tmp/graft_expected/v17"  # v17: +expected_pca; v16: +bpe_doclens; v15: +bpe_merges +semdedup
 
 _MERSENNE = (1 << 61) - 1
 
@@ -219,6 +219,36 @@ def naive_bpe_doclens(ids, texts, merges):
         rows["doc_id"].append(int(did))
         rows["n_words"].append(len(ws))
         rows["n_subwords"].append(total)
+    return rows
+
+
+def naive_pca_project(vids, vecs, n_components: int = 2, scale: int = 1_000_000):
+    """Independent PCA projection, same spec as functions/stats.pca_project:
+    Gram accumulated one plain row loop at a time with per-product half-up
+    int64 quantization; np.linalg.eigh is the eigensolver CONTRACT
+    (identical input bits -> identical output on one build); components
+    eigenvalue-desc, sign-fixed at the max-|.| component; per-row int64
+    dots in a plain loop."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    dim = vecs.shape[1]
+    G = np.zeros((dim, dim), dtype=np.int64)
+    for r in range(vecs.shape[0]):
+        outer = vecs[r][:, None] * vecs[r][None, :]
+        G += np.floor(outer * scale + 0.5).astype(np.int64)
+    w, V = np.linalg.eigh(G.astype(np.float64))
+    order = np.argsort(-w, kind="stable")[:n_components]
+    comps = V[:, order]
+    for c in range(comps.shape[1]):
+        m = int(np.argmax(np.abs(comps[:, c])))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    wq = np.floor(comps * scale + 0.5).astype(np.int64)
+    rows = {"vec_id": [], **{f"pc{c}": [] for c in range(n_components)}}
+    for r in range(vecs.shape[0]):
+        vq = np.floor(vecs[r] * scale + 0.5).astype(np.int64)
+        rows["vec_id"].append(int(vids[r]))
+        for c in range(n_components):
+            rows[f"pc{c}"].append(int(np.dot(vq, wq[:, c])))
     return rows
 
 
@@ -1079,6 +1109,18 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "a": pa.array(ea, type=pa.int64()),
                 "b": pa.array(eb, type=pa.int64()),
                 "sim": pa.array(es, type=pa.float64()),
+            }
+        ),
+    )
+    pp = naive_pca_project(vids, vecs, n_components=2)
+    _write(
+        tmp,
+        "expected_pca",
+        pa.table(
+            {
+                "vec_id": pa.array(pp["vec_id"], type=pa.int64()),
+                "pc0": pa.array(pp["pc0"], type=pa.int64()),
+                "pc1": pa.array(pp["pc1"], type=pa.int64()),
             }
         ),
     )

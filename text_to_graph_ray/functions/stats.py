@@ -799,3 +799,63 @@ def gram_matrix(ds, vec_col: str = "embedding", scale: int = 1_000_000):
         .aggregate(Sum("g", alias_name="g"))
     )
     return sort_coalesced(out, ["i", "j"])
+
+
+def pca_project(ds, n_components: int = 2, vec_col: str = "embedding",
+                id_col: str = "vec_id", scale: int = 1_000_000):
+    """Project every embedding onto the top principal directions of the
+    (uncentered) feature Gram matrix — the whitening/feature-prep step the
+    ``gram_matrix`` accumulation exists for.
+
+    Exactness discipline, end to end in integers:
+      1. G comes from ``gram_matrix`` (per-row products half-up-quantized
+         to int64 BEFORE summing — order/plan-independent, dim^2 rows).
+      2. ``np.linalg.eigh`` on the small float64 G is the eigensolver
+         CONTRACT (deterministic for identical input bits on one build —
+         the np.log2 precedent); components ordered by eigenvalue DESC,
+         each sign-fixed so its max-|.|-component (lowest index on ties)
+         is positive.
+      3. Both the components and the vectors are half-up-quantized to the
+         same int64 grid, so the projection is an INT64 dot product —
+         bit-exact regardless of batch boundaries or BLAS blocking
+         (|v_q| <= ~1e7, |w_q| <= 1e6, dim 64: far inside int64).
+
+    Scale shape: the Gram exchange is the only corpus-sized step (already
+    combiner-first); eigh runs on the driver over a dim x dim answer-sized
+    table; the component matrix broadcasts once via ray.put; projection is
+    one embarrassingly-parallel pass. Returns (id_col, pc0..pc{c-1}) as
+    int64 quantized projections, sorted by id."""
+    import ray
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    g = gram_matrix(ds, vec_col=vec_col, scale=scale).to_pandas()
+    dim = int(g["i"].max()) + 1
+    G = np.zeros((dim, dim), dtype=np.float64)
+    G[g["i"].to_numpy(), g["j"].to_numpy()] = g["g"].to_numpy().astype(np.float64)
+    w, V = np.linalg.eigh(G)
+    order = np.argsort(-w, kind="stable")[:n_components]
+    comps = V[:, order]  # dim x c
+    for c in range(comps.shape[1]):
+        m = int(np.argmax(np.abs(comps[:, c])))  # argmax: lowest index on ties
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    wq = np.floor(comps * scale + 0.5).astype(np.int64)  # half-up, negative-safe
+    ref = ray.put(wq)
+
+    out_schema = pa.schema([(id_col, pa.int64())] +
+                           [(f"pc{c}", pa.int64()) for c in range(n_components)])
+
+    def project(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        Wq = ray.get(ref)
+        v = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        vq = np.floor(v * scale + 0.5).astype(np.int64)
+        proj = vq @ Wq  # exact int64 matmul
+        cols = {id_col: b.column(id_col).cast(pa.int64())}
+        for c in range(proj.shape[1]):
+            cols[f"pc{c}"] = pa.array(proj[:, c])
+        return pa.table(cols, schema=out_schema)
+
+    return sort_coalesced(ds.map_batches(project, batch_format="pyarrow"), id_col)

@@ -1437,3 +1437,187 @@ def bigram_lm_nll(ds, text_col: str = "text", id_col: str = "doc_id",
                          "nll": pa.array(nll, type=pa.float64())}, schema=LM_NLL_SCHEMA)
 
     return sort_coalesced(sums.map_batches(finish, batch_format="pyarrow"), "doc_id")
+
+
+# Gopher-style rule-gate thresholds (Rae et al. 2021 "Scaling Language
+# Models" App. A.1.1 document filters, re-parameterized to keep every rule
+# LIVE on the synthetic corpus: each bound excludes a real slice of docs).
+GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "on")
+GOPHER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("mean_tok_len", pa.float64()),
+        ("stop_hits", pa.int64()),
+        ("r_len", pa.int64()),
+        ("r_wordlen", pa.int64()),
+        ("r_stop", pa.int64()),
+        ("passed", pa.int64()),
+    ]
+)
+
+
+def gopher_rules(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 90,
+    min_word_len: float = 4.3,
+    max_word_len: float = 5.0,
+    min_stop_hits: int = 2,
+) -> pa.Table:
+    """Gopher-style document rule gate, fully vectorized and REAL-SQL
+    checkable: per doc (whitespace token contract) emit n_tokens,
+    mean_tok_len = round(sum(len)/n, 6), stop_hits (total occurrences of
+    the 8-word stop list), the three rule flags, and the AND. No exchange
+    at all — embarrassingly parallel, the cheapest curation gate shape.
+
+    Float discipline: mean token length is ONE int/int IEEE division then
+    round(6); the rule compares the QUANTIZED value against dyadic-adjacent
+    literals, so engine and SQL decide identically (the divide is the same
+    correctly-rounded double op in numpy and DuckDB)."""
+    if batch.num_rows == 0:
+        return GOPHER_SCHEMA.empty_table()
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts.cast(pa.string()), "")
+    n_rows = len(t)
+    ids = batch.column(id_col).cast(pa.int64())
+
+    s = pc.utf8_split_whitespace(t)
+    lens = pc.list_value_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(s)
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    ne = tok_len > 0
+    parent_ne = parent[ne]
+    n_tok = np.bincount(parent_ne, minlength=n_rows).astype(np.int64)
+    sum_len = np.bincount(parent_ne, weights=tok_len[ne], minlength=n_rows).astype(np.int64)
+    is_stop = pc.is_in(flat, value_set=pa.array(GOPHER_STOPS)).to_numpy(zero_copy_only=False)
+    stop_hits = np.bincount(parent_ne[is_stop[ne]], minlength=n_rows).astype(np.int64)
+
+    mean_len = np.zeros(n_rows, dtype=np.float64)
+    nz = n_tok > 0
+    mean_len[nz] = np.round(sum_len[nz].astype(np.float64) / n_tok[nz].astype(np.float64), 6)
+    r_len = ((n_tok >= min_tokens) & (n_tok <= max_tokens)).astype(np.int64)
+    r_wordlen = ((mean_len >= min_word_len) & (mean_len <= max_word_len)).astype(np.int64)
+    r_stop = (stop_hits >= min_stop_hits).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok),
+            "mean_tok_len": pa.array(mean_len),
+            "stop_hits": pa.array(stop_hits),
+            "r_len": pa.array(r_len),
+            "r_wordlen": pa.array(r_wordlen),
+            "r_stop": pa.array(r_stop),
+            "passed": pa.array(r_len & r_wordlen & r_stop),
+        },
+        schema=GOPHER_SCHEMA,
+    )
+
+
+def bm25_topk(ds, terms, k: int = 10, k1: float = 1.5, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 retrieval over a fixed query-term set — the doclen-normalized
+    upgrade of ``search_topk``'s tf-idf scoring (Robertson/Sparck Jones;
+    the Okapi BM25 form with k1/b). Two streamed passes:
+
+    1. stats: per-batch partials (n_docs, sum_dl, df per term) — a
+       (T+2)-scalar row per batch, folded on the driver (answer-sized).
+    2. score: tf per (doc, term) via one index_in + bincount, then the
+       BM25 sum accumulated LEFT-ASSOCIATED over terms in fixed order so
+       numpy and the SQL mirror run the identical IEEE op sequence;
+       idf_t = round(ln((N - df + 0.5)/(df + 0.5) + 1), 6) absorbs the
+       last-ulp libm-vs-SQL ln drift (the search_topk discipline);
+       k1/b default to dyadic values so 1-b and k1+1 are exact doubles.
+
+    Tokenization is the whitespace contract. Per-block top-k combiner,
+    then one tiny global sort (score desc, id asc) + limit."""
+    import math
+
+    import ray
+
+    terms = [str(x) for x in terms]
+    T = len(terms)
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("sdl", pa.int64())] + [(f"df{i}", pa.int64()) for i in range(T)]
+    )
+
+    def _tf_dl(bt: pa.Table):
+        texts = bt.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        t = pc.fill_null(texts.cast(pa.string()), "")
+        n_rows = len(t)
+        s = pc.utf8_split_whitespace(t)
+        lens = pc.list_value_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(s)
+        parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        ne = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        parent_ne = parent[ne]
+        dl = np.bincount(parent_ne, minlength=n_rows).astype(np.int64)
+        code = pc.index_in(flat, value_set=pa.array(terms, type=pa.string()))
+        cv = code.to_numpy(zero_copy_only=False)
+        hit = ~pc.is_null(code).to_numpy(zero_copy_only=False) & ne
+        tf = np.zeros((n_rows, T), dtype=np.int64)
+        if hit.any():
+            keyed = parent[hit] * T + cv[hit].astype(np.int64)
+            tf = np.bincount(keyed, minlength=n_rows * T).reshape(n_rows, T).astype(np.int64)
+        return dl, tf
+
+    def stats_partial(bt: pa.Table) -> pa.Table:
+        if bt.num_rows == 0:
+            return part_schema.empty_table()
+        dl, tf = _tf_dl(bt)
+        cols = {"n": pa.array([bt.num_rows], type=pa.int64()),
+                "sdl": pa.array([int(dl.sum())], type=pa.int64())}
+        for i in range(T):
+            cols[f"df{i}"] = pa.array([int((tf[:, i] > 0).sum())], type=pa.int64())
+        return pa.table(cols, schema=part_schema)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum())
+    sum_dl = int(parts["sdl"].sum())
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
+    idfs = [
+        round(math.log(((n_docs - int(parts[f"df{i}"].sum())) + 0.5) / (int(parts[f"df{i}"].sum()) + 0.5) + 1.0), 6)
+        for i in range(T)
+    ]
+    ref = ray.put((idfs, avgdl))
+    one_minus_b = 1.0 - b  # dyadic defaults: exact
+    k1_plus_1 = k1 + 1.0
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("score", pa.float64())])
+
+    def score(bt: pa.Table) -> pa.Table:
+        if bt.num_rows == 0:
+            return out_schema.empty_table()
+        widf, av = ray.get(ref)
+        dl, tf = _tf_dl(bt)
+        dlf = dl.astype(np.float64)
+        s = np.zeros(len(dl), dtype=np.float64)
+        for i in range(T):  # fixed-order left-associated accumulation
+            tfi = tf[:, i].astype(np.float64)
+            s = s + widf[i] * ((tfi * k1_plus_1) / (tfi + k1 * (one_minus_b + (b * dlf) / av)))
+        hit = tf.sum(axis=1) > 0
+        out = pa.table(
+            {id_col: bt.column(id_col).cast(pa.int64()).filter(pa.array(hit)),
+             "score": pa.array(np.round(s[hit], 6))},
+            schema=out_schema,
+        )
+        if out.num_rows > k:  # per-block combiner
+            import pandas as pd
+
+            df = out.to_pandas().sort_values(["score", id_col], ascending=[False, True]).head(k)
+            out = pa.table({f.name: pa.array(df[f.name], type=f.type) for f in out_schema},
+                           schema=out_schema)
+        return out
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
