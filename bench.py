@@ -255,6 +255,24 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_docs_mixture_temperature(sf_dir).count()
     times["docs_mixture_temperature"] = round(time.monotonic() - t0, 3)
 
+    # round-5 part-8 families: BPE apply, the Gopher rule gate, BM25
+    # retrieval, and the exact PCA projection
+    t0 = time.monotonic()
+    _e._q_text_bpe_encode(sf_dir).count()
+    times["text_bpe_encode"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_text_gopher_rules(sf_dir).count()
+    times["text_gopher_rules"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_text_bm25_topk(sf_dir).count()
+    times["text_bm25_topk"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_emb_pca_project(sf_dir).count()
+    times["emb_pca_project"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from text_to_graph_ray.util import vec_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -31,7 +33,7 @@ def _topk_partials_fn(ref, id_col, vec_col, k):
     def fn(batch: pa.Table) -> pa.Table:
         q_ids, q_mat = ray.get(ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        vecs = _normalize(vec_matrix(batch.column(vec_col)))
         sims = np.round(q_mat @ vecs.T, 6)  # (Q, B)
         rows = {"query_id": [], "vec_id": [], "sim": []}
         take = min(k, sims.shape[1])
@@ -137,7 +139,7 @@ class IvfAssigner:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        vecs = _normalize(vec_matrix(batch.column(self.vec_col)))
         lists = np.argmax(vecs @ self.cent.T, axis=1).astype("int64")
         return batch.append_column("list_id", pa.array(lists))
 
@@ -191,7 +193,7 @@ def ivf_topk(
     def score(batch: pa.Table) -> pa.Table:
         qi, qm, ql = ray.get(ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        vecs = _normalize(vec_matrix(batch.column(vec_col)))
         lists = np.asarray(batch.column("list_id").to_pylist(), dtype=np.int64)
         rows = {"query_id": [], "vec_id": [], "sim": []}
         for q in range(len(qi)):
@@ -274,7 +276,7 @@ class LshIndexer:
         return (signs.astype(np.uint32) << np.arange(signs.shape[1], dtype=np.uint32)).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        vecs = _normalize(vec_matrix(batch.column(self.vec_col)))
         return batch.append_column("bucket", pa.array(self.bucket_of(vecs).astype("int64")))
 
 
@@ -295,7 +297,7 @@ def lsh_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id", vec_col="embeddin
     def score(batch: pa.Table) -> pa.Table:
         qi, qm, qb = ray.get(ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        vecs = _normalize(vec_matrix(batch.column(vec_col)))
         buckets = np.asarray(batch.column("bucket").to_pylist(), dtype=np.int64)
         rows = {"query_id": [], "vec_id": [], "sim": []}
         for q in range(len(qi)):

