@@ -2231,6 +2231,18 @@ def _q_emb_gram_matrix(sf_dir):
     return gram_matrix(emb)
 
 
+def _q_docs_holdout_split(sf_dir):
+    """Deterministic train/val/test split (Knuth-hash buckets, 80/10/10)
+    reported as the answer-sized per-split audit (n_docs, sum of n_chars)
+    — pure int64 column arithmetic, exact in SQL; hash-based so a doc's
+    split survives repartitioning and incremental corpus growth."""
+    from text_to_graph_ray.functions.sample import holdout_split
+    from text_to_graph_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return holdout_split(ds, size_col="n_chars")
+
+
 def _q_text_gopher_rules(sf_dir):
     """Gopher-style rule gate (Rae et al. 2021 document filters): token
     count band, mean-word-length band, stopword floor — every per-doc
@@ -2316,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "docs_holdout_split": _q_docs_holdout_split,
         "text_gopher_rules": _q_text_gopher_rules,
         "text_bm25_topk": _q_text_bm25_topk,
         "emb_pca_project": _q_emb_pca_project,
@@ -2509,6 +2522,15 @@ def oracle_sql() -> dict[str, str]:
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        "docs_holdout_split": (
+            # exact int64 arithmetic on both engines (doc_id * knuth stays
+            # far below 2^63, % on non-negative ints is identical)
+            "WITH b AS (SELECT doc_id, n_chars, (doc_id * 2654435761) % 100 AS bucket FROM documents), "
+            "s AS (SELECT CASE WHEN bucket < 80 THEN 'train' "
+            " WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, n_chars FROM b) "
+            "SELECT split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_size "
+            "FROM s GROUP BY 1 ORDER BY split"
+        ),
         "text_gopher_rules": (
             # REAL SQL mirror of the Gopher rule gate: whitespace token
             # contract, mean_tok_len = ONE int/int double division then

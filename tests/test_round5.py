@@ -1603,3 +1603,29 @@ class TestPcaProject:
                                             type=pa.list_(pa.float32()))})
         got = pca_project(_ray.data.from_arrow(t), n_components=2).to_pandas()
         assert got["pc0"].astype(float).var() > 5.0 * got["pc1"].astype(float).var()
+
+
+class TestHoldoutSplit:
+    def test_counts_and_stability_under_repartition(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.sample import holdout_split
+
+        ids = np.arange(1000, dtype=np.int64)
+        sizes = (ids % 37 + 1).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(sizes)})
+        # naive: same hash rule, plain python
+        lab = [("train" if b < 80 else "val" if b < 90 else "test")
+               for b in ((ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(100))]
+        import collections
+        want_n = collections.Counter(lab)
+        want_s = collections.defaultdict(int)
+        for l, s in zip(lab, sizes):
+            want_s[l] += int(s)
+        for parts in (1, 9):
+            got = holdout_split(_ray.data.from_arrow(t).repartition(parts),
+                                size_col="n_chars").to_pandas()
+            assert dict(zip(got["split"], got["n_docs"])) == dict(want_n)
+            assert dict(zip(got["split"], got["sum_size"])) == dict(want_s)
+        # roughly 80/10/10
+        assert 700 < want_n["train"] < 900 and 50 < want_n["val"] < 160

@@ -366,3 +366,45 @@ def mixture_plan(ds, budget_tokens: int, by: str = "source", text_col: str = "te
         "alloc_tokens": pa.array([alloc[r[by]] for r in rows], type=pa.int64()),
     }, schema=out_schema)
     return rd.from_arrow(out)
+
+
+def holdout_split(ds, id_col: str = "doc_id", size_col: str = "n_chars",
+                  train_pct: int = 80, val_pct: int = 10, knuth: int = 2654435761):
+    """Deterministic train/val/test split assignment — the corpus-building
+    staple: bucket = (id * knuth) mod 100 (the mod_sample Knuth hash, pure
+    int64 column arithmetic, reproducible in SQL); buckets [0, train_pct)
+    -> train, [train_pct, train_pct + val_pct) -> val, rest -> test.
+    Splitting by HASH (not position) keeps the assignment stable under
+    any repartition/reorder and under incremental corpus growth — a doc's
+    split never changes when neighbors are added or removed.
+
+    Returns the answer-sized audit table (split, n_docs, sum_size): one
+    combiner partial per batch (3 rows), one tiny groupby — the full
+    assignment is a zero-exchange map any consumer can apply inline."""
+    from ray.data.aggregate import Sum
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    part_schema = pa.schema([("split", pa.string()), ("n_docs", pa.int64()),
+                             ("sum_size", pa.int64())])
+    names = np.array(["test", "train", "val"])  # index by (is_train, is_val) below
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        ids = b.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (ids * np.uint64(knuth)) % np.uint64(100)
+        lab = np.where(bucket < train_pct, 1, np.where(bucket < train_pct + val_pct, 2, 0))
+        size = b.column(size_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = np.bincount(lab, minlength=3).astype(np.int64)
+        s = np.bincount(lab, weights=size, minlength=3).astype(np.int64)
+        keep = n > 0
+        return pa.table({"split": pa.array(names[keep]), "n_docs": pa.array(n[keep]),
+                         "sum_size": pa.array(s[keep])}, schema=part_schema)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_size", alias_name="sum_size"))
+    )
+    return sort_coalesced(out, "split")

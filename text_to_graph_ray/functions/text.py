@@ -1062,21 +1062,39 @@ def search_topk(ds, terms, k: int = 10, text_col: str = "text", id_col: str = "d
     import ray
 
     terms = list(terms)
+    T = len(terms)
 
-    part_schema = pa.schema([("n", pa.int64())] + [(f"df{i}", pa.int64()) for i in range(len(terms))])
+    part_schema = pa.schema([("n", pa.int64())] + [(f"df{i}", pa.int64()) for i in range(T)])
+
+    def _tf_mat(b: pa.Table) -> np.ndarray:
+        """tf per (row, term) under the SINGLE-SPACE split contract —
+        vectorized: one split_pattern + index_in + bincount (empty parts
+        never equal a non-empty term, so skipping them is a no-op)."""
+        texts = b.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        t = pc.fill_null(texts.cast(pa.string()), "")
+        n_rows = len(t)
+        s = pc.split_pattern(t, " ")
+        lens = pc.list_value_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(s)
+        parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        code = pc.index_in(flat, value_set=pa.array(terms, type=pa.string()))
+        hit = pc.is_valid(code).to_numpy(zero_copy_only=False)
+        tf = np.zeros((n_rows, T), dtype=np.int64)
+        if hit.any():
+            cv = code.to_numpy(zero_copy_only=False)
+            keyed = parent[hit] * T + cv[hit].astype(np.int64)
+            tf = np.bincount(keyed, minlength=n_rows * T).reshape(n_rows, T).astype(np.int64)
+        return tf
 
     def df_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return part_schema.empty_table()
-        dfs = [0] * len(terms)
-        for t in b.column(text_col).to_pylist():
-            toks = set((t or "").split(" "))
-            for i, term in enumerate(terms):
-                if term in toks:
-                    dfs[i] += 1
+        tf = _tf_mat(b)
         cols = {"n": pa.array([b.num_rows], type=pa.int64())}
-        for i, v in enumerate(dfs):
-            cols[f"df{i}"] = pa.array([v], type=pa.int64())
+        for i in range(T):
+            cols[f"df{i}"] = pa.array([int((tf[:, i] > 0).sum())], type=pa.int64())
         return pa.table(cols, schema=part_schema)
 
     parts = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
@@ -1090,21 +1108,16 @@ def search_topk(ds, terms, k: int = 10, text_col: str = "text", id_col: str = "d
         if b.num_rows == 0:
             return out_schema.empty_table()
         tms, widf = ray.get(ref)
-        ids, scores = [], []
-        for did, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
-            toks = (t or "").split(" ")
-            s = 0.0
-            hit = False
-            for term, w in zip(tms, widf):
-                tf = toks.count(term)
-                if tf:
-                    hit = True
-                s = s + tf * w  # fixed-order left-associated adds
-            if hit:
-                ids.append(did)
-                scores.append(s)
-        out = pa.table({id_col: pa.array(ids, type=pa.int64()),
-                        "score": pa.array(scores, type=pa.float64())}, schema=out_schema)
+        tf = _tf_mat(b)
+        s = np.zeros(b.num_rows, dtype=np.float64)
+        for i in range(T):  # fixed-order left-associated adds
+            s = s + tf[:, i].astype(np.float64) * widf[i]
+        hit = tf.sum(axis=1) > 0
+        out = pa.table(
+            {id_col: b.column(id_col).cast(pa.int64()).filter(pa.array(hit)),
+             "score": pa.array(s[hit])},
+            schema=out_schema,
+        )
         # per-block combiner: only k candidates per block reach the sort
         if out.num_rows > k:
             import pandas as pd
