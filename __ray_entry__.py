@@ -2231,6 +2231,30 @@ def _q_emb_gram_matrix(sf_dir):
     return gram_matrix(emb)
 
 
+def _q_graph_clustering(sf_dir):
+    """Local clustering coefficient per node over the mod-500 lineitem
+    graph — degrees ride the triangle plan for free (return_degrees), one
+    node-sized full-outer exchange, elementwise finish; cc is one int64
+    product + one IEEE division + round(6), mirrored op-for-op in SQL."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import clustering_coefficients
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 500, type=pa.int64()),
+                         "dst": pa.array(sk % 500, type=pa.int64())})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    return clustering_coefficients(li.map_batches(to_edges, batch_format="pyarrow"))
+
+
 def _q_docs_holdout_split(sf_dir):
     """Deterministic train/val/test split (Knuth-hash buckets, 80/10/10)
     reported as the answer-sized per-split audit (n_docs, sum of n_chars)
@@ -2328,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "graph_clustering": _q_graph_clustering,
         "docs_holdout_split": _q_docs_holdout_split,
         "text_gopher_rules": _q_text_gopher_rules,
         "text_bm25_topk": _q_text_bm25_topk,
@@ -2522,6 +2547,25 @@ def oracle_sql() -> dict[str, str]:
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        "graph_clustering": (
+            # triangles CTE shared with graph_triangles; cc mirrors the
+            # engine: (2.0 * t) / (degree * (degree - 1)) then round(6)
+            "WITH e AS (SELECT DISTINCT least(l_partkey%500, l_suppkey%500)::BIGINT AS a, "
+            "greatest(l_partkey%500, l_suppkey%500)::BIGINT AS b FROM lineitem "
+            "WHERE l_partkey%500 <> l_suppkey%500), "
+            "deg AS (SELECT node, count(*)::BIGINT AS degree FROM ("
+            "SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node), "
+            "t AS (SELECT e1.a AS x, e1.b AS y, e2.c AS z FROM e e1 "
+            "JOIN (SELECT a AS m, b AS c FROM e) e2 ON e1.b = e2.m "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.c), "
+            "tc AS (SELECT node, count(*)::BIGINT AS triangles FROM ("
+            "SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t"
+            ") GROUP BY node) "
+            "SELECT d.node, d.degree, coalesce(tc.triangles, 0)::BIGINT AS triangles, "
+            "CASE WHEN d.degree >= 2 THEN round((2.0 * coalesce(tc.triangles, 0)) / (d.degree * (d.degree - 1)), 6) "
+            "ELSE 0.0 END AS cc "
+            "FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node"
+        ),
         "docs_holdout_split": (
             # exact int64 arithmetic on both engines (doc_id * knuth stays
             # far below 2^63, % on non-negative ints is identical)

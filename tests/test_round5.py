@@ -1629,3 +1629,52 @@ class TestHoldoutSplit:
             assert dict(zip(got["split"], got["sum_size"])) == dict(want_s)
         # roughly 80/10/10
         assert 700 < want_n["train"] < 900 and 50 < want_n["val"] < 160
+
+
+class TestClusteringCoefficients:
+    def test_matches_naive(self, ray_session):
+        import itertools
+
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import clustering_coefficients
+
+        rng = np.random.default_rng(13)
+        nodes = list(range(20))
+        edges = sorted({(a, b) for a, b in
+                        ((int(rng.integers(0, 20)), int(rng.integers(0, 20))) for _ in range(80))
+                        if a != b for (a, b) in [(min(a, b), max(a, b))]})
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b); adj[b].add(a)
+        want = {}
+        for n in nodes:
+            d = len(adj[n])
+            if d == 0:
+                continue
+            t = sum(1 for u, v in itertools.combinations(sorted(adj[n]), 2) if v in adj[u])
+            cc = round((2.0 * t) / (d * (d - 1.0)), 6) if d >= 2 else 0.0
+            want[n] = (d, t, cc)
+        t_in = pa.table({"src": pa.array([a for a, _ in edges] * 2, type=pa.int64()),
+                         "dst": pa.array([b for _, b in edges] + [a for a, _ in edges],
+                                         type=pa.int64())})
+        got = clustering_coefficients(_ray.data.from_arrow(t_in).repartition(4)).to_pandas()
+        got_d = {int(r.node): (int(r.degree), int(r.triangles), float(r.cc))
+                 for r in got.itertuples()}
+        assert got_d == want
+
+    def test_triangle_free_and_complete(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import clustering_coefficients
+
+        # path graph (triangle-free) + K4 (all cc = 1.0)
+        path = [(0, 1), (1, 2), (2, 3)]
+        k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+        edges = path + k4
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        got = clustering_coefficients(_ray.data.from_arrow(t)).to_pandas()
+        cc = dict(zip(got["node"], got["cc"]))
+        assert cc[1] == 0.0 and cc[2] == 0.0  # path interior: degree 2, no triangle
+        assert all(cc[n] == 1.0 for n in (10, 11, 12, 13))

@@ -383,7 +383,8 @@ def _center_pair_arrays(s: np.ndarray, t: np.ndarray):
 
 
 def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
-                    num_buckets: int = 64, deg_broadcast_max: int = 5_000_000):
+                    num_buckets: int = 64, deg_broadcast_max: int = 5_000_000,
+                    return_degrees: bool = False):
     """Per-node triangle counts over an undirected graph, fully distributed.
 
     Plan (degree-ordered compact-forward wedge enumeration): canonicalize
@@ -644,7 +645,10 @@ def triangle_counts(edges_ds, src_col: str = "src", dst_col: str = "dst",
                                 in_schema=cnt_schema)
     from text_to_graph_ray.util import sort_coalesced
 
-    return sort_coalesced(counts, "node")
+    out = sort_coalesced(counts, "node")
+    if return_degrees:
+        return out, deg  # deg already materialized above; zero extra passes
+    return out
 
 
 def bfs_depths(edges_ds, seeds, max_depth: int = 3, src_col: str = "src", dst_col: str = "dst",
@@ -1146,3 +1150,51 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def clustering_coefficients(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                            num_buckets: int = 64, deg_broadcast_max: int = 5_000_000):
+    """Local clustering coefficient per node: cc(v) = 2*T(v) / (d(v)*(d(v)-1))
+    over the undirected deduped graph (0.0 for degree < 2) — the standard
+    graph-quality metric on top of ``triangle_counts``.
+
+    Scale shape: the triangle plan already materializes the degree table,
+    so ``return_degrees=True`` adds ZERO extra passes; degrees and triangle
+    counts (both node-sized aggregates) meet in one keyed_full_outer
+    exchange; the finish is elementwise. Float discipline: one int64
+    product (exact as a double for d < 2^26), one IEEE division, round(6)
+    — mirrored op-for-op in SQL.
+
+    Returns (node, degree, triangles, cc) sorted by node."""
+    from text_to_graph_ray.functions.joins import keyed_full_outer
+    from text_to_graph_ray.util import sort_coalesced
+
+    tri, deg = triangle_counts(edges_ds, src_col=src_col, dst_col=dst_col,
+                               num_buckets=num_buckets,
+                               deg_broadcast_max=deg_broadcast_max,
+                               return_degrees=True)
+    joined = keyed_full_outer(deg, tri, "node", ["d"], ["triangles"], num_buckets)
+
+    out_schema = pa.schema([("node", pa.int64()), ("degree", pa.int64()),
+                            ("triangles", pa.int64()), ("cc", pa.float64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        d = b.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+        t = np.nan_to_num(
+            b.column("triangles").to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        )
+        den = np.where(d >= 2.0, d * (d - 1.0), 1.0)
+        cc = np.where(d >= 2.0, np.round((2.0 * t) / den, 6), 0.0)
+        return pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "degree": pa.array(d.astype(np.int64)),
+                "triangles": pa.array(t.astype(np.int64)),
+                "cc": pa.array(cc),
+            },
+            schema=out_schema,
+        )
+
+    return sort_coalesced(joined.map_batches(finish, batch_format="pyarrow"), "node")
