@@ -1678,3 +1678,34 @@ class TestClusteringCoefficients:
         cc = dict(zip(got["node"], got["cc"]))
         assert cc[1] == 0.0 and cc[2] == 0.0  # path interior: degree 2, no triangle
         assert all(cc[n] == 1.0 for n in (10, 11, 12, 13))
+
+
+class TestQuantizeGrid:
+    """The L2-blocked half-up quantizer must be bit-identical to the naive
+    one-liner it replaced in the PCA hot path (round 5: the naive chain's
+    DRAM traffic cost 44x under 32-way concurrency)."""
+
+    def test_blocked_matches_naive_all_shapes(self):
+        from text_to_graph_ray.util import quantize_grid
+
+        rng = np.random.default_rng(5)
+        for shape in ((1, 1), (3, 64), (1000, 7), (4097, 64)):
+            v = rng.standard_normal(shape) * rng.choice([1e-6, 1.0, 1e4])
+            naive = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+            assert (quantize_grid(v, 1_000_000) == naive).all()
+
+    def test_negative_half_up_and_1d(self):
+        from text_to_graph_ray.util import quantize_grid
+
+        v = np.array([-1.5, -0.5, -0.49999, 0.49999, 0.5, 1.5]) / 1_000_000
+        # floor(x*scale + 0.5): half-up, negative-safe (-1.5 -> -1, not -2)
+        assert quantize_grid(v, 1_000_000).tolist() == [-1, 0, 0, 0, 1, 2]
+
+    def test_noncontiguous_input(self):
+        from text_to_graph_ray.util import quantize_grid
+
+        rng = np.random.default_rng(6)
+        base = rng.standard_normal((100, 128))
+        v = base[::2, ::2]  # non-contiguous view
+        naive = np.floor(v * 1_000 + 0.5).astype(np.int64)
+        assert (quantize_grid(v, 1_000) == naive).all()

@@ -773,8 +773,6 @@ def gram_matrix(ds, vec_col: str = "embedding", scale: int = 1_000_000):
     Returns (i int64, j int64, g int64) sorted by (i, j), full dense matrix
     (including symmetric duplicates — the oracle's cross-join shape).
     """
-    from ray.data.aggregate import Sum
-
     part_schema = pa.schema([("i", pa.int64()), ("j", pa.int64()), ("g", pa.int64())])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -783,12 +781,17 @@ def gram_matrix(ds, vec_col: str = "embedding", scale: int = 1_000_000):
         v = vec_matrix(b.column(vec_col))
         dim = v.shape[1]
         acc = np.zeros((dim, dim), dtype=np.int64)
-        # cache-resident blocks + in-place quantization (14x the naive
-        # chain of fresh temporaries); the per-BLOCK float64 sum is exact
+        # L2-RESIDENT blocks + in-place quantization: the quantize chain
+        # makes 4 write+read passes over the outer-product temporary, so its
+        # size decides whether those passes hit cache or DRAM. At 512 KB
+        # (65_536 elements) the passes stay in L2 and the kernel holds
+        # ~14.5 us/row under 32-way concurrency; the old 16 MB blocks
+        # saturated memory bandwidth at 54.6 us/row (3.8x) while looking
+        # identical single-threaded. The per-BLOCK float64 sum is exact
         # (<= 512 integer-valued floats of |.| <= ~1e8 stays far below
-        # 2^53) and lands in the int64 accumulator each block, so batch
-        # size never threatens exactness
-        block = max(1, 2_097_152 // (dim * dim))
+        # 2^53) and lands in the int64 accumulator each block, so block
+        # size never threatens exactness (asserted equal across sizes).
+        block = max(1, 65_536 // (dim * dim))
         for s in range(0, v.shape[0], block):
             outer = np.multiply(v[s : s + block, :, None], v[s : s + block, None, :])
             outer *= scale
@@ -801,14 +804,43 @@ def gram_matrix(ds, vec_col: str = "embedding", scale: int = 1_000_000):
             schema=part_schema,
         )
 
+    def combine(b: pa.Table) -> pa.Table:
+        # elementwise int64 sum of dense dim^2 partials (associative, exact —
+        # np.add.at, NOT bincount, whose float64 weights would lose int64 bits)
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        i = b.column("i").to_numpy()
+        j = b.column("j").to_numpy()
+        dim = int(i.max()) + 1  # every partial carries the full dense grid
+        acc = np.zeros(dim * dim, dtype=np.int64)
+        np.add.at(acc, i * dim + j, b.column("g").to_numpy())
+        ii, jj = np.meshgrid(np.arange(dim, dtype=np.int64), np.arange(dim, dtype=np.int64), indexing="ij")
+        return pa.table(
+            {"i": pa.array(ii.ravel()), "j": pa.array(jj.ravel()), "g": pa.array(acc.ravel())},
+            schema=part_schema,
+        )
+
+    # whole-block batches (one dim^2 partial per BLOCK, not per 1024 rows),
+    # then an app-level TREE combine instead of ds.groupby: Ray's sort-based
+    # Aggregate cost 7.2 s wall / 81 s CPU on 128 answer-sized partials where
+    # this fan-in costs ~0.2 s. The materialize() after the partial scan is
+    # load-bearing twice over: (a) it pins only dim^2-per-block partials
+    # (96 KB per 4 MB input block at dim 64 — ~2% of input, ~300 MB/node at
+    # 100 TB), and (b) it keeps the AllToAll fan-in OUT of the scan's
+    # streaming topology — co-scheduled, the executor's AllToAll resource
+    # reservation throttled the partial stage to ~1 concurrent task at
+    # 8 CPUs (34 s wall for 30 s task-CPU; 8.2 s with the barrier). The
+    # coalescing level-1 combine (numeric batch_size spans block boundaries,
+    # ~256 partials per task at dim 64; no fusion risk post-materialize)
+    # keeps the root answer-sized at any block count. Integer partials are
+    # associative, so values are plan-independent by construction.
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).materialize()
+    level1 = parts.map_batches(combine, batch_format="pyarrow", batch_size=1_048_576)
+    root = level1.repartition(1).map_batches(combine, batch_format="pyarrow", batch_size=None)
+
     from text_to_graph_ray.util import sort_coalesced
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["i", "j"])
-        .aggregate(Sum("g", alias_name="g"))
-    )
-    return sort_coalesced(out, ["i", "j"])
+    return sort_coalesced(root, ["i", "j"])
 
 
 def pca_project(ds, n_components: int = 2, vec_col: str = "embedding",
@@ -859,13 +891,17 @@ def pca_project(ds, n_components: int = 2, vec_col: str = "embedding",
     def project(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return out_schema.empty_table()
+        from text_to_graph_ray.util import quantize_grid
+
         Wq = ray.get(ref)
         v = vec_matrix(b.column(vec_col))
-        vq = np.floor(v * scale + 0.5).astype(np.int64)
+        vq = quantize_grid(v, scale)  # L2-blocked floor(v*scale+0.5), exact
         proj = vq @ Wq  # exact int64 matmul
         cols = {id_col: b.column(id_col).cast(pa.int64())}
         for c in range(proj.shape[1]):
             cols[f"pc{c}"] = pa.array(proj[:, c])
         return pa.table(cols, schema=out_schema)
 
-    return sort_coalesced(ds.map_batches(project, batch_format="pyarrow"), id_col)
+    return sort_coalesced(
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None), id_col
+    )
