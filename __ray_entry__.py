@@ -2255,6 +2255,31 @@ def _q_graph_clustering(sf_dir):
     return clustering_coefficients(li.map_batches(to_edges, batch_format="pyarrow"))
 
 
+def _q_graph_assortativity(sf_dir):
+    """Degree assortativity coefficient of the mod-500 lineitem graph —
+    distinct canonical edges + one bucketed degree exchange + guarded
+    degree broadcast, batch-reduced to four int64 sums folded exactly on
+    the driver; r = (4*m*sp - ss^2)/(2*m*sq - ss^2) as ONE IEEE division
+    + round(6), mirrored term-for-term in the HUGEINT SQL."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import degree_assortativity
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 500, type=pa.int64()),
+                         "dst": pa.array(sk % 500, type=pa.int64())})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    return degree_assortativity(li.map_batches(to_edges, batch_format="pyarrow"))
+
+
 def _q_docs_holdout_split(sf_dir):
     """Deterministic train/val/test split (Knuth-hash buckets, 80/10/10)
     reported as the answer-sized per-split audit (n_docs, sum of n_chars)
@@ -2352,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "graph_assortativity": _q_graph_assortativity,
         "graph_clustering": _q_graph_clustering,
         "docs_holdout_split": _q_docs_holdout_split,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -2547,6 +2573,25 @@ def oracle_sql() -> dict[str, str]:
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        "graph_assortativity": (
+            # same canonical-edge + degree CTEs as graph_clustering; the
+            # final expression mirrors the engine term-for-term: integer
+            # sums (HUGEINT — DuckDB sum(BIGINT) is HUGEINT already), one
+            # CAST AS DOUBLE division, round(6); den = 0 => 0.0
+            "WITH e AS (SELECT DISTINCT least(l_partkey%500, l_suppkey%500)::BIGINT AS a, "
+            "greatest(l_partkey%500, l_suppkey%500)::BIGINT AS b FROM lineitem "
+            "WHERE l_partkey%500 <> l_suppkey%500), "
+            "deg AS (SELECT node, count(*)::BIGINT AS d FROM ("
+            "SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node), "
+            "j AS (SELECT dda.d AS da, ddb.d AS db FROM e "
+            "JOIN deg dda ON e.a = dda.node JOIN deg ddb ON e.b = ddb.node), "
+            "s AS (SELECT count(*)::HUGEINT AS m, sum(da + db)::HUGEINT AS ss, "
+            "sum(da * db)::HUGEINT AS sp, sum(da*da + db*db)::HUGEINT AS sq FROM j) "
+            "SELECT CAST(m AS BIGINT) AS m_edges, "
+            "CASE WHEN (2*m*sq - ss*ss) = 0 THEN 0.0 "
+            "ELSE round(CAST(4*m*sp - ss*ss AS DOUBLE) / CAST(2*m*sq - ss*ss AS DOUBLE), 6) "
+            "END AS r FROM s"
+        ),
         "graph_clustering": (
             # triangles CTE shared with graph_triangles; cc mirrors the
             # engine: (2.0 * t) / (degree * (degree - 1)) then round(6)

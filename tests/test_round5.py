@@ -1709,3 +1709,43 @@ class TestQuantizeGrid:
         v = base[::2, ::2]  # non-contiguous view
         naive = np.floor(v * 1_000 + 0.5).astype(np.int64)
         assert (quantize_grid(v, 1_000) == naive).all()
+
+
+class TestDegreeAssortativity:
+    def _run(self, edges, **kw):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import degree_assortativity
+
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        return degree_assortativity(_ray.data.from_arrow(t).repartition(3), **kw)
+
+    def test_known_graphs(self, ray_session):
+        # star K1,3 and path are perfectly disassortative; a cycle is
+        # regular (zero degree variance) -> defined as 0.0
+        assert self._run([(0, 1), (0, 2), (0, 3)]).to_pydict() == {"m_edges": [3], "r": [-1.0]}
+        assert self._run([(0, 1), (1, 2)]).to_pydict() == {"m_edges": [2], "r": [-1.0]}
+        assert self._run([(0, 1), (1, 2), (2, 0)]).to_pydict() == {"m_edges": [3], "r": [0.0]}
+
+    def test_matches_naive_and_join_fallback(self, ray_session):
+        rng = np.random.default_rng(11)
+        raw = {(int(a), int(b)) for a, b in rng.integers(0, 40, size=(300, 2)) if a != b}
+        edges = sorted((min(a, b), max(a, b)) for a, b in raw)
+        edges = sorted(set(edges))
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        m = len(edges)
+        ss = sum(deg[a] + deg[b] for a, b in edges)
+        sp = sum(deg[a] * deg[b] for a, b in edges)
+        sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+        want = round(float(4 * m * sp - ss * ss) / float(2 * m * sq - ss * ss), 6)
+        # duplicate + reversed input rows must not change the distinct graph
+        noisy = edges + [(b, a) for a, b in edges[:50]] + edges[:20]
+        got = self._run(noisy).to_pydict()
+        assert got == {"m_edges": [m], "r": [want]}
+        # the distributed join fallback (deg_broadcast_max=0) is value-identical
+        got_j = self._run(noisy, deg_broadcast_max=0).to_pydict()
+        assert got_j == got

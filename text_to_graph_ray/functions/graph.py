@@ -1198,3 +1198,135 @@ def clustering_coefficients(edges_ds, src_col: str = "src", dst_col: str = "dst"
         )
 
     return sort_coalesced(joined.map_batches(finish, batch_format="pyarrow"), "node")
+
+
+def degree_assortativity(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                         num_buckets: int = 64, deg_broadcast_max: int = 5_000_000):
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    deduped graph: the Pearson correlation of endpoint degrees over edges —
+    positive when hubs attach to hubs, negative for hub-and-spoke graphs.
+    A core graph-quality / topology fingerprint next to clustering
+    coefficients (reference parity: the reference computes no graph
+    statistics; this extends the engine's graph family).
+
+    Exact-math discipline: canonicalize + DISTINCT the edges (combiner
+    first), count degrees in one bucketed exchange, attach (d(a), d(b)) to
+    every edge via a guarded node-sized degree broadcast (sorted-array
+    searchsorted; two distributed hash joins past ``deg_broadcast_max`` —
+    same guard as ``triangle_counts``), then reduce each batch to FOUR
+    int64 partial sums: m, ss = sum(da+db), sp = sum(da*db),
+    sq = sum(da^2+db^2). The driver folds one 4-int row per block in
+    arbitrary-precision Python ints, and with every term scaled by 4m^2
+    the coefficient is a ratio of two INTEGERS:
+
+        r = (4*m*sp - ss^2) / (2*m*sq - ss^2)
+
+    computed as one float64(num)/float64(den) IEEE division + round(6)
+    (int->double conversion is round-to-nearest on numpy and DuckDB alike,
+    so the SQL mirror — HUGEINT sums, one CAST AS DOUBLE division — decides
+    identically). Degenerate regular graphs (den == 0) return r = 0.0 on
+    both engines.
+
+    Returns a ONE-ROW (m_edges int64, r float64) pyarrow Table.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, distinct_rows
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        s, d = pc.cast(t.column(src_col), pa.int64()), pc.cast(t.column(dst_col), pa.int64())
+        lo, hi = pc.min_element_wise(s, d), pc.max_element_wise(s, d)
+        out = pa.table({"a": lo, "b": hi})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    edges = distinct_rows(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"], edge_schema
+    ).materialize()
+
+    deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(), t.column("b").combine_chunks()
+        ])})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "node", {"d": ("node", "size")},
+        out_schema=deg_schema, num_buckets=num_buckets,
+        in_schema=pa.schema([("node", pa.int64())]),
+    ).materialize()
+    n_nodes = deg.count()
+
+    part_schema = pa.schema([("m", pa.int64()), ("ss", pa.int64()),
+                             ("sp", pa.int64()), ("sq", pa.int64())])
+
+    def sums_arrays(da: np.ndarray, db: np.ndarray) -> pa.Table:
+        # int64 batch partials: exact while max degree stays under ~2^21 at
+        # million-row batches (da*db <= 2^42 summed over <= 2^21 rows); the
+        # driver fold below is arbitrary-precision, so only the per-batch
+        # sums bound the regime. Degrees near 2^21 mean a ~4e12-edge hub —
+        # far beyond any corpus this engine targets.
+        return pa.table({
+            "m": pa.array([int(da.shape[0])], type=pa.int64()),
+            "ss": pa.array([int(np.add(da, db).sum())], type=pa.int64()),
+            "sp": pa.array([int(np.multiply(da, db).sum())], type=pa.int64()),
+            "sq": pa.array([int((da * da + db * db).sum())], type=pa.int64()),
+        }, schema=part_schema)
+
+    if n_nodes <= deg_broadcast_max:
+        blocks = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            dt = pa.concat_tables(blocks)
+            nodes_np = dt.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            degs_np = dt.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(nodes_np)
+            deg_ref = ray.put((nodes_np[order], degs_np[order]))
+        else:
+            deg_ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
+
+        def partial_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return part_schema.empty_table()
+            nodes_s, degs_s = ray.get(deg_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            return sums_arrays(degs_s[np.searchsorted(nodes_s, a)],
+                               degs_s[np.searchsorted(nodes_s, b)])
+
+        parts = edges.map_batches(partial_bcast, batch_format="pyarrow", batch_size=None)
+    else:
+        deg_b = deg.map_batches(
+            lambda t: pa.table({"node_b": t.column("node"), "db": t.column("d")}) if t.num_rows
+            else pa.schema([("node_b", pa.int64()), ("db", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        )
+        j = edges.join(deg, join_type="inner", num_partitions=join_partitions_for(),
+                       on=("a",), right_on=("node",), partition_size_hint=16 << 20)
+        j = j.join(deg_b, join_type="inner", num_partitions=join_partitions_for(),
+                   on=("b",), right_on=("node_b",), partition_size_hint=16 << 20)
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return part_schema.empty_table()
+            return sums_arrays(t.column("d").to_numpy(zero_copy_only=False).astype(np.int64),
+                               t.column("db").to_numpy(zero_copy_only=False).astype(np.int64))
+
+        parts = j.map_batches(partial_joined, batch_format="pyarrow", batch_size=None)
+
+    # driver fold: one 4-int row per block — answer-sized by construction
+    m = ss = sp = sq = 0
+    for row in parts.take_all():
+        m += int(row["m"]); ss += int(row["ss"]); sp += int(row["sp"]); sq += int(row["sq"])
+    num = 4 * m * sp - ss * ss
+    den = 2 * m * sq - ss * ss
+    r = round(float(num) / float(den), 6) if den != 0 else 0.0
+    return pa.table({"m_edges": pa.array([m], type=pa.int64()),
+                     "r": pa.array([r], type=pa.float64())})
