@@ -2280,6 +2280,44 @@ def _q_graph_assortativity(sf_dir):
     return degree_assortativity(li.map_batches(to_edges, batch_format="pyarrow"))
 
 
+def _q_docs_langid_kappa(sf_dir):
+    """Cohen's kappa between the n-gram lang-id heuristic and the corpus's
+    reference lang labels — the eval-agreement gate you run before letting
+    a cheap classifier filter a corpus. Per-batch Arrow contingency
+    partials (label-pair-sized), arbitrary-precision driver fold, ONE
+    IEEE division + round(6); the oracle recomputes the contingency in
+    SQL from the independent naive lang-id expected table."""
+    from text_to_graph_ray.functions.stats import cohens_kappa
+    from text_to_graph_ray.functions.text import lang_id
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def pred_vs_truth(b):
+        out = lang_id(b)  # (doc_id, lang_pred), row order preserved
+        return out.append_column("lang", b.column("lang"))
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return cohens_kappa(ds.map_batches(pred_vs_truth, batch_format="pyarrow"),
+                        "lang_pred", "lang")
+
+
+def _q_docs_langid_report(sf_dir):
+    """Per-label precision/recall/F1 of the lang-id heuristic against the
+    reference lang labels — same contingency fold as the kappa query;
+    every metric is one integer ratio (f1 = 2*tp/(n_true+n_pred)) +
+    round(6), mirrored verbatim in SQL."""
+    from text_to_graph_ray.functions.stats import classification_report
+    from text_to_graph_ray.functions.text import lang_id
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def pred_vs_truth(b):
+        out = lang_id(b)
+        return out.append_column("lang", b.column("lang"))
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return classification_report(ds.map_batches(pred_vs_truth, batch_format="pyarrow"),
+                                 "lang", "lang_pred")
+
+
 def _q_docs_holdout_split(sf_dir):
     """Deterministic train/val/test split (Knuth-hash buckets, 80/10/10)
     reported as the answer-sized per-split audit (n_docs, sum of n_chars)
@@ -2378,6 +2416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
         "graph_assortativity": _q_graph_assortativity,
+        "docs_langid_kappa": _q_docs_langid_kappa,
+        "docs_langid_report": _q_docs_langid_report,
         "graph_clustering": _q_graph_clustering,
         "docs_holdout_split": _q_docs_holdout_split,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -2750,6 +2790,43 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
         "ann_ivf": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_ivf.parquet')",
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
+        "docs_langid_kappa": (
+            # contingency recomputed in SQL from the independent naive
+            # lang-id expected table joined to the documents' true labels;
+            # kappa mirrors the engine term-for-term: integer sums, one
+            # CAST AS DOUBLE division, round(6); den = 0 => 1.0
+            f"WITH p AS (SELECT t.lang_pred, d.lang AS truth "
+            f"FROM read_parquet('{e}/expected_text.parquet') t JOIN documents d USING (doc_id)), "
+            "tot AS (SELECT count(*)::HUGEINT AS n, "
+            "sum(CASE WHEN lang_pred = truth THEN 1 ELSE 0 END)::HUGEINT AS agree FROM p), "
+            "rm AS (SELECT lang_pred AS k, count(*)::HUGEINT AS rc FROM p GROUP BY 1), "
+            "cm AS (SELECT truth AS k, count(*)::HUGEINT AS cc FROM p GROUP BY 1), "
+            "pe AS (SELECT coalesce(sum(rc * cc), 0)::HUGEINT AS s FROM rm JOIN cm USING (k)) "
+            "SELECT CAST(tot.n AS BIGINT) AS n_rows, CAST(tot.agree AS BIGINT) AS agree, "
+            "CASE WHEN (tot.n * tot.n - pe.s) = 0 THEN 1.0 "
+            "ELSE round(CAST(tot.n * tot.agree - pe.s AS DOUBLE) / "
+            "CAST(tot.n * tot.n - pe.s AS DOUBLE), 6) END AS kappa "
+            "FROM tot, pe"
+        ),
+        "docs_langid_report": (
+            # per-label metrics from the same SQL contingency; each metric is
+            # ONE integer ratio cast to DOUBLE then round(6), mirroring the
+            # engine (f1 = 2*tp/(n_true+n_pred), zero denominators -> 0.0)
+            f"WITH p AS (SELECT d.lang AS truth, t.lang_pred AS pred "
+            f"FROM read_parquet('{e}/expected_text.parquet') t JOIN documents d USING (doc_id)), "
+            "labels AS (SELECT truth AS label FROM p UNION SELECT pred FROM p), "
+            "nt AS (SELECT truth AS label, count(*)::BIGINT AS n_true FROM p GROUP BY 1), "
+            "np AS (SELECT pred AS label, count(*)::BIGINT AS n_pred FROM p GROUP BY 1), "
+            "tpc AS (SELECT truth AS label, count(*)::BIGINT AS tp FROM p WHERE truth = pred GROUP BY 1) "
+            "SELECT l.label, coalesce(nt.n_true, 0)::BIGINT AS n_true, "
+            "coalesce(np.n_pred, 0)::BIGINT AS n_pred, coalesce(tpc.tp, 0)::BIGINT AS tp, "
+            "CASE WHEN coalesce(np.n_pred, 0) = 0 THEN 0.0 ELSE round(CAST(coalesce(tpc.tp, 0) AS DOUBLE) / CAST(np.n_pred AS DOUBLE), 6) END AS precision, "
+            "CASE WHEN coalesce(nt.n_true, 0) = 0 THEN 0.0 ELSE round(CAST(coalesce(tpc.tp, 0) AS DOUBLE) / CAST(nt.n_true AS DOUBLE), 6) END AS recall, "
+            "CASE WHEN coalesce(nt.n_true, 0) + coalesce(np.n_pred, 0) = 0 THEN 0.0 "
+            "ELSE round(CAST(2 * coalesce(tpc.tp, 0) AS DOUBLE) / CAST(coalesce(nt.n_true, 0) + coalesce(np.n_pred, 0) AS DOUBLE), 6) END AS f1 "
+            "FROM labels l LEFT JOIN nt USING (label) LEFT JOIN np USING (label) "
+            "LEFT JOIN tpc USING (label) ORDER BY l.label"
+        ),
         "text_quality": f"SELECT doc_id, mean_tok_len, stop_ratio, alpha_ratio, quality FROM read_parquet('{e}/expected_text.parquet')",
         "text_fingerprint": f"SELECT doc_id, fingerprint FROM read_parquet('{e}/expected_text.parquet')",
         "mm_decode": (

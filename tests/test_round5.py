@@ -1749,3 +1749,62 @@ class TestDegreeAssortativity:
         # the distributed join fallback (deg_broadcast_max=0) is value-identical
         got_j = self._run(noisy, deg_broadcast_max=0).to_pydict()
         assert got_j == got
+
+
+class TestCohensKappa:
+    def _run(self, a, b):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import cohens_kappa
+
+        t = pa.table({"p": pa.array(a), "q": pa.array(b)})
+        return cohens_kappa(_ray.data.from_arrow(t).repartition(3), "p", "q").to_pydict()
+
+    def test_textbook_2x2(self, ray_session):
+        # classic 2x2: diag 20/15, off-diag 5/10 -> po=0.7, pe=0.5, kappa=0.4
+        a = ["y"] * 25 + ["n"] * 25
+        b = ["y"] * 20 + ["n"] * 5 + ["y"] * 10 + ["n"] * 15
+        assert self._run(a, b) == {"n_rows": [50], "agree": [35], "kappa": [0.4]}
+
+    def test_degenerate_and_disjoint(self, ray_session):
+        # single shared label on both sides: den == 0 -> 1.0 by contract
+        assert self._run(["x"] * 5, ["x"] * 5)["kappa"] == [1.0]
+        # disjoint label sets: agree = 0, pe = 0 -> kappa = 0/1 scaled = 0.0
+        got = self._run(["a", "a", "b"], ["c", "c", "d"])
+        assert got == {"n_rows": [3], "agree": [0], "kappa": [0.0]}
+
+    def test_matches_naive_random(self, ray_session):
+        rng = np.random.default_rng(3)
+        labels = np.array(["en", "de", "fr", "und"])
+        a = labels[rng.integers(0, 4, 500)].tolist()
+        b = labels[rng.integers(0, 4, 500)].tolist()
+        n = 500
+        agree = sum(1 for x, y in zip(a, b) if x == y)
+        from collections import Counter
+        rm, cm = Counter(a), Counter(b)
+        s = sum(rm[k] * cm.get(k, 0) for k in rm)
+        want = round(float(n * agree - s) / float(n * n - s), 6)
+        assert self._run(a, b) == {"n_rows": [n], "agree": [agree], "kappa": [want]}
+
+
+class TestClassificationReport:
+    def test_matches_naive_and_pred_only_labels(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import classification_report
+
+        truth = ["en", "en", "de", "de", "fr", "fr", "fr"]
+        pred = ["en", "de", "de", "de", "fr", "und", "fr"]  # 'und' never true
+        t = pa.table({"t": pa.array(truth), "p": pa.array(pred)})
+        got = classification_report(_ray.data.from_arrow(t).repartition(2), "t", "p").to_pydict()
+        assert got["label"] == ["de", "en", "fr", "und"]
+        # de: n_true 2, n_pred 3, tp 2 -> p=2/3, r=1, f1=4/5
+        i = got["label"].index("de")
+        assert (got["n_true"][i], got["n_pred"][i], got["tp"][i]) == (2, 3, 2)
+        assert got["precision"][i] == round(2 / 3, 6)
+        assert got["recall"][i] == 1.0 and got["f1"][i] == 0.8
+        # und: pred-only label gets a row with zero recall/f1 denominator rules
+        j = got["label"].index("und")
+        assert (got["n_true"][j], got["n_pred"][j], got["tp"][j]) == (0, 1, 0)
+        assert got["precision"][j] == 0.0 and got["recall"][j] == 0.0
+        assert got["f1"][j] == 0.0
