@@ -1016,6 +1016,26 @@ def _q_ann_lsh(sf_dir):
     return lsh_topk(ds, q_ids, q_vecs, k=10, n_planes=6)
 
 
+def _q_ann_ivf_recall(sf_dir):
+    """recall@10 of the IVF scale path against brute-force ground truth —
+    the approximation-quality gate for the bucketed ANN plan. Both sides
+    are answer-sized top-k tables; recall is one integer ratio + round(6),
+    and the oracle intersects the independent expected-IVF table with the
+    exact SQL top-k."""
+    from text_to_graph_ray.functions.ann import (
+        brute_force_topk,
+        ivf_topk,
+        queries_from_dataset,
+        topk_recall,
+    )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids, q_vecs = queries_from_dataset(ds, n_queries=8)
+    approx = ivf_topk(ds, q_ids, q_vecs, k=10)
+    exact = brute_force_topk(ds, q_ids, q_vecs, k=10)
+    return topk_recall(approx, exact, k=10)
+
+
 def _q_emb_label_centroids(sf_dir):
     import ray.data as rd
 
@@ -1556,6 +1576,16 @@ def _q_events_lag_deltas(sf_dir):
     from text_to_graph_ray.pipelines.analytics import user_event_deltas
 
     return user_event_deltas(sf_dir)
+
+
+def _q_events_scd2_history(sf_dir):
+    """SCD-type-2 event_type version history per user (change rows with
+    effective_from / effective_to via lead) — one keyed coarse-bucket
+    exchange, change-sized output, no float math; SQL lag/lead window
+    mirror over the identical (ts, event_id) order."""
+    from text_to_graph_ray.pipelines.analytics import user_type_history
+
+    return user_type_history(sf_dir)
 
 
 def _q_events_window_frame(sf_dir):
@@ -2418,6 +2448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": _q_graph_assortativity,
         "docs_langid_kappa": _q_docs_langid_kappa,
         "docs_langid_report": _q_docs_langid_report,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "events_scd2_history": _q_events_scd2_history,
         "graph_clustering": _q_graph_clustering,
         "docs_holdout_split": _q_docs_holdout_split,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -2789,6 +2821,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_lsh.parquet')",
         "ann_ivf": f"SELECT query_id, rank, vec_id, sim FROM read_parquet('{e}/expected_ann_ivf.parquet')",
+        "ann_ivf_recall": (
+            # exact ground truth recomputed in SQL (the ann_topk contract),
+            # intersected with the independent expected-IVF table; recall is
+            # one integer ratio cast to DOUBLE + round(6), engine-mirrored
+            "WITH exact AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rank "
+            "FROM embeddings e, embeddings q WHERE q.vec_id < 8 QUALIFY rank <= 10), "
+            f"approx AS (SELECT query_id, vec_id FROM read_parquet('{e}/expected_ann_ivf.parquet')), "
+            "h AS (SELECT a.query_id, count(*)::BIGINT AS hits FROM approx a "
+            "JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id GROUP BY 1) "
+            "SELECT q.query_id, coalesce(h.hits, 0)::BIGINT AS hits, "
+            "round(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE), 6) AS recall "
+            "FROM (SELECT DISTINCT query_id FROM approx) q LEFT JOIN h USING (query_id) "
+            "ORDER BY q.query_id"
+        ),
+        "events_scd2_history": (
+            # change rows via lag over the engine's exact (ts, event_id)
+            # order, then version index + effective_to via lead; pure
+            # timestamp/string columns — no float discipline needed
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events), "
+            "ch AS (SELECT user_id, ts, event_id, event_type FROM o "
+            "WHERE prev IS NULL OR event_type <> prev) "
+            "SELECT user_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version, "
+            "event_type, ts AS effective_from, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to "
+            "FROM ch ORDER BY user_id, version"
+        ),
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
         "docs_langid_kappa": (
             # contingency recomputed in SQL from the independent naive

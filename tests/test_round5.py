@@ -6,6 +6,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -1808,3 +1809,64 @@ class TestClassificationReport:
         assert (got["n_true"][j], got["n_pred"][j], got["tp"][j]) == (0, 1, 0)
         assert got["precision"][j] == 0.0 and got["recall"][j] == 0.0
         assert got["f1"][j] == 0.0
+
+
+class TestTopkRecall:
+    def test_partial_overlap_and_empty_query(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.ann import topk_recall
+
+        def tbl(rows):
+            return _ray.data.from_arrow(pa.table({
+                "query_id": pa.array([q for q, _ in rows], type=pa.int64()),
+                "vec_id": pa.array([v for _, v in rows], type=pa.int64()),
+            }))
+
+        approx = tbl([(0, 1), (0, 2), (0, 9), (1, 5)])       # q0: 2/3 hit, q1: 0 hit
+        exact = tbl([(0, 1), (0, 2), (0, 3), (1, 7), (1, 8)])
+        got = topk_recall(approx, exact, k=3).to_pydict()
+        assert got == {"query_id": [0, 1], "hits": [2, 0],
+                       "recall": [round(2 / 3, 6), 0.0]}
+        # a query absent from approx has no row (the SQL frame is
+        # distinct-from-approx)
+        assert 2 not in got["query_id"]
+
+
+class TestScd2History:
+    def test_hand_computed_history(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        from text_to_graph_ray.pipelines.analytics import user_type_history
+
+        def ts(s):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+        # user 1: a a b b a  -> versions a@0, b@2, a@4
+        # user 2: x          -> one open version
+        rows = [
+            (10, ts(0), 1, "a"), (11, ts(1), 1, "a"), (12, ts(2), 1, "b"),
+            (13, ts(3), 1, "b"), (14, ts(4), 1, "a"), (20, ts(5), 2, "x"),
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([0.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = user_type_history(str(tmp_path)).to_pandas()
+        recs = [(int(r.user_id), int(r.version), r.event_type,
+                 r.effective_from.to_pydatetime(),
+                 None if pd.isna(r.effective_to) else r.effective_to.to_pydatetime())
+                for r in got.itertuples()]
+        assert recs == [
+            (1, 1, "a", ts(0), ts(2)),
+            (1, 2, "b", ts(2), ts(4)),
+            (1, 3, "a", ts(4), None),
+            (2, 1, "x", ts(5), None),
+        ]

@@ -321,3 +321,31 @@ def lsh_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id", vec_col="embeddin
 
     partials = bucketed.map_batches(score, batch_format="pyarrow")
     return _merge_partials(partials, q_ids, k).sort(["query_id", "rank"])
+
+
+def topk_recall(approx_ds, exact_ds, k: int):
+    """recall@k of an approximate top-k result against the exact
+    brute-force ground truth — the acceptance metric for the LSH / IVF
+    scale paths (how much quality the bucketing trades for speed).
+
+    Both inputs are top-k result tables (query_id, vec_id, ...), ANSWER-
+    sized by construction (n_queries x k rows), so the driver intersects
+    them directly — no exchange. recall = hits / k is one integer ratio
+    + one IEEE division + round(6), mirrored verbatim in SQL. Queries are
+    taken from the APPROX side (a query whose buckets returned nothing
+    has no row anywhere, matching the SQL's distinct-from-approx frame).
+
+    Returns (query_id, hits int64, recall float64) sorted by query_id."""
+    import pyarrow as pa
+
+    approx = {(int(r["query_id"]), int(r["vec_id"])) for r in approx_ds.take_all()}
+    exact = {(int(r["query_id"]), int(r["vec_id"])) for r in exact_ds.take_all()}
+    qids = sorted({q for q, _ in approx})
+    hits = {q: 0 for q in qids}
+    for q, v in approx & exact:
+        hits[q] += 1
+    return pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "hits": pa.array([hits[q] for q in qids], type=pa.int64()),
+        "recall": pa.array([round(float(hits[q]) / float(k), 6) for q in qids], type=pa.float64()),
+    })

@@ -2173,3 +2173,59 @@ def event_type_transitions(sf_dir: str, num_buckets: int = 64):
         )
 
     return partials.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def user_type_history(sf_dir: str):
+    """SCD-type-2 version history of each user's event_type: one row per
+    CHANGE (first occurrence, or type differs from the previous event in
+    the user's (ts, event_id)-ordered stream) with effective_from = the
+    change's ts and effective_to = the next change's ts (NULL while
+    current) — the warehouse pattern for tracking attribute versions.
+
+    Scale shape: the same one keyed coarse-bucket exchange as
+    ``user_event_deltas`` — every user's rows land in one bucket task where
+    the change mask, version index, and lead(ts) run vectorized; output is
+    change-sized, not event-sized. No float math at all (timestamps and
+    strings), so the SQL window mirror (lag/lead over the identical
+    (ts, event_id) order) matches bit-for-bit."""
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "event_type"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string())]
+    )
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("version", pa.int64()), ("event_type", pa.string()),
+         ("effective_from", pa.timestamp("us")), ("effective_to", pa.timestamp("us"))]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        g = df.groupby("user_id", sort=False)
+        change = (df["event_type"] != g["event_type"].shift()).to_numpy()
+        change |= g.cumcount().to_numpy() == 0  # first row: shift() NaN != str is True, but be explicit
+        ch = df[change]
+        cg = ch.groupby("user_id", sort=False)
+        version = cg.cumcount().to_numpy() + 1
+        eff_to = cg["ts"].shift(-1)
+        return pa.table(
+            {
+                "user_id": pa.array(ch["user_id"].to_numpy(), type=pa.int64()),
+                "version": pa.array(version, type=pa.int64()),
+                "event_type": pa.array(ch["event_type"].tolist(), type=pa.string()),
+                "effective_from": pa.array(ch["ts"], type=pa.timestamp("us")),
+                "effective_to": pa.array(eff_to, type=pa.timestamp("us")),
+            },
+            schema=out_schema,
+        )
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema),
+                          per_bucket, out_schema, 64)
+    return sort_coalesced(out, ["user_id", "version"])
