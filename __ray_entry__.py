@@ -2348,6 +2348,18 @@ def _q_docs_langid_report(sf_dir):
                                  "lang", "lang_pred")
 
 
+def _q_text_pmi_topk(sf_dir):
+    """Top-50 collocations by PMI over adjacent whitespace bigrams
+    (min_count 5) — combiner-first count exchanges, guarded unigram
+    lookup joins, per-batch top-k combiner; pmi is ln of a ratio of two
+    exact int64 products, round(6), REAL-SQL mirrored."""
+    from text_to_graph_ray.functions.text import pmi_topk
+    from text_to_graph_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pmi_topk(ds, k=50, min_count=5)
+
+
 def _q_docs_holdout_split(sf_dir):
     """Deterministic train/val/test split (Knuth-hash buckets, 80/10/10)
     reported as the answer-sized per-split audit (n_docs, sum of n_chars)
@@ -2450,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid_report": _q_docs_langid_report,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "events_scd2_history": _q_events_scd2_history,
+        "text_pmi_topk": _q_text_pmi_topk,
         "graph_clustering": _q_graph_clustering,
         "docs_holdout_split": _q_docs_holdout_split,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -2851,6 +2864,25 @@ def oracle_sql() -> dict[str, str]:
             "event_type, ts AS effective_from, "
             "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to "
             "FROM ch ORDER BY user_id, version"
+        ),
+        "text_pmi_topk": (
+            # tokenization mirrors python str.split (the text_vocab_topk
+            # contract: '' only at row edges, filtered BEFORE adjacency);
+            # zipped unnests give token ordinality; pmi is ln of one
+            # CAST AS DOUBLE ratio of exact integer products, round(6)
+            "WITH raw AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents), "
+            "tk AS (SELECT doc_id, unnest(arr) AS tok, unnest(generate_series(1, len(arr))) AS ord FROM raw), "
+            "toks AS (SELECT doc_id, tok, ord FROM tk WHERE tok <> ''), "
+            "bi AS (SELECT doc_id, tok AS x, lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS y FROM toks), "
+            "bc AS (SELECT x, y, count(*)::BIGINT AS cxy FROM bi WHERE y IS NOT NULL GROUP BY 1, 2), "
+            "uc AS (SELECT tok AS w, count(*)::BIGINT AS c FROM toks GROUP BY 1), "
+            "nb AS (SELECT sum(cxy)::BIGINT AS n FROM bc) "
+            "SELECT c.x, c.y, c.cxy, ux.c AS cx, uy.c AS cy, "
+            "round(ln(CAST(nb.n * c.cxy AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE)), 6) AS pmi "
+            "FROM (SELECT * FROM bc WHERE cxy >= 5) c "
+            "JOIN uc ux ON c.x = ux.w JOIN uc uy ON c.y = uy.w CROSS JOIN nb "
+            "QUALIFY row_number() OVER (ORDER BY pmi DESC, c.x, c.y) <= 50 "
+            "ORDER BY pmi DESC, c.x, c.y"
         ),
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
         "docs_langid_kappa": (

@@ -1870,3 +1870,47 @@ class TestScd2History:
             (1, 3, "a", ts(4), None),
             (2, 1, "x", ts(5), None),
         ]
+
+
+class TestPmiTopk:
+    def test_hand_computed_and_partition_invariance(self, ray_session):
+        import math
+
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import pmi_topk
+
+        docs = [
+            "new york is a big city",
+            "new york has new people",
+            "york new city",
+            "a a a a a a",
+            "big city big city new york",
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                      "text": pa.array(docs, type=pa.string())})
+        got = pmi_topk(_ray.data.from_arrow(t).repartition(3), k=5, min_count=2).to_pandas()
+        # n_bigrams = 5+4+2+5+5 = 21; hand-checked survivors of min_count=2
+        n = 21
+        want = [
+            ("big", "city", 3, 3, 4),
+            ("new", "york", 3, 5, 4),
+            ("a", "a", 5, 7, 7),
+        ]
+        assert [(r.x, r.y, int(r.cxy), int(r.cx), int(r.cy)) for r in got.itertuples()] == want
+        for r, (x, y, cxy, cx, cy) in zip(got.itertuples(), want):
+            assert r.pmi == round(math.log(float(n * cxy) / float(cx * cy)), 6)
+        # partition invariance: counts and ranking identical on 1 block
+        got1 = pmi_topk(_ray.data.from_arrow(t), k=5, min_count=2).to_pandas()
+        assert got1.equals(got)
+
+    def test_min_count_floor_excludes_hapax(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.text import pmi_topk
+
+        t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array(["unique pair here", "unique pair again"], type=pa.string())})
+        got = pmi_topk(_ray.data.from_arrow(t), k=10, min_count=2).to_pandas()
+        # only "unique pair" repeats; every other bigram is a hapax
+        assert list(zip(got["x"], got["y"])) == [("unique", "pair")]

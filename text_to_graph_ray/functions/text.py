@@ -1634,3 +1634,135 @@ def bm25_topk(ds, terms, k: int = 10, k1: float = 1.5, b: float = 0.75,
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+PMI_SCHEMA = pa.schema([("x", pa.string()), ("y", pa.string()), ("cxy", pa.int64()),
+                        ("cx", pa.int64()), ("cy", pa.int64()), ("pmi", pa.float64())])
+
+
+def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
+             id_col: str = "doc_id", counts_broadcast_max: int = 2_000_000,
+             num_buckets: int = 64):
+    """Top-k collocations by pointwise mutual information over adjacent
+    whitespace-token bigrams — the classic corpus-analysis op for finding
+    multi-word expressions worth protecting from tokenization/dedup:
+
+        pmi(x, y) = ln( n_bigrams * c(x,y) / (c(x) * c(y)) )      (round 6)
+
+    with c(x)/c(y) the corpus-wide unigram OCCURRENCE counts and the
+    ``min_count`` floor cutting the long noise tail (bare hapax pairs
+    otherwise dominate any PMI ranking).
+
+    Exact-math discipline: all counts fold as int64 through the same
+    combiner-first bucketed exchanges as ``bigram_lm_nll`` (per-batch
+    multiplicities via ``explode_bigrams_batch``); the PMI argument is a
+    ratio of two exact INT64 PRODUCTS converted once to float64, so the SQL
+    mirror (one CAST AS DOUBLE division inside ln, the shared ln contract)
+    decides identically. Product-fits-int64 contract: n_bigrams * c(x,y)
+    <= 2^63 — beyond ~10^9 total bigrams with 10^9-count pairs, split the
+    ln into quantized log terms instead.
+
+    Scale shape: the count exchanges carry (bigram, partial) rows only; the
+    ``min_count`` filter runs before the unigram enrichment; unigram counts
+    attach via ``joins.lookup_join`` (guarded broadcast, equivalence-tested
+    bucketed fallback); the global top-k prunes per batch before ONE
+    single-block final sort (k rows per upstream batch cross the wire).
+
+    Returns (x, y, cxy, cx, cy, pmi) — the top ``k`` by (pmi DESC, x, y).
+    """
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.joins import lookup_join
+    from text_to_graph_ray.util import read_parquet_clean  # noqa: F401  (doc symmetry)
+
+    def explode_bg(b: pa.Table) -> pa.Table:
+        return explode_bigrams_batch(b, text_col=text_col, id_col=id_col)
+
+    tok_schema = pa.schema([("tok", pa.string())])
+
+    def explode_toks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return tok_schema.empty_table()
+        s = pc.utf8_split_whitespace(pc.fill_null(b.column(text_col).cast(pa.string()), ""))
+        flat = pc.list_flatten(s)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return pa.table({"tok": flat}, schema=tok_schema)
+
+    docbg = ds.map_batches(explode_bg, batch_format="pyarrow")
+
+    bg_counts = bucketed_aggregate(
+        docbg.select_columns(["bg", "m"]), "bg", {"cxy": ("m", "sum")},
+        out_schema=pa.schema([("bg", pa.string()), ("cxy", pa.int64())]),
+        num_buckets=num_buckets,
+    ).materialize()
+    uni = bucketed_aggregate(
+        ds.map_batches(explode_toks, batch_format="pyarrow"), "tok", {"c": ("tok", "size")},
+        out_schema=pa.schema([("tok", pa.string()), ("c", pa.int64())]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # total bigram count: answer-sized fold of one partial per block
+    n_bi = 0
+    one = pa.schema([("nb", pa.int64())])
+    for row in bg_counts.map_batches(
+        lambda t: pa.table({"nb": pa.array([int(np.sum(t.column("cxy").to_numpy(zero_copy_only=False)))]
+                                           if t.num_rows else [0], type=pa.int64())}, schema=one),
+        batch_format="pyarrow", batch_size=None,
+    ).take_all():
+        n_bi += int(row["nb"])
+
+    cand_schema = pa.schema([("x", pa.string()), ("y", pa.string()), ("cxy", pa.int64())])
+
+    def split_pairs(t: pa.Table) -> pa.Table:
+        # bg = x + "\x1f" + y (the explode kernel's packing); candidate rows
+        # are the post-min_count survivors, so this per-row split touches a
+        # filtered, aggregation-sized set — never the raw bigram stream
+        keep = t.filter(pc.greater_equal(t.column("cxy"), min_count))
+        if keep.num_rows == 0:
+            return cand_schema.empty_table()
+        xs, ys = [], []
+        for s in keep.column("bg").to_pylist():
+            a, b = s.split("\x1f", 1)
+            xs.append(a)
+            ys.append(b)
+        return pa.table({"x": pa.array(xs, type=pa.string()),
+                         "y": pa.array(ys, type=pa.string()),
+                         "cxy": keep.column("cxy")}, schema=cand_schema)
+
+    cand = bg_counts.map_batches(split_pairs, batch_format="pyarrow", batch_size=None)
+    cand = lookup_join(cand, uni, key="x", right_key="tok", cols=["c"],
+                       broadcast_max=counts_broadcast_max, num_buckets=num_buckets)
+    cand = cand.map_batches(lambda t: t.rename_columns([{"c": "cx"}.get(n, n) for n in t.column_names]),
+                            batch_format="pyarrow", batch_size=None)
+    cand = lookup_join(cand, uni, key="y", right_key="tok", cols=["c"],
+                       broadcast_max=counts_broadcast_max, num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PMI_SCHEMA.empty_table()
+        cxy = t.column("cxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = t.column("cx").to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        pmi = np.log((np.int64(n_bi) * cxy).astype(np.float64) / (cx * cy).astype(np.float64))
+        pmi = np.asarray([round(float(v), 6) for v in pmi], dtype=np.float64)
+        out = pa.table({"x": t.column("x"), "y": t.column("y"),
+                        "cxy": pa.array(cxy, type=pa.int64()),
+                        "cx": pa.array(cx, type=pa.int64()),
+                        "cy": pa.array(cy, type=pa.int64()),
+                        "pmi": pa.array(pmi, type=pa.float64())}, schema=PMI_SCHEMA)
+        # per-batch combiner: the global top-k is a subset of per-batch top-ks
+        idx = pa.table({"pmi": out.column("pmi"), "x": out.column("x"), "y": out.column("y")})
+        order = pc.sort_indices(idx, sort_keys=[("pmi", "descending"), ("x", "ascending"), ("y", "ascending")])
+        return out.take(order[:k])
+
+    scored = cand.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PMI_SCHEMA.empty_table()
+        idx = pa.table({"pmi": t.column("pmi"), "x": t.column("x"), "y": t.column("y")})
+        order = pc.sort_indices(idx, sort_keys=[("pmi", "descending"), ("x", "ascending"), ("y", "ascending")])
+        return t.take(order[:k])
+
+    return scored.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
