@@ -2360,6 +2360,31 @@ def _q_text_pmi_topk(sf_dir):
     return pmi_topk(ds, k=50, min_count=5)
 
 
+def _q_graph_sample_2hop(sf_dir):
+    """Deterministic 2-hop neighbor sampling (fanout 3,2; seeds s%7==0)
+    over the mod-500 lineitem digraph — Knuth-hash edge ranking via ONE
+    reused topk_per_group + one hash join; sample-sized output; the SQL
+    mirror ranks with row_number over the identical hash expression."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import sample_neighbors
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 500, type=pa.int64()),
+                         "dst": pa.array(sk % 500, type=pa.int64())})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    return sample_neighbors(li.map_batches(to_edges, batch_format="pyarrow"),
+                            fanout=(3, 2), seed_mod=7)
+
+
 def _q_docs_holdout_split(sf_dir):
     """Deterministic train/val/test split (Knuth-hash buckets, 80/10/10)
     reported as the answer-sized per-split audit (n_docs, sum of n_chars)
@@ -2463,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "events_scd2_history": _q_events_scd2_history,
         "text_pmi_topk": _q_text_pmi_topk,
+        "graph_sample_2hop": _q_graph_sample_2hop,
         "graph_clustering": _q_graph_clustering,
         "docs_holdout_split": _q_docs_holdout_split,
         "text_gopher_rules": _q_text_gopher_rules,
@@ -2883,6 +2909,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uc ux ON c.x = ux.w JOIN uc uy ON c.y = uy.w CROSS JOIN nb "
             "QUALIFY row_number() OVER (ORDER BY pmi DESC, c.x, c.y) <= 50 "
             "ORDER BY pmi DESC, c.x, c.y"
+        ),
+        "graph_sample_2hop": (
+            # rank key mirrors the engine's Knuth hash exactly in int64;
+            # the same ranked CTE serves both hops; inner join drops leaf
+            # hop-1 nodes on both engines
+            "WITH e AS (SELECT DISTINCT (l_partkey%500)::BIGINT AS s, "
+            "(l_suppkey%500)::BIGINT AS t FROM lineitem WHERE l_partkey%500 <> l_suppkey%500), "
+            "r AS (SELECT s, t, row_number() OVER (PARTITION BY s "
+            "ORDER BY (s * 2654435761 + t * 40503) % 1000003, t) AS rk FROM e) "
+            "SELECT h1.s AS seed, h1.t AS n1, r2.t AS n2 "
+            "FROM r h1 JOIN r r2 ON r2.s = h1.t AND r2.rk <= 2 "
+            "WHERE h1.rk <= 3 AND h1.s % 7 = 0 "
+            "ORDER BY seed, n1, n2"
         ),
         "text_langid": f"SELECT doc_id, lang_pred FROM read_parquet('{e}/expected_text.parquet')",
         "docs_langid_kappa": (

@@ -1914,3 +1914,35 @@ class TestPmiTopk:
         got = pmi_topk(_ray.data.from_arrow(t), k=10, min_count=2).to_pandas()
         # only "unique pair" repeats; every other bigram is a hapax
         assert list(zip(got["x"], got["y"])) == [("unique", "pair")]
+
+
+class TestSampleNeighbors:
+    def test_matches_naive_and_repartition_stable(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import sample_neighbors
+
+        rng = np.random.default_rng(21)
+        raw = {(int(a), int(b)) for a, b in rng.integers(0, 30, size=(200, 2)) if a != b}
+        edges = sorted(raw)
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        knuth, mix, modp = 2654435761, 40503, 1_000_003
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+
+        def rank(s, k):
+            return sorted(adj.get(s, []), key=lambda v: ((s * knuth + v * mix) % modp, v))[:k]
+
+        want = sorted((seed, n1, n2)
+                      for seed in adj if seed % 3 == 0
+                      for n1 in rank(seed, 3)
+                      for n2 in rank(n1, 2))
+        got = sample_neighbors(_ray.data.from_arrow(t).repartition(4),
+                               fanout=(3, 2), seed_mod=3).to_pandas()
+        assert list(got.itertuples(index=False, name=None)) == want
+        # determinism under a different partitioning + duplicate edges
+        noisy = _ray.data.from_arrow(pa.concat_tables([t, t.slice(0, 40)])).repartition(7)
+        got2 = sample_neighbors(noisy, fanout=(3, 2), seed_mod=3).to_pandas()
+        assert got2.equals(got)

@@ -1330,3 +1330,103 @@ def degree_assortativity(edges_ds, src_col: str = "src", dst_col: str = "dst",
     r = round(float(num) / float(den), 6) if den != 0 else 0.0
     return pa.table({"m_edges": pa.array([m], type=pa.int64()),
                      "r": pa.array([r], type=pa.float64())})
+
+
+def sample_neighbors(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                     fanout=(3, 2), seed_mod: int | None = None,
+                     knuth: int = 2654435761, mix: int = 40503, modp: int = 1_000_003,
+                     num_buckets: int = 64):
+    """Deterministic GraphSAGE-style 2-hop neighbor sampling: for every
+    seed node take its ``fanout[0]`` hash-ranked out-neighbors, then each
+    sampled neighbor's ``fanout[1]`` hash-ranked out-neighbors — the
+    minibatch fan-out primitive for graph-ML feature assembly, made
+    reproducible by ranking edges with the engine's Knuth multiplicative
+    hash instead of an RNG:
+
+        rank key = (s * knuth + t * mix) mod modp,  ties by t ASC
+
+    so a node's sample is stable under repartitioning, incremental edge
+    loads, and re-runs (the holdout-split determinism argument). All
+    arithmetic stays in int64 (s * knuth <= ~2^31 * 2^33 needs ids below
+    ~2^31; the mod-bounded graphs here are far inside), mirrored exactly
+    in SQL's row_number ORDER BY.
+
+    Scale shape: per-node ranking is ONE ``topk_per_group`` (per-batch
+    combiner prunes each block to its local top-k before the keyed
+    exchange), reused for both hops; hop-2 attaches via one distributed
+    hash join keyed on the hop-1 sample. Output is sample-sized
+    (seeds x fanout[0] x fanout[1] upper bound), never edge-sized.
+    ``seed_mod`` restricts seeds to ``s % seed_mod == 0`` (None = every
+    node with out-edges). Leaf hop-1 nodes (no out-edges) drop, matching
+    the SQL inner-join frame.
+
+    Returns (seed, n1, n2) sorted by (seed, n1, n2)."""
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import distinct_rows, topk_per_group
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+    from text_to_graph_ray.util import sort_coalesced
+
+    e_schema = pa.schema([("s", pa.int64()), ("t", pa.int64())])
+
+    def clean(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return e_schema.empty_table()
+        s = pc.cast(b.column(src_col), pa.int64())
+        t = pc.cast(b.column(dst_col), pa.int64())
+        out = pa.table({"s": s, "t": t}, schema=e_schema)
+        return out.filter(pc.not_equal(out.column("s"), out.column("t")))
+
+    edges = distinct_rows(edges_ds.map_batches(clean, batch_format="pyarrow"),
+                          ["s", "t"], e_schema)
+
+    hk_schema = pa.schema([("s", pa.int64()), ("t", pa.int64()), ("hk", pa.int64())])
+
+    def with_hk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return hk_schema.empty_table()
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = (s * np.int64(knuth) + t * np.int64(mix)) % np.int64(modp)
+        return pa.table({"s": b.column("s"), "t": b.column("t"),
+                         "hk": pa.array(hk, type=pa.int64())}, schema=hk_schema)
+
+    ranked = edges.map_batches(with_hk, batch_format="pyarrow").materialize()
+
+    def hop_sample(k: int):
+        return topk_per_group(ranked, ["s"], "hk", k=k, descending=False,
+                              tiebreak="t", out_schema=hk_schema,
+                              num_buckets=num_buckets, in_schema=hk_schema)
+
+    hop1 = hop_sample(fanout[0])
+    if seed_mod is not None:
+        m = int(seed_mod)
+
+        def seed_filter(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(s % m == 0))
+
+        hop1 = hop1.map_batches(seed_filter, batch_format="pyarrow", batch_size=None)
+
+    def as_h1(b: pa.Table) -> pa.Table:
+        sch = pa.schema([("seed", pa.int64()), ("n1", pa.int64())])
+        if b.num_rows == 0:
+            return sch.empty_table()
+        return pa.table({"seed": b.column("s"), "n1": b.column("t")}, schema=sch)
+
+    h1 = hop1.map_batches(as_h1, batch_format="pyarrow")
+
+    def as_h2(b: pa.Table) -> pa.Table:
+        sch = pa.schema([("n1", pa.int64()), ("n2", pa.int64())])
+        if b.num_rows == 0:
+            return sch.empty_table()
+        return pa.table({"n1": b.column("s"), "n2": b.column("t")}, schema=sch)
+
+    h2 = hop_sample(fanout[1]).map_batches(as_h2, batch_format="pyarrow")
+
+    j = h1.join(h2, join_type="inner", num_partitions=join_partitions_for(),
+                on=("n1",), partition_size_hint=16 << 20)
+    out = j.select_columns(["seed", "n1", "n2"])
+    return sort_coalesced(out, ["seed", "n1", "n2"])
