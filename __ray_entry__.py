@@ -624,6 +624,17 @@ def _q_dedup_minhash_incr(sf_dir):
     return p_new.union(p_cross).sort(["a", "b"])
 
 
+def _q_rel_nation_volume(sf_dir):
+    """TPC-H-Q5-shaped six-table join (region -> nation -> customer -> orders
+    -> lineitem -> supplier, local-supplier filter c_nat == s_nat): guarded
+    dim broadcasts with distributed ds.join fallbacks, per-(order, nation)
+    cents combiner before the ONE wide orderkey exchange; revenue quantized
+    to int64 cents (floor(x*100+0.5)) so sums are exact on both engines."""
+    from text_to_graph_ray.pipelines.analytics import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
 def _q_graph_link_ra(sf_dir):
     """Resource-Allocation link prediction (Zhou et al. 2009) over the same
     1000-node graph: top-100 non-adjacent pairs by Σ 1/deg(common neighbor),
@@ -2482,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "rel_nation_volume": _q_rel_nation_volume,
         "graph_assortativity": _q_graph_assortativity,
         "docs_langid_kappa": _q_docs_langid_kappa,
         "docs_langid_report": _q_docs_langid_report,
@@ -2684,6 +2696,21 @@ def oracle_sql() -> dict[str, str]:
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        "rel_nation_volume": (
+            # revenue quantized to int64 cents with the engine's exact
+            # expression tree ((price * (1-disc)) * 100) + 0.5 -> floor,
+            # so the per-nation sums are association-order-free integers
+            "WITH li AS (SELECT l_orderkey, s_nationkey, "
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey), "
+            "o AS (SELECT o_orderkey, c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') "
+            "SELECT n_name, round(sum(cents)::DOUBLE / 100.0, 2) AS revenue, count(*)::BIGINT AS n_items "
+            "FROM li JOIN o ON l_orderkey = o_orderkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
         "graph_assortativity": (
             # same canonical-edge + degree CTEs as graph_clustering; the
             # final expression mirrors the engine term-for-term: integer

@@ -1946,3 +1946,41 @@ class TestSampleNeighbors:
         noisy = _ray.data.from_arrow(pa.concat_tables([t, t.slice(0, 40)])).repartition(7)
         got2 = sample_neighbors(noisy, fanout=(3, 2), seed_mod=3).to_pandas()
         assert got2.equals(got)
+
+
+class TestLocalSupplierVolume:
+    """TPC-H-Q5-shaped six-table join (pipelines/analytics.local_supplier_volume)."""
+
+    def test_matches_duckdb_and_fallback_identical(self, ray_session):
+        import duckdb
+
+        from text_to_graph_ray.pipelines.analytics import local_supplier_volume
+
+        sf = "/root/testdata/sf0.001"
+        got = local_supplier_volume(sf).to_pandas()
+        want = duckdb.sql(
+            "WITH li AS (SELECT l_orderkey, s_nationkey, "
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents "
+            f"FROM '{sf}/lineitem.parquet' JOIN '{sf}/supplier.parquet' ON l_suppkey = s_suppkey), "
+            "o AS (SELECT o_orderkey, c_nationkey FROM "
+            f"'{sf}/orders.parquet' JOIN '{sf}/customer.parquet' ON o_custkey = c_custkey "
+            "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') "
+            "SELECT n_name, round(sum(cents)::DOUBLE / 100.0, 2) AS revenue, count(*)::BIGINT AS n_items "
+            "FROM li JOIN o ON l_orderkey = o_orderkey AND c_nationkey = s_nationkey "
+            f"JOIN '{sf}/nation.parquet' ON n_nationkey = s_nationkey "
+            f"JOIN '{sf}/region.parquet' ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ).df()
+        assert list(got.itertuples(index=False, name=None)) == list(want.itertuples(index=False, name=None))
+        # threshold-0 forces BOTH distributed ds.join fallback arms
+        fb = local_supplier_volume(sf, broadcast_max=0).to_pandas()
+        assert fb.equals(got)
+
+    def test_empty_region_window(self, ray_session):
+        from text_to_graph_ray.pipelines.analytics import local_supplier_volume
+
+        out = local_supplier_volume("/root/testdata/sf0.001", date_lo="1990-01-01", date_hi="1990-01-02")
+        assert out.count() == 0
+        # Ray's to_pandas() drops columns on an all-empty dataset; the
+        # Dataset-level schema is the stable contract
+        assert out.schema().names == ["n_name", "revenue", "n_items"]

@@ -2229,3 +2229,314 @@ def user_type_history(sf_dir: str):
     out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema),
                           per_bucket, out_schema, 64)
     return sort_coalesced(out, ["user_id", "version"])
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+    broadcast_max: int = BROADCAST_JOIN_MAX_ROWS,
+):
+    """TPC-H-Q5-shaped six-table join: revenue per nation where the customer's
+    nation == the supplier's nation, one region, one order-date window.
+
+    Plan (100-TB posture):
+      * nation ⋈ region is driver-side by construction (25 x 5 rows) — the
+        region's nationkey set and the id->name map ride the task closure.
+      * supplier and customer are GUARDED broadcasts (suppkey->nationkey,
+        custkey->nationkey dicts via ray.put) with a distributed ds.join
+        fallback past ``broadcast_max`` — never an unguarded collect.
+      * lineitem is pre-aggregated per (l_orderkey, s_nationkey) inside
+        map_batches (combiner) and REGION-PRUNED before the one big exchange:
+        only orders/lineitems whose nation survives the region filter are
+        shuffled.  Revenue is quantized to int64 cents per row
+        (floor(x*100+0.5), the events_zorder contract) so sums are exact and
+        association-order-free on both engines.
+      * the single wide exchange is the rev ⋈ orders hash join on o_orderkey;
+        the final per-nation groupby is 25 rows.
+    """
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    nat = read_parquet_clean(f"{sf_dir}/nation.parquet").to_pandas()  # 25 rows by construction
+    reg = read_parquet_clean(f"{sf_dir}/region.parquet").to_pandas()  # 5 rows by construction
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype("int64"))
+    nat_in = nat[nat["n_regionkey"].astype("int64").isin(rkeys)]
+    region_nations = frozenset(int(k) for k in nat_in["n_nationkey"])
+    name_of = {int(k): str(v) for k, v in zip(nat_in["n_nationkey"], nat_in["n_name"])}
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    # ---- orders -> (o_orderkey, c_nationkey), window- and region-pruned ----
+    cust_ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ord_ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ord_schema = pa.schema([("o_orderkey", pa.int64()), ("c_nat", pa.int64())])
+
+    region_nat_arr0 = np.array(sorted(region_nations), dtype=np.int64)
+    n_cust = cust_ds.count()  # metadata-cheap on parquet
+    if n_cust <= broadcast_max:
+        cdf = cust_ds.to_pandas().sort_values("c_custkey")
+        cref = ray.put((cdf["c_custkey"].to_numpy(dtype="int64"), cdf["c_nationkey"].to_numpy(dtype="int64")))
+
+        def orders_part(b: pa.Table) -> pa.Table:
+            ckeys, cvals = ray.get(cref)
+            dates = np.asarray(b.column("o_orderdate"), dtype="datetime64[us]")
+            win = (dates >= lo) & (dates < hi)
+            if not win.any():
+                return ord_schema.empty_table()
+            okeys = np.asarray(b.column("o_orderkey"), dtype=np.int64)[win]
+            custs = np.asarray(b.column("o_custkey"), dtype=np.int64)[win]
+            idx = np.minimum(np.searchsorted(ckeys, custs), len(ckeys) - 1)
+            cn = np.where(ckeys[idx] == custs, cvals[idx], np.int64(-1))
+            keep = np.isin(cn, region_nat_arr0)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(okeys[keep], type=pa.int64()),
+                    "c_nat": pa.array(cn[keep], type=pa.int64()),
+                },
+                schema=ord_schema,
+            )
+
+        orders = ord_ds.map_batches(orders_part, batch_format="pyarrow", batch_size=None)
+    else:
+        # distributed fallback: window-filter orders first (selectivity cuts
+        # the join's left side), hash-join to customer, region-prune after
+        def win(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), pa.scalar(pd.Timestamp(date_lo))),
+                pc.less(b.column("o_orderdate"), pa.scalar(pd.Timestamp(date_hi))),
+            )
+            return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+        # Ray 2.49's JoinOperator raises on an EMPTY hash partition (the
+        # schema-less empty block reaches acero); size the partition count so
+        # every partition sees >=~1k right rows — at fallback scale (>5M
+        # rows) this is join_partitions_for(), at test-forced scale it is 1
+        j = ord_ds.map_batches(win, batch_format="pyarrow", batch_size=None).join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=max(1, min(join_partitions_for(), n_cust // 1000 + 1)),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            partition_size_hint=32 << 20,
+        )
+        nat_arr = np.array(sorted(region_nations), dtype=np.int64)
+
+        def prune(b: pa.Table) -> pa.Table:
+            cn = pc.cast(b.column("c_nationkey"), pa.int64())
+            keep = pc.is_in(cn, value_set=pa.array(nat_arr))
+            f = b.filter(keep)
+            return pa.table(
+                {"o_orderkey": pc.cast(f.column("o_orderkey"), pa.int64()), "c_nat": pc.cast(f.column("c_nationkey"), pa.int64())},
+                schema=ord_schema,
+            )
+
+        orders = j.map_batches(prune, batch_format="pyarrow", batch_size=None)
+
+    # ---- lineitem -> per-(orderkey, s_nationkey) cents partials ----
+    supp_ds = read_parquet_clean(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    rev_schema = pa.schema([("l_orderkey", pa.int64()), ("s_nat", pa.int64()), ("cents", pa.int64()), ("n", pa.int64())])
+
+    n_supp = supp_ds.count()
+    region_nat_arr = np.array(sorted(region_nations), dtype=np.int64)
+    if n_supp <= broadcast_max:
+        sdf = supp_ds.to_pandas().sort_values("s_suppkey")
+        # sorted (keys, nationkeys) arrays: the per-batch lookup is a
+        # vectorized searchsorted, never a per-row dict probe
+        sref = ray.put(
+            (sdf["s_suppkey"].to_numpy(dtype="int64"), sdf["s_nationkey"].to_numpy(dtype="int64"))
+        )
+
+        def li_part(b: pa.Table) -> pa.Table:
+            skeys, svals = ray.get(sref)
+            ok = np.asarray(b.column("l_orderkey"), dtype=np.int64)
+            sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+            idx = np.searchsorted(skeys, sk)
+            idx_c = np.minimum(idx, len(skeys) - 1)
+            valid = skeys[idx_c] == sk
+            sn = np.where(valid, svals[idx_c], np.int64(-1))
+            keep = np.isin(sn, region_nat_arr)
+            if not keep.any():
+                return rev_schema.empty_table()
+            price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)[keep]
+            disc = np.asarray(b.column("l_discount"), dtype=np.float64)[keep]
+            # ((price * (1-disc)) * 100) + 0.5 — the exact SQL expression tree
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": pa.array(ok[keep], type=pa.int64()),
+                        "s_nat": pa.array(sn[keep], type=pa.int64()),
+                        "cents": pa.array(cents, type=pa.int64()),
+                    }
+                )
+                .group_by(["l_orderkey", "s_nat"])
+                .aggregate([("cents", "sum"), ("cents", "count")])
+            )
+            return pa.table(
+                {
+                    "l_orderkey": g.column("l_orderkey"),
+                    "s_nat": g.column("s_nat"),
+                    "cents": g.column("cents_sum"),
+                    "n": pc.cast(g.column("cents_count"), pa.int64()),
+                },
+                schema=rev_schema,
+            )
+
+        rev = li.map_batches(li_part, batch_format="pyarrow", batch_size=None)
+    else:
+        # distributed fallback: region-prune supplier FIRST (5x shrink), then
+        # hash-join lineitem to the pruned supplier table
+        nat_arr = np.array(sorted(region_nations), dtype=np.int64)
+        supp_pruned = supp_ds.map_batches(
+            lambda b: b.filter(pc.is_in(pc.cast(b.column("s_nationkey"), pa.int64()), value_set=pa.array(nat_arr))),
+            batch_format="pyarrow",
+        )
+        supp_pruned = supp_pruned.materialize()  # small by region-prune; counted to size the join
+        n_supp_region = supp_pruned.count()
+        j = li.join(
+            supp_pruned,
+            join_type="inner",
+            num_partitions=max(1, min(join_partitions_for(), n_supp_region // 1000 + 1)),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+            partition_size_hint=32 << 20,
+        )
+
+        def li_fold(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return rev_schema.empty_table()
+            price = np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+            disc = np.asarray(b.column("l_discount"), dtype=np.float64)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                        "s_nat": pc.cast(b.column("s_nationkey"), pa.int64()),
+                        "cents": pa.array(cents, type=pa.int64()),
+                    }
+                )
+                .group_by(["l_orderkey", "s_nat"])
+                .aggregate([("cents", "sum"), ("cents", "count")])
+            )
+            return pa.table(
+                {
+                    "l_orderkey": g.column("l_orderkey"),
+                    "s_nat": g.column("s_nat"),
+                    "cents": g.column("cents_sum"),
+                    "n": pc.cast(g.column("cents_count"), pa.int64()),
+                },
+                schema=rev_schema,
+            )
+
+        rev = j.map_batches(li_fold, batch_format="pyarrow", batch_size=None)
+
+    # ---- the one wide exchange: rev ⋈ orders on o_orderkey, expressed as a
+    # tagged union + coarse-bucket cogroup (functions/joins.py idiom).  Ray
+    # 2.49's JoinOperator raises when a hash partition's right side is empty
+    # (schema-less empty block reaching acero), and an empty window/region IS
+    # a legitimate runtime state here — the bucket exchange handles empty
+    # sides/buckets by construction and ships the same bytes. ----
+    from text_to_graph_ray.functions.agg import bucket_exchange, with_bucket
+
+    union_schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("side", pa.int64()),
+            ("s_nat", pa.int64()),
+            ("cents", pa.int64()),
+            ("n", pa.int64()),
+            ("c_nat", pa.int64()),
+        ]
+    )
+
+    def tag_rev(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "side": z,
+                "s_nat": b.column("s_nat"),
+                "cents": b.column("cents"),
+                "n": b.column("n"),
+                "c_nat": z,
+            },
+            schema=union_schema,
+        )
+
+    def tag_ord(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        one = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "side": one,
+                "s_nat": z,
+                "cents": z,
+                "n": z,
+                "c_nat": b.column("c_nat"),
+            },
+            schema=union_schema,
+        )
+
+    unioned = rev.map_batches(tag_rev, batch_format="pyarrow", batch_size=None).union(
+        orders.map_batches(tag_ord, batch_format="pyarrow", batch_size=None)
+    )
+
+    part_schema = pa.schema([("s_nat", pa.int64()), ("cents", pa.int64()), ("n", pa.int64())])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        left = df.loc[df["side"] == 0, ["k", "s_nat", "cents", "n"]]
+        right = df.loc[df["side"] == 1, ["k", "c_nat"]]
+        if left.empty or right.empty:
+            return part_schema.empty_table()
+        m = left.merge(right, on="k", how="inner")
+        m = m[m["s_nat"] == m["c_nat"]]
+        if m.empty:
+            return part_schema.empty_table()
+        g = m.groupby("s_nat", as_index=False).agg(cents=("cents", "sum"), n=("n", "sum"))
+        return pa.table(
+            {
+                "s_nat": pa.array(g["s_nat"].to_numpy(dtype="int64")),
+                "cents": pa.array(g["cents"].to_numpy(dtype="int64")),
+                "n": pa.array(g["n"].to_numpy(dtype="int64")),
+            },
+            schema=part_schema,
+        )
+
+    parts = bucket_exchange(with_bucket(unioned, "k", 64, in_schema=union_schema), per_bucket, part_schema, 64)
+    out_schema = pa.schema([("n_name", pa.string()), ("revenue", pa.float64()), ("n_items", pa.int64())])
+    # parts is bounded (<= 25 rows per bucket) and already materialized by the
+    # exchange; an empty result would lose its schema through groupby+sort
+    if parts.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    agg = (
+        parts.repartition(1)
+        .groupby("s_nat")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n_items"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        names = [name_of[int(k)] for k in b.column("s_nat").to_pylist()]
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "revenue": pa.array(np.round(cents / 100.0, 2), type=pa.float64()),
+                "n_items": pc.cast(b.column("n_items"), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["revenue", "n_name"], descending=[True, False])
