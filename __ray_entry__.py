@@ -624,6 +624,72 @@ def _q_dedup_minhash_incr(sf_dir):
     return p_new.union(p_cross).sort(["a", "b"])
 
 
+def _q_graph_scc(sf_dir):
+    """Directed strongly connected components over a 251-node graph derived
+    from first-line lineitems (src=o%251, dst=p%251): guarded driver Tarjan
+    below collect_max, distributed FW-BW-MIN peeling past it (threshold-0
+    equivalence in tests); scc_id = min member id, the components contract."""
+    import pyarrow as _pa
+
+    from text_to_graph_ray.functions.graph import strongly_connected_components
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import numpy as _np
+
+        if b.num_rows == 0:
+            return _pa.schema([("src", _pa.int64()), ("dst", _pa.int64())]).empty_table()
+        ln = _np.asarray(b.column("l_linenumber"), dtype=_np.int64)
+        ok = _np.asarray(b.column("l_orderkey"), dtype=_np.int64)[ln == 1] % 251
+        pk = _np.asarray(b.column("l_partkey"), dtype=_np.int64)[ln == 1] % 251
+        keep = ok != pk
+        return _pa.table({"src": _pa.array(ok[keep]), "dst": _pa.array(pk[keep])})
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_linenumber"]
+    ).map_batches(to_edges, batch_format="pyarrow")
+    return strongly_connected_components(ds)
+
+
+def _q_rel_gini(sf_dir):
+    """Exact Gini coefficient of per-customer order revenue: per-custkey cents
+    combiner + bucketed aggregate, ONE distributed sort, block-offset rank
+    weighting with overflow-proof chunked int accumulation (stats.gini_exact).
+    Everything up to the final single division is integer-exact."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.stats import gini_exact
+    from text_to_graph_ray.util import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    part_schema = _pa.schema([("o_custkey", _pa.int64()), ("cents", _pa.int64())])
+
+    def partial(b: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        cents = _np.floor(_np.asarray(b.column("o_totalprice"), dtype=_np.float64) * 100.0 + 0.5).astype(_np.int64)
+        g = (
+            _pa.table({"o_custkey": _pc.cast(b.column("o_custkey"), _pa.int64()), "cents": _pa.array(cents)})
+            .group_by("o_custkey")
+            .aggregate([("cents", "sum")])
+        )
+        return _pa.table({"o_custkey": g.column("o_custkey"), "cents": g.column("cents_sum")}, schema=part_schema)
+
+    per_cust = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "o_custkey",
+        {"cents": ("cents", "sum")},
+        out_schema=part_schema,
+        in_schema=part_schema,
+    )
+    out_schema = _pa.schema([("n_customers", _pa.int64()), ("total_cents", _pa.int64()), ("gini", _pa.float64())])
+    return gini_exact(per_cust, col="cents", out_schema=out_schema)
+
+
 def _q_rel_nation_volume(sf_dir):
     """TPC-H-Q5-shaped six-table join (region -> nation -> customer -> orders
     -> lineitem -> supplier, local-supplier filter c_nat == s_nat): guarded
@@ -2493,6 +2559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "graph_scc": _q_graph_scc,
+        "rel_gini": _q_rel_gini,
         "rel_nation_volume": _q_rel_nation_volume,
         "graph_assortativity": _q_graph_assortativity,
         "docs_langid_kappa": _q_docs_langid_kappa,
@@ -2696,6 +2764,28 @@ def oracle_sql() -> dict[str, str]:
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        "graph_scc": (
+            # mutual reachability via one recursive closure; scc_id is the
+            # min over the node's mutually-reachable set (node included)
+            "WITH RECURSIVE e AS (SELECT DISTINCT l_orderkey % 251 AS src, l_partkey % 251 AS dst "
+            "FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 251 <> l_partkey % 251), "
+            "r(s, t) AS (SELECT src, dst FROM e UNION SELECT r.s, e.dst FROM r JOIN e ON r.t = e.src), "
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+            "m AS (SELECT a.s AS u, a.t AS v FROM r a JOIN r b ON a.s = b.t AND a.t = b.s) "
+            "SELECT n.node::BIGINT AS node, least(n.node, coalesce(min(m.v), n.node))::BIGINT AS scc_id "
+            "FROM nodes n LEFT JOIN m ON m.u = n.node GROUP BY n.node ORDER BY node"
+        ),
+        "rel_gini": (
+            # integer-exact up to the last op: HUGEINT rank*cents sums, then
+            # ONE double division written as the engine's exact expression
+            "WITH r AS (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS cents "
+            "FROM orders GROUP BY 1), "
+            "s AS (SELECT cents, row_number() OVER (ORDER BY cents) AS i FROM r), "
+            "t AS (SELECT count(*)::HUGEINT AS n, sum(cents)::HUGEINT AS sx, "
+            "sum(i::HUGEINT * cents::HUGEINT)::HUGEINT AS s1 FROM s) "
+            "SELECT n::BIGINT AS n_customers, sx::BIGINT AS total_cents, "
+            "round((2 * s1 - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE, 6) AS gini FROM t"
+        ),
         "rel_nation_volume": (
             # revenue quantized to int64 cents with the engine's exact
             # expression tree ((price * (1-disc)) * 100) + 0.5 -> floor,

@@ -1984,3 +1984,104 @@ class TestLocalSupplierVolume:
         # Ray's to_pandas() drops columns on an all-empty dataset; the
         # Dataset-level schema is the stable contract
         assert out.schema().names == ["n_name", "revenue", "n_items"]
+
+
+class TestGiniExact:
+    def test_hand_computed_and_partition_invariant(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import gini_exact
+
+        t = pa.table({"cents": pa.array([8, 1, 1], type=pa.int64())})
+        out = gini_exact(_ray.data.from_arrow(t)).to_pandas()
+        # sorted [1,1,8]: S1=27, Sx=10, n=3 -> (54-40)/30
+        assert out["n_rows"][0] == 3 and out["total"][0] == 10
+        assert out["gini"][0] == round(14 / 30, 6)
+        # equal values -> 0; partitioning must not change the result
+        eq = pa.table({"cents": pa.array([5] * 40, type=pa.int64())})
+        out_eq = gini_exact(_ray.data.from_arrow(eq).repartition(7)).to_pandas()
+        assert out_eq["gini"][0] == 0.0
+        big = pa.table({"cents": pa.array(list(range(1, 201)), type=pa.int64())})
+        a = gini_exact(_ray.data.from_arrow(big)).to_pandas()
+        b = gini_exact(_ray.data.from_arrow(big).repartition(9)).to_pandas()
+        assert a.equals(b)
+
+    def test_chunked_accumulation_is_exact_near_int64(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import gini_exact
+
+        # values large enough that a single-block Σ rank·x overflows int64
+        # (forces the reduceat chunking + Python-int fold path)
+        v = 2_000_000_000_000_000
+        t = pa.table({"cents": pa.array([v] * 2000, type=pa.int64())})
+        out = gini_exact(_ray.data.from_arrow(t).repartition(3)).to_pandas()
+        assert out["gini"][0] == 0.0
+        assert int(out["total"][0]) == v * 2000
+
+
+class TestStronglyConnectedComponents:
+    def _scc_naive(self, edges):
+        # reachability by repeated squaring over sets; scc_id = min of the
+        # mutual-reach class — an independent oracle (no Tarjan machinery)
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        reach = {v: {v} for v in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                for v in nodes:
+                    if a in reach[v] and b not in reach[v]:
+                        reach[v].add(b)
+                        changed = True
+        out = {}
+        for v in nodes:
+            cls = {u for u in reach[v] if v in reach[u]}
+            out[v] = min(cls)
+        return [(v, out[v]) for v in nodes]
+
+    def test_hand_graph_both_plans(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import strongly_connected_components as scc
+
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1), (7, 7)]
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        want = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7)]
+        a = scc(_ray.data.from_arrow(t)).to_pandas()
+        assert list(a.itertuples(index=False, name=None)) == want
+        b = scc(_ray.data.from_arrow(t).repartition(3), collect_max=0).to_pandas()
+        assert b.equals(a)
+
+    def test_random_graph_matches_naive_both_plans(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import strongly_connected_components as scc
+
+        rng = np.random.default_rng(11)
+        edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, size=(55, 2)) if a != b})
+        want = self._scc_naive(edges)
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        a = scc(_ray.data.from_arrow(t)).to_pandas()
+        assert list(a.itertuples(index=False, name=None)) == want
+        b = scc(_ray.data.from_arrow(t).repartition(5), collect_max=0).to_pandas()
+        assert b.equals(a)
+
+    def test_chain_of_cycles_and_empty(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import strongly_connected_components as scc
+
+        # 3 two-node cycles chained: {0,1} -> {2,3} -> {4,5}; peeling needs
+        # multiple outer rounds on the distributed plan
+        edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4), (4, 5), (5, 4)]
+        t = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                      "dst": pa.array([b for _, b in edges], type=pa.int64())})
+        want = [(0, 0), (1, 0), (2, 2), (3, 2), (4, 4), (5, 4)]
+        b = scc(_ray.data.from_arrow(t), collect_max=0).to_pandas()
+        assert list(b.itertuples(index=False, name=None)) == want
+        empty = pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())})
+        out = scc(_ray.data.from_arrow(empty))
+        assert out.count() == 0

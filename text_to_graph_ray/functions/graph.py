@@ -1430,3 +1430,245 @@ def sample_neighbors(edges_ds, src_col: str = "src", dst_col: str = "dst",
                 on=("n1",), partition_size_hint=16 << 20)
     out = j.select_columns(["seed", "n1", "n2"])
     return sort_coalesced(out, ["seed", "n1", "n2"])
+
+
+def strongly_connected_components(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                                  collect_max: int = 2_000_000, max_outer: int = 64,
+                                  max_rounds: int = 128, node_type: pa.DataType = None):
+    """Directed strongly connected components: (node, scc_id) for every node
+    appearing in the edge table, with ``scc_id`` = the smallest node id in
+    the component (the same canonical-min contract as connected_components).
+
+    Plans (guarded, value-identical — the threshold-0 test forces plan B):
+
+    A. edge count <= ``collect_max``: one driver-side iterative Tarjan pass —
+       the exact-oracle baseline, same regime as connected_components'
+       union-find arm.
+
+    B. distributed FW-BW-MIN coloring (Orzan-style peeling), the plan a
+       100-TB edge table needs. Each outer round, over the still-active
+       subgraph:
+         1. FORWARD min-label propagation to fixpoint: color(v) = min id
+            that reaches v. Per round: ONE lookup_join of the edge stream
+            against the node-set-sized color table (guarded broadcast /
+            bucketed exchange) + ONE keyed min fold; convergence by the
+            order-insensitive content signature.
+         2. BACKWARD containment from the roots (color(v) == v): flag u
+            when some edge u->w has flag(w) and color(u) == color(w) —
+            flags only grow, so a stable flag count is convergence.
+         3. Every flagged node is in the SCC of its color root; emit
+            (node, color), peel them out of the active node/edge sets
+            (guarded semi/anti filters), repeat.
+       Each round's exchanges are edge-stream scans + node-set-sized
+       shuffles; nothing edge-sized ever reaches the driver.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+    from text_to_graph_ray.functions.joins import filter_by_keys, lookup_join
+
+    node_type = node_type or pa.int64()
+    out_schema = pa.schema([("node", node_type), ("scc_id", node_type)])
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if n_edges <= collect_max:
+        # ---- plan A: driver-side iterative Tarjan ----
+        adj: dict = {}
+        nodes_set = set()
+        for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for s, t in zip(b.column(src_col).to_pylist(), b.column(dst_col).to_pylist()):
+                adj.setdefault(s, []).append(t)
+                nodes_set.add(s)
+                nodes_set.add(t)
+        index: dict = {}
+        low: dict = {}
+        on_stack: set = set()
+        stack: list = []
+        comp_of: dict = {}
+        counter = [0]
+        for root in sorted(nodes_set):
+            if root in index:
+                continue
+            work = [(root, iter(adj.get(root, ())))]
+            index[root] = low[root] = counter[0]
+            counter[0] += 1
+            stack.append(root)
+            on_stack.add(root)
+            while work:
+                v, it = work[-1]
+                advanced = False
+                for w in it:
+                    if w not in index:
+                        index[w] = low[w] = counter[0]
+                        counter[0] += 1
+                        stack.append(w)
+                        on_stack.add(w)
+                        work.append((w, iter(adj.get(w, ()))))
+                        advanced = True
+                        break
+                    elif w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if advanced:
+                    continue
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        members.append(w)
+                        if w == v:
+                            break
+                    cid = min(members)
+                    for w in members:
+                        comp_of[w] = cid
+        ns = sorted(nodes_set)
+        return rd.from_arrow(
+            pa.table({"node": pa.array(ns, type=node_type),
+                      "scc_id": pa.array([comp_of[n] for n in ns], type=node_type)}, schema=out_schema)
+        )
+
+    # ---- plan B: distributed FW-BW-MIN peeling ----
+    node_schema = pa.schema([("node", node_type)])
+    label_schema = pa.schema([("node", node_type), ("label", node_type)])
+
+    def to_nodes(col):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return node_schema.empty_table()
+            return pa.table({"node": pc.cast(t.column(col), node_type)}, schema=node_schema)
+
+        return f
+
+    active_nodes = distinct_rows(
+        edges.map_batches(to_nodes(src_col), batch_format="pyarrow").union(
+            edges.map_batches(to_nodes(dst_col), batch_format="pyarrow")
+        ),
+        "node",
+        node_schema,
+    ).materialize()
+    active_edges = edges
+    emitted = []
+
+    def singletons(nodes_ds):
+        return nodes_ds.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "scc_id": t.column("node")}, schema=out_schema)
+            if t.num_rows else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ).materialize()
+
+    for _outer in range(max_outer):
+        if active_nodes.count() == 0:
+            break
+        if active_edges.count() == 0:
+            # no intra edges left: every remaining node is its own SCC
+            emitted.append(singletons(active_nodes))
+            break
+        # -- 1. forward min-label to fixpoint --
+        colors = active_nodes.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}, schema=label_schema)
+            if t.num_rows else label_schema.empty_table(),
+            batch_format="pyarrow",
+        ).materialize()
+        prev_sig = None
+        converged = False
+        for _ in range(max_rounds):
+            enriched = lookup_join(active_edges, colors, key=src_col, right_key="node", cols=["label"])
+            msgs = enriched.map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t.column(dst_col), node_type), "label": pc.cast(t.column("label"), node_type)},
+                    schema=label_schema,
+                )
+                if t.num_rows else label_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+            colors = msgs.union(colors).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+            sig = _labels_signature(colors)
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+        if not converged:
+            raise RuntimeError(f"scc: forward coloring did not converge in {max_rounds} rounds")
+
+        # -- 2. backward containment from roots --
+        flagged = colors.map_batches(
+            lambda t: t.filter(pc.equal(t.column("node"), t.column("label"))),
+            batch_format="pyarrow",
+        ).materialize()
+        for _ in range(max_rounds):
+            n_before = flagged.count()
+            # u is flagged when an edge u->w has w flagged and color(u)==color(w)
+            hits = lookup_join(active_edges, flagged, key=dst_col, right_key="node", cols=["label"])
+            cand = hits.map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t.filter(pc.is_valid(t.column("label"))).column(src_col), node_type),
+                     "flag_label": pc.cast(t.filter(pc.is_valid(t.column("label"))).column("label"), node_type)},
+                )
+                if t.num_rows else pa.schema([("node", node_type), ("flag_label", node_type)]).empty_table(),
+                batch_format="pyarrow",
+            ).materialize()
+            if cand.count() == 0:
+                break
+            cand = lookup_join(cand, colors, key="node", right_key="node", cols=["label"])
+            new_nodes = cand.map_batches(
+                lambda t: pa.table(
+                    {"node": t.filter(pc.equal(t.column("flag_label"), t.column("label"))).column("node")},
+                    schema=node_schema,
+                )
+                if t.num_rows else node_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+            new_nodes = distinct_rows(
+                filter_by_keys(new_nodes, flagged, key="node", right_key="node", mode="anti"),
+                "node", node_schema,
+            )
+            if new_nodes.count() == 0:
+                break
+            grown = lookup_join(new_nodes, colors, key="node", right_key="node", cols=["label"])
+            flagged = flagged.union(
+                grown.map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("node"), "label": pc.cast(t.column("label"), node_type)},
+                        schema=label_schema,
+                    )
+                    if t.num_rows else label_schema.empty_table(),
+                    batch_format="pyarrow",
+                )
+            ).materialize()
+            if flagged.count() == n_before:
+                break
+
+        # -- 3. emit, peel, repeat --
+        emitted.append(
+            flagged.map_batches(
+                lambda t: pa.table({"node": t.column("node"), "scc_id": t.column("label")}, schema=out_schema)
+                if t.num_rows else out_schema.empty_table(),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        active_nodes = filter_by_keys(active_nodes, flagged, key="node", right_key="node", mode="anti").materialize()
+        if active_nodes.count() == 0:
+            break
+        active_edges = filter_by_keys(
+            filter_by_keys(active_edges, active_nodes, key=src_col, right_key="node", mode="semi"),
+            active_nodes, key=dst_col, right_key="node", mode="semi",
+        ).materialize()
+    else:
+        raise RuntimeError(f"scc: peeling did not finish in {max_outer} outer rounds")
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    out = emitted[0]
+    for p in emitted[1:]:
+        out = out.union(p)
+    return sort_coalesced(out, "node")

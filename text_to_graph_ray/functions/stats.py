@@ -1014,3 +1014,79 @@ def classification_report(ds, truth_col: str, pred_col: str):
         "recall": pa.array([ratio(tp[l], n_true[l]) for l in labels], type=pa.float64()),
         "f1": pa.array([ratio(2 * tp[l], n_true[l] + n_pred[l]) for l in labels], type=pa.float64()),
     })
+
+
+def gini_exact(ds, col: str = "cents", out_schema: pa.Schema | None = None):
+    """Exact Gini coefficient of an int64 column via distributed sort +
+    block-offset rank weighting.
+
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort (1-based
+    ranks).  Ties need no tiebreak: swapping equal values leaves Σ i·xᵢ
+    unchanged, so any stable order of equal keys yields the same sum.
+
+    Scale shape: ONE distributed ``ds.sort`` (the unavoidable exchange), then
+    per-block rank-weighted partials where only the block's row offset — a
+    driver-side prefix sum over block COUNTS, the ``add_dense_index`` trick —
+    couples blocks.  Each partial is exact: int64 products are chunk-summed
+    with ``np.add.reduceat`` at a chunk size derived from the block's max
+    product so no chunk sum can overflow, and chunk sums accumulate in
+    arbitrary-precision Python ints (shipped as decimal strings, one row per
+    block).  The driver folds #blocks rows.  Requires max_rank·max_value <
+    2^62 per ELEMENT (rank 10^9 × cents 5·10^8 fits); guarded explicitly.
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(col).materialize()
+
+    @ray.remote
+    def count_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def partial(t: pa.Table, offset: int):
+        if t.num_rows == 0:
+            return ("0", 0, 0)
+        x = np.asarray(t.column(col), dtype=np.int64)
+        m = len(x)
+        w_max = offset + m  # largest 1-based global rank in this block
+        x_max = int(x.max()) if m else 0
+        if x_max > 0 and w_max * x_max >= (1 << 62):
+            raise ValueError(
+                f"gini_exact: rank*value {w_max}*{x_max} risks int64 overflow; "
+                "rescale the value column before calling"
+            )
+        w = np.arange(offset + 1, offset + m + 1, dtype=np.int64)
+        prod = w * x
+        # chunk so each partial sum of products stays far below 2^63
+        per = max(1, w_max * max(x_max, 1))
+        chunk = max(1, int((1 << 62) // per))
+        cuts = np.arange(0, m, chunk, dtype=np.int64)
+        s1 = sum(int(v) for v in np.add.reduceat(prod, cuts))
+        sx = sum(int(v) for v in np.add.reduceat(x, cuts))
+        return (str(s1), sx, m)
+
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([count_rows.remote(r) for r in refs])
+    offsets, total = [], 0
+    for c in counts:
+        offsets.append(total)
+        total += c
+    parts = ray.get([partial.remote(r, o) for r, o in zip(refs, offsets)])
+    s1 = sum(int(p[0]) for p in parts)
+    sx = sum(int(p[1]) for p in parts)
+    n = sum(int(p[2]) for p in parts)
+
+    schema = out_schema or pa.schema(
+        [("n_rows", pa.int64()), ("total", pa.int64()), ("gini", pa.float64())]
+    )
+    if n == 0 or sx == 0:
+        return rd.from_arrow(
+            pa.table({schema[0].name: [n], schema[1].name: [sx], schema[2].name: [0.0]}, schema=schema)
+        )
+    # single division with both operands cast int->double first — the exact
+    # expression the SQL oracle writes: (2*s1-(n+1)*sx)::DOUBLE/(n*sx)::DOUBLE
+    gini = round(float(2 * s1 - (n + 1) * sx) / float(n * sx), 6)
+    return rd.from_arrow(
+        pa.table({schema[0].name: [n], schema[1].name: [sx], schema[2].name: [gini]}, schema=schema)
+    )
