@@ -624,6 +624,59 @@ def _q_dedup_minhash_incr(sf_dir):
     return p_new.union(p_cross).sort(["a", "b"])
 
 
+def _q_graph_hits(sf_dir):
+    """HITS hubs/authorities, 2 unrolled L1-normalized iterations over the
+    100-node directed graph (same graph and round-9 boundary discipline as
+    graph_pagerank); per half-iteration: one guarded edge-stream lookup join
+    + one keyed sum + one driver scalar."""
+    import pyarrow as _pa
+
+    from text_to_graph_ray.functions.graph import hits_scores
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import numpy as _np
+
+        if b.num_rows == 0:
+            return _pa.schema([("src", _pa.int64()), ("dst", _pa.int64())]).empty_table()
+        pk = _np.asarray(b.column("l_partkey"), dtype=_np.int64) % 100
+        sk = _np.asarray(b.column("l_suppkey"), dtype=_np.int64) % 100
+        return _pa.table({"src": _pa.array(pk), "dst": _pa.array(sk)})
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    from text_to_graph_ray.functions.agg import distinct_rows
+
+    edges = distinct_rows(ds, ["src", "dst"], _pa.schema([("src", _pa.int64()), ("dst", _pa.int64())]))
+    return hits_scores(edges, iters=2)
+
+
+def _q_graph_link_jaccard(sf_dir):
+    """Jaccard-coefficient link prediction over the 1000-node graph: top-100
+    non-adjacent pairs by cn / (deg u + deg v - cn), quantized EXACTLY as
+    (10^9 * cn) // denom so the rank cut is integer-identical on both
+    engines; degrees ride one node-keyed combiner aggregate + two guarded
+    lookup joins."""
+    from text_to_graph_ray.functions.graph import common_neighbor_topk
+    from text_to_graph_ray.util import read_parquet_clean
+
+    def to_edges(b):
+        import numpy as np
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey").to_pylist(), dtype=np.int64)
+        return pa.table({"src": pa.array(pk % 1000, type=pa.int64()), "dst": pa.array(sk % 1000, type=pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return common_neighbor_topk(ds, k=100, min_common=2, rank_by="jaccard", include_ra=True)
+
+
 def _q_graph_scc(sf_dir):
     """Directed strongly connected components over a 251-node graph derived
     from first-line lineitems (src=o%251, dst=p%251): guarded driver Tarjan
@@ -2559,6 +2612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "graph_hits": _q_graph_hits,
+        "graph_link_jaccard": _q_graph_link_jaccard,
         "graph_scc": _q_graph_scc,
         "rel_gini": _q_rel_gini,
         "rel_nation_volume": _q_rel_nation_volume,
@@ -2764,6 +2819,44 @@ def oracle_sql() -> dict[str, str]:
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
     return {
+        "graph_hits": (
+            # 2 unrolled HITS iterations, L1 normalization + round(_, 9) at
+            # every boundary (the pagerank discipline); dangling ends fill 0
+            "WITH edges AS (SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst FROM lineitem), "
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+            "nn AS (SELECT count(*)::DOUBLE AS c FROM nodes), "
+            "h0 AS (SELECT node, round(1.0 / (SELECT c FROM nn), 9) AS s FROM nodes), "
+            "a1r AS (SELECT e.dst AS node, sum(h0.s) AS r FROM edges e JOIN h0 ON e.src = h0.node GROUP BY e.dst), "
+            "a1 AS (SELECT n.node, round(COALESCE(a1r.r, 0) / (SELECT sum(r) FROM a1r), 9) AS s "
+            "FROM nodes n LEFT JOIN a1r ON n.node = a1r.node), "
+            "h1r AS (SELECT e.src AS node, sum(a1.s) AS r FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src), "
+            "h1 AS (SELECT n.node, round(COALESCE(h1r.r, 0) / (SELECT sum(r) FROM h1r), 9) AS s "
+            "FROM nodes n LEFT JOIN h1r ON n.node = h1r.node), "
+            "a2r AS (SELECT e.dst AS node, sum(h1.s) AS r FROM edges e JOIN h1 ON e.src = h1.node GROUP BY e.dst), "
+            "a2 AS (SELECT n.node, round(COALESCE(a2r.r, 0) / (SELECT sum(r) FROM a2r), 9) AS s "
+            "FROM nodes n LEFT JOIN a2r ON n.node = a2r.node), "
+            "h2r AS (SELECT e.src AS node, sum(a2.s) AS r FROM edges e JOIN a2 ON e.dst = a2.node GROUP BY e.src), "
+            "h2 AS (SELECT n.node, round(COALESCE(h2r.r, 0) / (SELECT sum(r) FROM h2r), 9) AS s "
+            "FROM nodes n LEFT JOIN h2r ON n.node = h2r.node) "
+            "SELECT a2.node::BIGINT AS node, a2.s AS authority, h2.s AS hub "
+            "FROM a2 JOIN h2 ON a2.node = h2.node ORDER BY node"
+        ),
+        "graph_link_jaccard": (
+            # same canonical CTEs as graph_link_ra; rank metric quantized as
+            # (10^9 * cn) // (du + dv - cn) — exact integer division on both
+            # engines, so the LIMIT cut is bit-identical
+            "WITH raw AS (SELECT l_partkey % 1000 AS x, l_suppkey % 1000 AS y FROM lineitem), "
+            "e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y), "
+            "adj AS MATERIALIZED (SELECT a AS c, b AS nb FROM e UNION ALL SELECT b, a FROM e), "
+            "deg AS MATERIALIZED (SELECT c AS node, count(*)::BIGINT AS d FROM adj GROUP BY 1), "
+            "cn AS (SELECT x.c AS u, y.c AS v, count(*)::BIGINT AS cn "
+            " FROM adj x JOIN adj y ON x.nb = y.nb AND x.c < y.c GROUP BY 1, 2), "
+            "j AS (SELECT u, v, cn, (1000000000 * cn) // (du.d + dv.d - cn) AS q "
+            " FROM cn JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v) "
+            "SELECT u, v, cn, round(q::DOUBLE / 1e9, 6) AS jaccard "
+            "FROM j LEFT JOIN e ON e.a = j.u AND e.b = j.v "
+            "WHERE e.a IS NULL AND cn >= 2 ORDER BY q DESC, u, v LIMIT 100"
+        ),
         "graph_scc": (
             # mutual reachability via one recursive closure; scc_id is the
             # min over the node's mutually-reachable set (node included)

@@ -2085,3 +2085,88 @@ class TestStronglyConnectedComponents:
         empty = pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())})
         out = scc(_ray.data.from_arrow(empty))
         assert out.count() == 0
+
+
+class TestJaccardLinkPrediction:
+    def test_matches_naive_random(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import common_neighbor_topk
+
+        rng = np.random.default_rng(5)
+        raw = {(int(a), int(b)) for a, b in rng.integers(0, 25, size=(120, 2)) if a != b}
+        edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = []
+        nodes = sorted(adj)
+        eset = set(edges)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1:]:
+                if (u, v) in eset:
+                    continue
+                cn = len(adj[u] & adj[v])
+                if cn >= 2:
+                    q = (10**9 * cn) // (len(adj[u]) + len(adj[v]) - cn)
+                    want.append((u, v, cn, q))
+        want.sort(key=lambda r: (-r[3], r[0], r[1]))
+        want = [(u, v, cn, round(q / 1e9, 6)) for u, v, cn, q in want[:10]]
+
+        t = pa.table({"src": pa.array([a for a, _ in raw], type=pa.int64()),
+                      "dst": pa.array([b for _, b in raw], type=pa.int64())})
+        got = common_neighbor_topk(_ray.data.from_arrow(t).repartition(3), k=10,
+                                   min_common=2, rank_by="jaccard", include_ra=True).to_pandas()
+        assert list(got.columns) == ["u", "v", "cn", "jaccard"]
+        assert list(got.itertuples(index=False, name=None)) == want
+
+    def test_min_common_guard(self, ray_session):
+        import ray as _ray
+        import pytest as _pytest
+
+        from text_to_graph_ray.functions.graph import common_neighbor_topk
+
+        t = pa.table({"src": pa.array([1], type=pa.int64()), "dst": pa.array([2], type=pa.int64())})
+        with _pytest.raises(ValueError):
+            common_neighbor_topk(_ray.data.from_arrow(t), min_common=0, rank_by="jaccard")
+
+
+class TestHits:
+    def test_matches_naive_and_l1(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import hits_scores
+
+        rng = np.random.default_rng(9)
+        edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 20, size=(60, 2))})
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        h = np.full(n, round(1.0 / n, 9))
+        a = None
+        for _ in range(2):
+            ar = np.zeros(n)
+            for s, d in edges:
+                ar[idx[d]] += h[idx[s]]
+            a = np.round(ar / ar.sum(), 9)
+            hr = np.zeros(n)
+            for s, d in edges:
+                hr[idx[s]] += a[idx[d]]
+            h = np.round(hr / hr.sum(), 9)
+        t = pa.table({"src": pa.array([s for s, _ in edges], type=pa.int64()),
+                      "dst": pa.array([d for _, d in edges], type=pa.int64())})
+        got = hits_scores(_ray.data.from_arrow(t).repartition(4), iters=2).to_pandas()
+        assert got["node"].tolist() == nodes
+        assert np.array_equal(got["authority"].to_numpy(), a)
+        assert np.array_equal(got["hub"].to_numpy(), h)
+        assert abs(got["authority"].sum() - 1.0) < 1e-6
+        assert abs(got["hub"].sum() - 1.0) < 1e-6
+
+    def test_empty(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import hits_scores
+
+        empty = pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())})
+        assert hits_scores(_ray.data.from_arrow(empty)).count() == 0

@@ -957,7 +957,9 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
     n_edges = edges.count()
     out_fields = [("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64())]
     if include_ra:
-        out_fields.append(("ra", pa.float64()))
+        # the appended score column carries the rank metric: ra for the RA
+        # ranking, jaccard for the Jaccard ranking (both = q / 1e9)
+        out_fields.append(("jaccard" if rank_by == "jaccard" else "ra", pa.float64()))
     out_schema = pa.schema(out_fields)
     if n_edges == 0:
         import ray.data as rd
@@ -1114,7 +1116,61 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
             kept_schema, num_buckets,
         )
 
-    rank_col = "q" if rank_by == "ra" else "cn"
+    if rank_by == "jaccard":
+        # Jaccard(u, v) = cn / (deg u + deg v - cn), quantized EXACTLY as
+        # (10^9 * cn) // denom (integer division, no libm) into the same
+        # ``q`` rank column the RA path uses.  Degrees come from ONE
+        # node-keyed combiner aggregate over the symmetrized edge stream
+        # and attach via two guarded lookup_joins (node-set-sized side).
+        # denom >= cn >= min_common >= 1, so the division is total.
+        from text_to_graph_ray.functions.joins import lookup_join
+
+        if min_common < 1:
+            raise ValueError("rank_by='jaccard' requires min_common >= 1")
+        deg_part = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return deg_part.empty_table()
+            g = t.select(["s"]).group_by("s").aggregate([("s", "count")])
+            return pa.table({"node": g.column("s"), "deg": pc.cast(g.column("s_count"), pa.int64())},
+                            schema=deg_part)
+
+        deg = bucketed_aggregate(
+            edges.map_batches(symmetrize, batch_format="pyarrow").map_batches(
+                deg_partial, batch_format="pyarrow", batch_size=None
+            ),
+            "node", {"deg": ("deg", "sum")}, out_schema=deg_part, in_schema=deg_part,
+        )
+
+        def rename_deg(name):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({"node": t.column("node"), name: t.column("deg")}) if t.num_rows \
+                    else pa.schema([("node", pa.int64()), (name, pa.int64())]).empty_table()
+
+            return f
+
+        deg_u = deg.map_batches(rename_deg("deg_u"), batch_format="pyarrow")
+        deg_v = deg.map_batches(rename_deg("deg_v"), batch_format="pyarrow")
+        enriched = lookup_join(
+            lookup_join(nonadj, deg_u, key="lo", right_key="node", cols=["deg_u"]),
+            deg_v, key="hi", right_key="node", cols=["deg_v"],
+        )
+
+        def jaccard_q(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                  ("cn", pa.int64()), ("q", pa.int64())]).empty_table()
+            cnv = t.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
+            du = t.column("deg_u").to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = t.column("deg_v").to_numpy(zero_copy_only=False).astype(np.int64)
+            q = (np.int64(1_000_000_000) * cnv) // (du + dv - cnv)
+            return pa.table({"lo": t.column("lo"), "hi": t.column("hi"),
+                             "cn": t.column("cn"), "q": pa.array(q, type=pa.int64())})
+
+        nonadj = enriched.map_batches(jaccard_q, batch_format="pyarrow")
+
+    rank_col = "q" if rank_by in ("ra", "jaccard") else "cn"
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
@@ -1135,14 +1191,14 @@ def common_neighbor_topk(edges_ds, k: int = 100, min_common: int = 2,
                            "v": t.column("hi").to_numpy(zero_copy_only=False),
                            "cn": t.column("cn").to_numpy(zero_copy_only=False),
                            "q": t.column("q").to_numpy(zero_copy_only=False)})
-        rc = "q" if rank_by == "ra" else "cn"
+        rc = "q" if rank_by in ("ra", "jaccard") else "cn"
         df = df.sort_values([rc, "u", "v"], ascending=[False, True, True], kind="mergesort").head(k)
         cols = {"u": pa.array(df["u"].to_numpy(dtype=np.int64), type=pa.int64()),
                 "v": pa.array(df["v"].to_numpy(dtype=np.int64), type=pa.int64()),
                 "cn": pa.array(df["cn"].to_numpy(dtype=np.int64), type=pa.int64())}
         if include_ra:
             ra = df["q"].to_numpy(dtype=np.int64).astype(np.float64) / 1e9
-            cols["ra"] = pa.array([round(float(x), 6) for x in ra], type=pa.float64())
+            cols[out_schema.names[-1]] = pa.array([round(float(x), 6) for x in ra], type=pa.float64())
         return pa.table(cols, schema=out_schema)
 
     return (
@@ -1672,3 +1728,110 @@ def strongly_connected_components(edges_ds, src_col: str = "src", dst_col: str =
     for p in emitted[1:]:
         out = out.union(p)
     return sort_coalesced(out, "node")
+
+
+def hits_scores(edges_ds, iters: int = 2, src_col: str = "src", dst_col: str = "dst",
+                node_type: pa.DataType = None):
+    """HITS hubs-and-authorities (Kleinberg 1999), ``iters`` full unrolled
+    iterations with L1 normalization: a_t(v) = Σ_{u→v} h_{t-1}(u) then
+    a_t /= Σa_t; h_t(u) = Σ_{u→v} a_t(v) then h_t /= Σh_t.  round(_, 9) at
+    every normalization boundary on both engines (the pagerank float
+    discipline): association-order drift in the keyed sums and in the global
+    L1 scalar is ~1e-15 relative, orders of magnitude inside the 5e-10
+    rounding window, so engine and SQL oracle emit identical doubles.
+
+    Scale shape per half-iteration: ONE guarded lookup_join of the edge
+    stream against the node-set-sized score table (broadcast under the row
+    guard, bucketed exchange past it) + ONE keyed sum + ONE driver scalar —
+    the bfs/pagerank per-round shape.  Dangling ends contribute 0 via the
+    LEFT-outer fill, exactly as the oracle's COALESCE."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+    from text_to_graph_ray.functions.joins import lookup_join
+
+    node_type = node_type or pa.int64()
+    node_schema = pa.schema([("node", node_type)])
+    score_schema = pa.schema([("node", node_type), ("s", pa.float64())])
+
+    def to_nodes(col):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return node_schema.empty_table()
+            return pa.table({"node": pc.cast(t.column(col), node_type)}, schema=node_schema)
+
+        return f
+
+    edges = edges_ds.materialize()
+    out_schema = pa.schema([("node", node_type), ("authority", pa.float64()), ("hub", pa.float64())])
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    nodes = distinct_rows(
+        edges.map_batches(to_nodes(src_col), batch_format="pyarrow").union(
+            edges.map_batches(to_nodes(dst_col), batch_format="pyarrow")
+        ),
+        "node", node_schema,
+    ).materialize()
+    n = nodes.count()
+    h0 = round(1.0 / n, 9)
+    h = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "s": pa.array(np.full(t.num_rows, h0))}, schema=score_schema)
+        if t.num_rows else score_schema.empty_table(),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def half_step(scores, from_col: str, to_col: str):
+        """push ``scores`` along from_col -> to_col, L1-normalize, round 9."""
+        enriched = lookup_join(edges, scores, key=from_col, right_key="node", cols=["s"])
+        msgs = enriched.map_batches(
+            lambda t: pa.table(
+                {"node": pc.cast(t.column(to_col), node_type), "s": pc.cast(t.column("s"), pa.float64())},
+                schema=score_schema,
+            )
+            if t.num_rows else score_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        sums = msgs.groupby("node").aggregate(Sum("s", alias_name="raw")).materialize()
+        total = sums.sum("raw") or 1.0
+        filled = lookup_join(nodes, sums, key="node", right_key="node", cols=["raw"])
+
+        def norm(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return score_schema.empty_table()
+            raw = t.column("raw").to_pandas().fillna(0.0).to_numpy(dtype=np.float64)
+            return pa.table({"node": t.column("node"), "s": pa.array(np.round(raw / total, 9))},
+                            schema=score_schema)
+
+        return filled.map_batches(norm, batch_format="pyarrow").materialize()
+
+    a = None
+    for _ in range(iters):
+        a = half_step(h, src_col, dst_col)   # authorities collect hub mass
+        h = half_step(a, dst_col, src_col)   # hubs collect authority mass
+
+    a2 = a.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "authority": t.column("s")})
+        if t.num_rows else pa.schema([("node", node_type), ("authority", pa.float64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    joined = lookup_join(
+        a2, h.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "hub": t.column("s")})
+            if t.num_rows else pa.schema([("node", node_type), ("hub", pa.float64())]).empty_table(),
+            batch_format="pyarrow",
+        ),
+        key="node", right_key="node", cols=["hub"],
+    )
+    from text_to_graph_ray.util import sort_coalesced
+
+    return sort_coalesced(
+        joined.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "authority": t.column("authority"),
+                                "hub": t.column("hub")}, schema=out_schema)
+            if t.num_rows else out_schema.empty_table(),
+            batch_format="pyarrow",
+        ),
+        "node",
+    )
