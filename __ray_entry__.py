@@ -2128,6 +2128,80 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _ktruss_mod(sf_dir: str) -> int:
+    """Data-derived node-space size (~avg degree 34 at any sf over the
+    first-two-lines subgraph): footer row count only, no scan."""
+    import pyarrow.parquet as pq
+
+    return max(2, pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows // 60)
+
+
+def _ktruss_sql(mod: int, k: int = 4, rounds: int = 3) -> str:
+    """Unrolled bounded k-truss oracle: per round a MATERIALIZED triangle CTE
+    (compact-forward enumeration: e1=(a,y) ⋈ e2=(a,z>y) ⋈ e3=(y,z) — every
+    triangle once) fans its THREE edges into a per-edge support count, then
+    filters sup >= k-2; the final SELECT LEFT-joins the surviving edges to a
+    support recount WITHIN the surviving set so zero-support edges (round
+    budget exhausted before fixpoint) surface with sup = 0, exactly the
+    engine's contract."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least(l_orderkey % {mod}, l_partkey % {mod}) AS a, "
+        f"greatest(l_orderkey % {mod}, l_partkey % {mod}) AS b FROM lineitem "
+        f"WHERE l_linenumber <= 2 AND l_orderkey % {mod} <> l_partkey % {mod})"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f", t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e{r} e1 "
+            f"JOIN e{r} e2 ON e2.a = e1.a AND e2.b > e1.b "
+            f"JOIN e{r} e3 ON e3.a = e1.b AND e3.b = e2.b)"
+            f", s{r} AS MATERIALIZED (SELECT a, b, count(*)::BIGINT AS sup FROM "
+            f"(SELECT x AS a, y AS b FROM t{r} UNION ALL SELECT x, z FROM t{r} "
+            f"UNION ALL SELECT y, z FROM t{r}) GROUP BY a, b)"
+            f", e{r + 1} AS MATERIALIZED (SELECT a, b FROM s{r} WHERE sup >= {k - 2})"
+        )
+    parts.append(
+        f", tf AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e{rounds} e1 "
+        f"JOIN e{rounds} e2 ON e2.a = e1.a AND e2.b > e1.b "
+        f"JOIN e{rounds} e3 ON e3.a = e1.b AND e3.b = e2.b)"
+        f", sfin AS MATERIALIZED (SELECT a, b, count(*)::BIGINT AS sup FROM "
+        f"(SELECT x AS a, y AS b FROM tf UNION ALL SELECT x, z FROM tf "
+        f"UNION ALL SELECT y, z FROM tf) GROUP BY a, b)"
+        f" SELECT e.a, e.b, coalesce(s.sup, 0)::BIGINT AS sup FROM e{rounds} e "
+        f"LEFT JOIN sfin s ON e.a = s.a AND e.b = s.b ORDER BY e.a, e.b"
+    )
+    return "".join(parts)
+
+
+def _q_graph_ktruss(sf_dir):
+    """Bounded k-truss peeling (k=4, 3 rounds) over the data-sized mod graph:
+    per round one degree-oriented per-edge support pass (wedge volume
+    Σ outdeg², outdeg O(√m); only (a, b, cnt) combiner partials cross the
+    exchanges) + an answer-sized filter. The round budget is deliberately
+    short of fixpoint at sf0.01 (peel 5417→1786→567) so the zero-support
+    left-join output path is exercised by the hash oracle."""
+    import numpy as np
+
+    from text_to_graph_ray.functions.graph import ktruss_bounded
+
+    mod = _ktruss_mod(sf_dir)
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        ln = np.asarray(b.column("l_linenumber").to_pylist(), dtype=np.int64)
+        keep = ln <= 2
+        ok = np.asarray(b.column("l_orderkey").to_pylist(), dtype=np.int64)[keep]
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64)[keep]
+        return pa.table({"src": pa.array(ok % mod, type=pa.int64()), "dst": pa.array(pk % mod, type=pa.int64())})
+
+    edges = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_linenumber"]
+    ).map_batches(to_edges, batch_format="pyarrow")
+    return ktruss_bounded(edges, k=4, max_rounds=3)
+
+
 def _q_rel_copart_pairs(sf_dir):
     """Supplier-bucket pairs that co-occur in >= n_orders/170 orders
     (bipartite co-occurrence projection): exact distinct (order, supplier
@@ -2612,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "graph_ktruss": _q_graph_ktruss,
         "graph_hits": _q_graph_hits,
         "graph_link_jaccard": _q_graph_link_jaccard,
         "graph_scc": _q_graph_scc,
@@ -3881,6 +3956,7 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY 1, 2 HAVING count(*) >= {_copart_min_count(_SF01)} ORDER BY 1, 2"
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
+        "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
         "events_cdc_merge": (
             # change set derived identically on both engines; winner = max
             # (side, ver); tombstones (ver 3) drop the key

@@ -2170,3 +2170,85 @@ class TestHits:
 
         empty = pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())})
         assert hits_scores(_ray.data.from_arrow(empty)).count() == 0
+
+
+def _naive_ktruss(pairs, k, max_rounds):
+    """Reference bounded k-truss peel + final within-set support recount."""
+    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    for _ in range(max_rounds):
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in E}
+        e2 = {e for e in E if sup[e] >= k - 2}
+        if len(e2) == len(E):
+            break
+        E = e2
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sorted((a, b, len(adj[a] & adj[b])) for a, b in E)
+
+
+class TestKTruss:
+    def _run(self, pairs, **kw):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import ktruss_bounded
+
+        t = pa.table({"src": pa.array([a for a, _ in pairs], type=pa.int64()),
+                      "dst": pa.array([b for _, b in pairs], type=pa.int64())})
+        got = ktruss_bounded(_ray.data.from_arrow(t).repartition(4), **kw).take_all()
+        return sorted((r["a"], r["b"], r["sup"]) for r in got)
+
+    def test_k4_complete_is_4truss(self, ray_session):
+        pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        # K4: every edge closes 2 triangles — the whole graph survives k=4
+        assert self._run(pairs, k=4, max_rounds=3) == [(a, b, 2) for a, b in pairs]
+
+    def test_k4_minus_edge_peels_away(self, ray_session):
+        pairs = [(i, j) for i in range(4) for j in range(i + 1, 4) if (i, j) != (2, 3)]
+        # removing one edge leaves every edge with support <= 1 < k-2
+        assert self._run(pairs, k=4, max_rounds=3) == []
+
+    def test_random_matches_naive_all_round_budgets(self, ray_session):
+        rng = np.random.default_rng(11)
+        pairs = list(zip(rng.integers(0, 50, 400).tolist(), rng.integers(0, 50, 400).tolist()))
+        for k in (4, 6):
+            for mr in (1, 2, 4):
+                assert self._run(pairs, k=k, max_rounds=mr) == _naive_ktruss(pairs, k, mr), (k, mr)
+
+    def test_fallback_plan_identical(self, ray_session):
+        # deg_broadcast_max=0 forces the distributed degree joins AND the
+        # side-tagged closing exchange in _edge_support
+        rng = np.random.default_rng(12)
+        pairs = list(zip(rng.integers(0, 40, 300).tolist(), rng.integers(0, 40, 300).tolist()))
+        exp = self._run(pairs, k=5, max_rounds=2)
+        assert self._run(pairs, k=5, max_rounds=2, deg_broadcast_max=0) == exp
+        assert exp == _naive_ktruss(pairs, 5, 2)
+
+    def test_mid_peel_zero_support_surfaces(self, ray_session):
+        # a triangle chain: peeling the tail with a 1-round budget leaves
+        # edges whose within-set support is 0 — they must appear with sup=0
+        pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5)]
+        got = self._run(pairs, k=3, max_rounds=1)
+        assert got == _naive_ktruss(pairs, 3, 1)
+        assert all(s >= 0 for _, _, s in got)
+
+    def test_stats_and_fixpoint(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import ktruss_bounded
+
+        pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]  # K5
+        t = pa.table({"src": pa.array([a for a, _ in pairs], type=pa.int64()),
+                      "dst": pa.array([b for _, b in pairs], type=pa.int64())})
+        stats = {}
+        got = ktruss_bounded(_ray.data.from_arrow(t), k=5, max_rounds=4, stats=stats).take_all()
+        assert stats["ktruss_fixpoint"] is True
+        assert stats["ktruss_rounds"][-1] == len(got) == len(pairs)  # K5 is a 5-truss
+
+    def test_empty(self, ray_session):
+        assert self._run([], k=4, max_rounds=2) == []

@@ -1835,3 +1835,320 @@ def hits_scores(edges_ds, iters: int = 2, src_col: str = "src", dst_col: str = "
         ),
         "node",
     )
+
+
+def _edge_support(edges, num_buckets: int = 64, deg_broadcast_max: int = 5_000_000):
+    """Per-EDGE triangle support over a MATERIALIZED, canonical (a < b),
+    DISTINCT undirected edge Dataset: (a, b, sup) for every edge that closes
+    at least one triangle.
+
+    Same degree-ordered compact-forward wedge plan as ``triangle_counts``
+    (wedge volume Σ outdeg² with outdeg O(√m)); the difference is the
+    partial: each closed wedge (s; lo, hi) credits its THREE triangle edges
+    — canon(s, lo), canon(s, hi), (lo, hi) — and each bucket PRE-COUNTS
+    those edge keys, so the final exchange carries (a, b, cnt) combiner
+    partials (O(edges-per-bucket) rows), never 3T triangle rows. The packed
+    uint64 closing-set broadcast and the side-tagged bucketed fallback are
+    both here, value-identical (equivalence-tested via deg_broadcast_max=0).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from text_to_graph_ray.functions.agg import (
+        bucket_exchange, bucketed_aggregate, with_bucket,
+    )
+
+    deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+    sup_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("sup", pa.int64())])
+    part_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cnt", pa.int64())])
+    ori_schema = pa.schema([("s", pa.int64()), ("t", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(), t.column("b").combine_chunks()
+        ])})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "node", {"d": ("node", "size")},
+        out_schema=deg_schema, num_buckets=num_buckets,
+        in_schema=pa.schema([("node", pa.int64())]),
+    ).materialize()
+    n_nodes = deg.count()
+
+    def orient_arrays(a: np.ndarray, b: np.ndarray, da: np.ndarray, db: np.ndarray) -> pa.Table:
+        fwd = da <= db  # a < b by id, so (deg, id) tie-break is da <= db
+        return pa.table({
+            "s": pa.array(np.where(fwd, a, b), type=pa.int64()),
+            "t": pa.array(np.where(fwd, b, a), type=pa.int64()),
+        }, schema=ori_schema)
+
+    if n_nodes <= deg_broadcast_max:
+        blocks = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            dt = pa.concat_tables(blocks)
+            nodes_np = np.asarray(dt.column("node").to_pylist(), dtype=np.int64)
+            degs_np = np.asarray(dt.column("d").to_pylist(), dtype=np.int64)
+            order = np.argsort(nodes_np)
+            deg_ref = ray.put((nodes_np[order], degs_np[order]))
+        else:
+            deg_ref = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return ori_schema.empty_table()
+            nodes_s, degs_s = ray.get(deg_ref)
+            a = np.asarray(t.column("a").to_pylist(), dtype=np.int64)
+            b = np.asarray(t.column("b").to_pylist(), dtype=np.int64)
+            return orient_arrays(a, b, degs_s[np.searchsorted(nodes_s, a)],
+                                 degs_s[np.searchsorted(nodes_s, b)])
+
+        oriented = edges.map_batches(orient_bcast, batch_format="pyarrow")
+    else:
+        from text_to_graph_ray.functions.dedup import join_partitions_for
+
+        deg_b = deg.map_batches(
+            lambda t: pa.table({"node_b": t.column("node"), "db": t.column("d")}) if t.num_rows
+            else pa.schema([("node_b", pa.int64()), ("db", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        )
+        j = edges.join(deg, join_type="inner", num_partitions=join_partitions_for(),
+                       on=("a",), right_on=("node",), partition_size_hint=16 << 20)
+        j = j.join(deg_b, join_type="inner", num_partitions=join_partitions_for(),
+                   on=("b",), right_on=("node_b",), partition_size_hint=16 << 20)
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return ori_schema.empty_table()
+            a = np.asarray(t.column("a").to_pylist(), dtype=np.int64)
+            b = np.asarray(t.column("b").to_pylist(), dtype=np.int64)
+            da = np.asarray(t.column("d").to_pylist(), dtype=np.int64)
+            db = np.asarray(t.column("db").to_pylist(), dtype=np.int64)
+            return orient_arrays(a, b, da, db)
+
+        oriented = j.map_batches(orient_joined, batch_format="pyarrow")
+
+    def edge_partial(s_i: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> pa.Table:
+        # the three edges of each closed wedge, id-canonicalized, pre-counted
+        ea = np.concatenate([np.minimum(s_i, lo), np.minimum(s_i, hi), lo])
+        eb = np.concatenate([np.maximum(s_i, lo), np.maximum(s_i, hi), hi])
+        if len(ea) and int(eb.max()) < 2**31 and int(ea.min()) >= 0:
+            key = (ea.astype(np.uint64) << np.uint64(32)) | eb.astype(np.uint64)
+            uk, cnt = np.unique(key, return_counts=True)
+            ea_u = (uk >> np.uint64(32)).astype(np.int64)
+            eb_u = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            return pa.table({"a": pa.array(ea_u), "b": pa.array(eb_u),
+                             "cnt": pa.array(cnt.astype(np.int64))}, schema=part_schema)
+        import pandas as pd
+
+        g = pd.DataFrame({"a": ea, "b": eb}).groupby(["a", "b"], sort=False).size().reset_index(name="cnt")
+        return pa.table({"a": pa.array(g["a"], type=pa.int64()), "b": pa.array(g["b"], type=pa.int64()),
+                         "cnt": pa.array(g["cnt"], type=pa.int64())}, schema=part_schema)
+
+    def wedge_arrays(df):
+        return _center_pair_arrays(
+            df["s"].to_numpy(dtype=np.int64), df["t"].to_numpy(dtype=np.int64)
+        )
+
+    n_edges = edges.count()
+    max_id = None
+    if n_edges and n_edges <= deg_broadcast_max:
+        mx = [pc.max(t.column("b")).as_py() for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        max_id = max(mx) if mx else None
+    mn_ok = True
+    if max_id is not None:
+        mns = [pc.min(t.column("a")).as_py() for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        mn_ok = bool(mns) and min(mns) >= 0
+    if max_id is not None and max_id < 2**31 and mn_ok:
+        eb_ = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        et = pa.concat_tables(eb_)
+        ea_ = et.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ebn = et.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        edge_ref = ray.put(np.sort((ea_ << np.uint64(32)) | ebn))
+
+        def wedges_support_bucket(df) -> pa.Table:
+            if len(df) == 0:
+                return part_schema.empty_table()
+            w = wedge_arrays(df)
+            if w is None:
+                return part_schema.empty_table()
+            s_i, lo, hi = w
+            keys = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+            es = ray.get(edge_ref)
+            pos = np.minimum(np.searchsorted(es, keys), len(es) - 1)
+            hit = es[pos] == keys
+            if not hit.any():
+                return part_schema.empty_table()
+            return edge_partial(s_i[hit], lo[hit], hi[hit])
+
+        partials = bucket_exchange(
+            with_bucket(oriented, "s", num_buckets, in_schema=ori_schema),
+            wedges_support_bucket, part_schema, num_buckets,
+        )
+    else:
+        # side-tagged bucketed closing join (see triangle_counts for why not
+        # Dataset.join), edge partials pre-counted per bucket
+        wedge_schema = pa.schema([("s", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
+
+        def wedges_per_bucket(df) -> pa.Table:
+            if len(df) == 0:
+                return wedge_schema.empty_table()
+            w = wedge_arrays(df)
+            if w is None:
+                return wedge_schema.empty_table()
+            s_i, lo, hi = w
+            return pa.table({"s": pa.array(s_i, type=pa.int64()),
+                             "lo": pa.array(lo, type=pa.int64()),
+                             "hi": pa.array(hi, type=pa.int64())}, schema=wedge_schema)
+
+        wedges = bucket_exchange(
+            with_bucket(oriented, "s", num_buckets, in_schema=ori_schema),
+            wedges_per_bucket, wedge_schema, num_buckets,
+        )
+
+        tag_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("s", pa.int64()), ("side", pa.int64())])
+
+        def tag(side: int, lo_col: str, hi_col: str, s_col: str | None):
+            def f(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return tag_schema.empty_table()
+                svals = t.column(s_col) if s_col else pa.nulls(t.num_rows, type=pa.int64())
+                return pa.table({
+                    "lo": t.column(lo_col), "hi": t.column(hi_col), "s": svals,
+                    "side": pa.array(np.full(t.num_rows, side), type=pa.int64()),
+                }, schema=tag_schema)
+
+            return f
+
+        unioned = edges.map_batches(tag(0, "a", "b", None), batch_format="pyarrow").union(
+            wedges.map_batches(tag(1, "lo", "hi", "s"), batch_format="pyarrow")
+        )
+
+        def close_bucket(df) -> pa.Table:
+            if len(df) == 0:
+                return part_schema.empty_table()
+            e = df[df["side"] == 0]
+            w = df[df["side"] == 1]
+            if len(e) == 0 or len(w) == 0:
+                return part_schema.empty_table()
+            m = w.merge(e[["lo", "hi"]], on=["lo", "hi"], how="inner")
+            if len(m) == 0:
+                return part_schema.empty_table()
+            return edge_partial(m["s"].to_numpy(dtype=np.int64),
+                                m["lo"].to_numpy(dtype=np.int64),
+                                m["hi"].to_numpy(dtype=np.int64))
+
+        partials = bucket_exchange(
+            with_bucket(unioned, ["lo", "hi"], num_buckets, in_schema=tag_schema),
+            close_bucket, part_schema, num_buckets,
+        )
+
+    return bucketed_aggregate(partials, ["a", "b"], {"sup": ("cnt", "sum")},
+                              out_schema=sup_schema, num_buckets=num_buckets,
+                              in_schema=part_schema)
+
+
+def ktruss_bounded(edges_ds, k: int = 4, max_rounds: int = 3, src_col: str = "src",
+                   dst_col: str = "dst", num_buckets: int = 64,
+                   deg_broadcast_max: int = 5_000_000, stats: dict | None = None):
+    """Bounded k-truss peeling: ``max_rounds`` iterations of "drop every edge
+    whose triangle support < k-2" — the standard cohesive-subgraph /
+    community-core refinement one step stronger than k-core (every edge in a
+    k-truss is in >= k-2 triangles within the subgraph). Exactly
+    ``max_rounds`` peels are applied, stopping EARLY only at a fixpoint (no
+    edge removed — further peels are no-ops), so the semantics stay
+    unrolled-SQL-expressible; at fixpoint the output is the true k-truss.
+
+    Scale shape per round: one ``_edge_support`` pass (degree-oriented wedge
+    enumeration, Σ outdeg² with outdeg O(√m); only (a, b, cnt) combiner
+    partials cross the exchanges) followed by an answer-sized filter — the
+    edge set only shrinks. The driver holds per-round COUNTS only
+    (``stats["ktruss_rounds"]`` records them). Output: (a, b, sup) for the
+    surviving edges with support recomputed WITHIN the surviving subgraph
+    (sup = 0 surfaces real if the round budget ran out before fixpoint),
+    sorted by (a, b).
+    """
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+    from text_to_graph_ray.functions.joins import keyed_full_outer
+    from text_to_graph_ray.util import compact_nonempty, sort_coalesced
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("sup", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        s, d = pc.cast(t.column(src_col), pa.int64()), pc.cast(t.column(dst_col), pa.int64())
+        out = pa.table({"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    edges = compact_nonempty(distinct_rows(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"], edge_schema
+    ).materialize())
+    n_edges = edges.count()
+    rounds: list[int] = []
+    fixpoint = False
+    sup = None
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            fixpoint = True
+            break
+        sup = _edge_support(edges, num_buckets=num_buckets,
+                            deg_broadcast_max=deg_broadcast_max).materialize()
+
+        def survivors_only(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return edge_schema.empty_table()
+            keep = t.filter(pc.greater_equal(t.column("sup"), k - 2))
+            return pa.table({"a": keep.column("a"), "b": keep.column("b")}, schema=edge_schema)
+
+        pruned = compact_nonempty(
+            sup.map_batches(survivors_only, batch_format="pyarrow").materialize()
+        )
+        n_pruned = pruned.count()
+        rounds.append(n_pruned)
+        if n_pruned == n_edges:  # fixpoint: the support table IS final
+            fixpoint = True
+            break
+        edges, n_edges = pruned, n_pruned
+
+    if stats is not None:
+        stats["ktruss_rounds"] = rounds
+        stats["ktruss_fixpoint"] = fixpoint
+    import ray.data as rd
+
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    if fixpoint and sup is not None:
+        # every surviving edge has a support row >= k-2 > 0: reuse it
+        final = sup.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("sup"), k - 2)).select(["a", "b", "sup"])
+            if t.num_rows else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        return sort_coalesced(final, ["a", "b"])
+    # round budget exhausted mid-peel: recompute support within the final
+    # edge set and LEFT-join it back (zero-support edges surface with sup=0)
+    sup_final = _edge_support(edges, num_buckets=num_buckets,
+                              deg_broadcast_max=deg_broadcast_max)
+    tagged = edges.map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        if t.num_rows else pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                      ("one", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    fo = keyed_full_outer(tagged, sup_final, keys=["a", "b"], left_vals=["one"],
+                          right_vals=["sup"], num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.filter(pc.is_valid(t.column("one")))  # LEFT join semantics
+        s = pc.coalesce(t.column("sup"), pa.scalar(0.0))
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "sup": pc.cast(pc.round(s), pa.int64())}, schema=out_schema)
+
+    return sort_coalesced(fo.map_batches(finish, batch_format="pyarrow"), ["a", "b"])
