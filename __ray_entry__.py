@@ -2128,6 +2128,30 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_rel_regression(sf_dir):
+    """Per-returnflag OLS fit of extendedprice-cents on quantity: chunked
+    int64 sufficient sums folded in arbitrary-precision Python ints (the
+    grouped_corr_int discipline), finish = explicit IEEE op sequence over
+    exact integers mirrored op-for-op in HUGEINT SQL — no output rounding
+    needed, the doubles are bit-identical by construction."""
+    from text_to_graph_ray.functions.stats import grouped_ols_int
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return grouped_ols_int(ds, "l_returnflag", "l_quantity", "l_extendedprice", y_scale=100)
+
+
+def _q_events_user_ema(sf_dir):
+    """Per-user α=0.5 EMA of event value with every term integer (cents·10⁶
+    right-shifted by its age) so the sum is order-independent: one
+    user-keyed exchange + vectorized segment kernel; ema is one IEEE
+    division of the exact integer, bit-identical to the SQL mirror."""
+    from text_to_graph_ray.pipelines.analytics import user_ema
+
+    return user_ema(sf_dir)
+
+
 def _ktruss_mod(sf_dir: str) -> int:
     """Data-derived node-space size (~avg degree 34 at any sf over the
     first-two-lines subgraph): footer row count only, no scan."""
@@ -2687,6 +2711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
         "graph_ktruss": _q_graph_ktruss,
+        "rel_regression": _q_rel_regression,
+        "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
         "graph_link_jaccard": _q_graph_link_jaccard,
         "graph_scc": _q_graph_scc,
@@ -3957,6 +3983,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "rel_regression": (
+            # exact HUGEINT sufficient sums (sum(BIGINT) widens in DuckDB);
+            # finish CASTs each exact integer to DOUBLE and applies the SAME
+            # IEEE op sequence as grouped_ols_int — no rounding either side
+            "WITH v AS (SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT) AS x, "
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y FROM lineitem), "
+            "s AS (SELECT l_returnflag, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM v GROUP BY l_returnflag), "
+            "f AS (SELECT l_returnflag, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS varx, "
+            "n * syy - sy * sy AS vary, sx, sy FROM s), "
+            "g AS (SELECT l_returnflag, n, CAST(num AS DOUBLE) / CAST(varx AS DOUBLE) AS slope, "
+            "num, varx, vary, sx, sy FROM f) "
+            "SELECT l_returnflag, n::BIGINT AS n, slope, "
+            "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept, "
+            "(CAST(num AS DOUBLE) / (sqrt(CAST(varx AS DOUBLE)) * sqrt(CAST(vary AS DOUBLE)))) * "
+            "(CAST(num AS DOUBLE) / (sqrt(CAST(varx AS DOUBLE)) * sqrt(CAST(vary AS DOUBLE)))) AS r2 "
+            "FROM g ORDER BY l_returnflag"
+        ),
+        "events_user_ema": (
+            # every term is (cents·10⁶) >> min(age, 62): integer floor-divide
+            # by a power of two on BOTH engines (values are non-negative, so
+            # DuckDB's truncating // equals the shift's floor); the final
+            # ema is one exact-int-to-double division, no round() call
+            "WITH b AS (SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts, event_id FROM events), "
+            "w AS (SELECT user_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS cnt FROM b), "
+            "t AS (SELECT user_id, cnt, (cents * 1000000) // (1::BIGINT << "
+            "CAST(LEAST(CASE WHEN rn = 1 THEN cnt - 1 ELSE cnt - rn + 1 END, 62) AS INTEGER)) AS term FROM w) "
+            "SELECT user_id, any_value(cnt)::BIGINT AS n_events, sum(term)::BIGINT AS ema_q, "
+            "CAST(sum(term) AS DOUBLE) / 1e8 AS ema FROM t GROUP BY user_id ORDER BY user_id"
+        ),
         "events_cdc_merge": (
             # change set derived identically on both engines; winner = max
             # (side, ver); tombstones (ver 3) drop the key

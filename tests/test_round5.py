@@ -2252,3 +2252,103 @@ class TestKTruss:
 
     def test_empty(self, ray_session):
         assert self._run([], k=4, max_rounds=2) == []
+
+
+class TestGroupedOls:
+    def test_matches_closed_form(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import grouped_ols_int
+
+        rng = np.random.default_rng(21)
+        n = 500
+        key = rng.choice(["a", "b", "c"], n)
+        x = rng.integers(1, 50, n).astype(np.float64)
+        y = (3.25 * x + rng.normal(0, 5, n)).round(2)
+        t = pa.table({"k": pa.array(key), "x": pa.array(x), "y": pa.array(y)})
+        got = grouped_ols_int(
+            _ray.data.from_arrow(t).repartition(4), "k", "x", "y", y_scale=100, chunk_rows=37
+        ).to_pandas()
+        for _, r in got.iterrows():
+            m = key == r["k"]
+            xi = np.floor(x[m] + 0.5).astype(np.int64)
+            yi = np.floor(y[m] * 100 + 0.5).astype(np.int64)
+            nn, sx, sy = len(xi), int(xi.sum()), int(yi.sum())
+            sxy = int((xi * yi).sum())
+            sxx = int((xi * xi).sum())
+            syy = int((yi * yi).sum())
+            num, varx, vary = nn * sxy - sx * sy, nn * sxx - sx * sx, nn * syy - sy * sy
+            slope = float(num) / float(varx)
+            assert r["slope"] == slope
+            assert r["intercept"] == (float(sy) - slope * float(sx)) / float(nn)
+            corr = float(num) / (np.sqrt(float(varx)) * np.sqrt(float(vary)))
+            assert r["r2"] == corr * corr
+            # sanity: slope in cents/unit ≈ 325
+            assert 250 < r["slope"] < 400
+
+    def test_zero_variance_group_is_null(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.stats import grouped_ols_int
+
+        t = pa.table({"k": pa.array(["z"] * 5 + ["w"] * 5),
+                      "x": pa.array([2.0] * 5 + [1, 2, 3, 4, 5.0]),
+                      "y": pa.array([1.0, 2, 3, 4, 5] * 2)})
+        got = grouped_ols_int(_ray.data.from_arrow(t), "k", "x", "y").to_pandas().set_index("k")
+        assert np.isnan(got.loc["z", "slope"])  # varx == 0
+        assert got.loc["w", "slope"] == 1.0
+
+
+class TestUserEma:
+    def _naive(self, rows, max_shift=62):
+        # rows: (user_id, ts_us, event_id, value)
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for u, ts, e, v in rows:
+            per[u].append((ts, e, v))
+        out = {}
+        for u, evs in per.items():
+            evs.sort()
+            n = len(evs)
+            q = 0
+            for i, (_, _, v) in enumerate(evs, start=1):
+                cents = int(np.floor(v * 100 + 0.5))
+                w = n - 1 if i == 1 else n - i + 1
+                q += (cents * 1_000_000) >> min(w, max_shift)
+            out[u] = (n, q, float(q) / 1e8)
+        return out
+
+    def test_matches_naive_and_partition_invariant(self, ray_session, tmp_path):
+        import ray as _ray
+
+        rng = np.random.default_rng(31)
+        n = 400
+        rows = [(int(rng.integers(0, 12)), int(rng.integers(0, 10**9)), i,
+                 round(float(rng.uniform(0.01, 400)), 2)) for i in range(n)]
+        t = pa.table({
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            "event_type": pa.array(["x"] * n),
+            "props": pa.array(["{}"] * n),
+        })
+        import pyarrow.parquet as _pq
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        _pq.write_table(t, str(d / "events.parquet"))
+        from text_to_graph_ray.pipelines.analytics import user_ema
+
+        got = user_ema(str(d)).to_pandas()
+        exp = self._naive(rows)
+        assert len(got) == len(exp)
+        for _, r in got.iterrows():
+            en, eq, ema = exp[r["user_id"]]
+            assert (r["n_events"], r["ema_q"], r["ema"]) == (en, eq, ema)
+        # shuffled row order must not change a single bit
+        perm = rng.permutation(n)
+        _pq.write_table(t.take(perm), str(d / "events.parquet"))
+        got2 = user_ema(str(d)).to_pandas()
+        assert got2.equals(got)

@@ -1090,3 +1090,87 @@ def gini_exact(ds, col: str = "cents", out_schema: pa.Schema | None = None):
     return rd.from_arrow(
         pa.table({schema[0].name: [n], schema[1].name: [sx], schema[2].name: [gini]}, schema=schema)
     )
+
+
+def grouped_ols_int(ds, key: str, x_col: str, y_col: str, y_scale: int = 1,
+                    chunk_rows: int = 8192):
+    """Ordinary-least-squares fit of ``y ~ x`` per group of ``key`` from
+    integer-exact sufficient statistics: (key, n, slope, intercept, r2).
+
+    Same discipline as ``grouped_corr_int``: x and y*y_scale are quantized
+    with ``floor(v*scale + 0.5)`` (mirrored verbatim in SQL — never
+    np.round/rint, whose half-even ties diverge from DuckDB's half-away),
+    per-chunk int64 sufficient sums (``chunk_rows`` bounds every per-chunk
+    Σy² far below 2^63), cross-block fold in arbitrary-precision Python
+    ints on the driver (answer-sized: groups × chunks rows). The finish is
+    an explicit IEEE op sequence over exact integers —
+    ``slope = float(n·sxy − sx·sy) / float(n·sxx − sx²)``,
+    ``intercept = (float(sy) − slope·float(sx)) / float(n)``,
+    ``r2 = corr²`` with corr as in grouped_corr_int — each mirrored
+    op-for-op in the SQL oracle (HUGEINT sums CAST to DOUBLE), so results
+    hash bit-identically with NO output rounding. ``key`` is
+    low-cardinality; route a high-cardinality key through
+    ``agg.bucketed_aggregate`` instead.
+    """
+    import ray.data as rd
+
+    schema = pa.schema([
+        (key, pa.string()), ("n", pa.int64()), ("sx", pa.int64()), ("sy", pa.int64()),
+        ("sxy", pa.int64()), ("sxx", pa.int64()), ("syy", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        import pandas as pd
+
+        x = np.floor(t.column(x_col).to_numpy(zero_copy_only=False) + 0.5).astype(np.int64)
+        y = np.floor(t.column(y_col).to_numpy(zero_copy_only=False) * y_scale + 0.5).astype(np.int64)
+        keys = t.column(key).to_pylist()
+        outs = []
+        for s in range(0, len(x), chunk_rows):
+            e = s + chunk_rows
+            xc, yc = x[s:e], y[s:e]
+            df = pd.DataFrame({
+                key: keys[s:e], "n": np.ones_like(xc), "sx": xc, "sy": yc,
+                "sxy": xc * yc, "sxx": xc * xc, "syy": yc * yc,
+            })
+            outs.append(df.groupby(key, as_index=False, sort=False).sum())
+        g = pd.concat(outs, ignore_index=True)
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in schema})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:  # exact: Python ints never overflow
+        a = acc.setdefault(r[key], [0, 0, 0, 0, 0, 0])
+        for i, c in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
+            a[i] += int(r[c])
+    keys_sorted = sorted(acc)
+    ns, slopes, intercepts, r2s = [], [], [], []
+    for k in keys_sorted:
+        n, sx, sy, sxy, sxx, syy = acc[k]
+        num = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        if varx == 0:
+            slopes.append(None)
+            intercepts.append(None)
+            r2s.append(None)
+        else:
+            slope = float(num) / float(varx)
+            slopes.append(slope)
+            intercepts.append((float(sy) - slope * float(sx)) / float(n))
+            if vary == 0:
+                r2s.append(None)
+            else:
+                corr = float(num) / (math.sqrt(float(varx)) * math.sqrt(float(vary)))
+                r2s.append(corr * corr)
+        ns.append(n)
+    out = pa.table({
+        key: pa.array(keys_sorted, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+        "slope": pa.array(slopes, type=pa.float64()),
+        "intercept": pa.array(intercepts, type=pa.float64()),
+        "r2": pa.array(r2s, type=pa.float64()),
+    })
+    return rd.from_arrow(out)

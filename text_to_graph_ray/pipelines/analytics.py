@@ -2540,3 +2540,61 @@ def local_supplier_volume(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(["revenue", "n_name"], descending=[True, False])
+
+
+def user_ema(sf_dir: str, max_shift: int = 62):
+    """Per-user exponential moving average (α = 0.5) of event value over the
+    (ts, event_id) order — the classic smoothed-activity feature. Recursive
+    EMAs are order-dependent float folds, so the CONTRACT makes every term
+    integer: e_n = Σᵢ xᵢ / 2^wᵢ with wᵢ = n−i+1 (and n−1 for the first
+    event) becomes q = Σᵢ (centsᵢ · 10⁶) >> min(wᵢ, max_shift) — each term
+    floor-divided SEPARATELY (a right shift), so the sum is
+    order-independent and bit-reproducible on both engines; terms older
+    than ``max_shift`` halvings underflow to 0 exactly like the SQL mirror.
+    Output ema = float(q) / 1e8 — one IEEE division of an exact int, no
+    rounding call (round()'s half-away vs numpy's half-even WOULD diverge
+    on q ≡ 50 mod 100).
+
+    Scale shape: ONE user-keyed coarse-bucket exchange, then a vectorized
+    per-bucket sort + segment kernel (np.add.reduceat over group starts —
+    no per-user dispatch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    in_schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("ema_q", pa.int64()), ("ema", pa.float64())]
+    )
+
+    def per_bucket(df):
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        n = len(uid)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        cnt = np.repeat(sizes, sizes)
+        rn = np.arange(n) - np.repeat(starts, sizes) + 1  # 1-based within user
+        w = np.where(rn == 1, cnt - 1, cnt - rn + 1)
+        terms = (cents * 1_000_000) >> np.minimum(w, max_shift)
+        q = np.add.reduceat(terms, starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts], type=pa.int64()),
+            "n_events": pa.array(sizes.astype(np.int64), type=pa.int64()),
+            "ema_q": pa.array(q.astype(np.int64), type=pa.int64()),
+            "ema": pa.array(q.astype(np.float64) / 1e8, type=pa.float64()),
+        }, schema=out_schema)
+
+    out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "user_id")
