@@ -2128,6 +2128,108 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_kg_schema_summary(sf_dir):
+    """Type-level schema graph of the linked KG — (src_type, pred, dst_type,
+    n_edges), the summarization rollup a KG-construction pipeline reports to
+    validate extraction coverage. Plan: two guarded lookup joins of the edge
+    stream against the vocabulary-sized node-type table (broadcast
+    searchsorted under the row guard, bucketed left-merge past it), then one
+    grouped count exchange. Oracle joins the generator's expected node and
+    linked-triple tables directly."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.joins import lookup_join
+    from text_to_graph_ray.util import sort_coalesced
+
+    nodes, edges = _kg_tables(sf_dir, link=True)
+    ed = rd.from_pandas(edges[["src_key", "pred", "dst_key"]]).repartition(8)
+    src_t = rd.from_pandas(pd.DataFrame({"entity_key": nodes["entity_key"], "src_type": nodes["types_packed"]}))
+    dst_t = rd.from_pandas(pd.DataFrame({"entity_key": nodes["entity_key"], "dst_type": nodes["types_packed"]}))
+    j = lookup_join(ed, src_t, key="src_key", right_key="entity_key", cols=["src_type"])
+    j = lookup_join(j, dst_t, key="dst_key", right_key="entity_key", cols=["dst_type"])
+    in_schema = pa.schema([
+        ("src_key", pa.string()), ("pred", pa.string()), ("dst_key", pa.string()),
+        ("src_type", pa.string()), ("dst_type", pa.string()),
+    ])
+    out_schema = pa.schema([
+        ("src_type", pa.string()), ("pred", pa.string()), ("dst_type", pa.string()),
+        ("n_edges", pa.int64()),
+    ])
+    agg = bucketed_aggregate(j, ["src_type", "pred", "dst_type"], {"n_edges": ("src_key", "size")},
+                             out_schema=out_schema, in_schema=in_schema)
+    return sort_coalesced(agg, ["src_type", "pred", "dst_type"])
+
+
+def _q_kg_negative_samples(sf_dir):
+    """Deterministic corrupt-tail negative sampling for KG-embedding
+    training: each linked triple proposes ONE negative whose entity_id is
+    the first-8-hex of sha256('src|pred|dst') mod n_nodes (identical in
+    DuckDB: CAST('0x'||substr(sha256(..),1,8) AS BIGINT)), mapped to its
+    key through the broadcast dense-id node vocabulary (the defs-broadcast
+    contract); candidates colliding with a TRUE triple are dropped by a
+    guarded anti filter on the packed triple key. Per-row sha256 is the
+    operator itself (the kg_sha256 cost profile), not an avoidable loop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.joins import filter_by_keys
+    from text_to_graph_ray.util import sort_coalesced
+
+    nodes, edges = _kg_tables(sf_dir, link=True)
+    ids = nodes["entity_id"].to_numpy()
+    n_nodes = len(ids)
+    assert ids.min() == 0 and ids.max() == n_nodes - 1, "node ids must be dense"
+    keys_by_id = nodes["entity_key"].to_numpy()[np.argsort(ids)]
+    ref = ray.put(keys_by_id)
+    ed = rd.from_pandas(edges[["src_key", "pred", "dst_key"]]).repartition(8)
+    cand_schema = pa.schema([
+        ("src_key", pa.string()), ("pred", pa.string()), ("neg_key", pa.string()), ("k", pa.string()),
+    ])
+    true_schema = pa.schema([("k", pa.string())])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        ks = ray.get(ref)
+        src = t.column("src_key").to_pylist()
+        pred = t.column("pred").to_pylist()
+        dst = t.column("dst_key").to_pylist()
+        negs = [
+            ks[int(hashlib.sha256(f"{s}|{p}|{d}".encode()).hexdigest()[:8], 16) % n_nodes]
+            for s, p, d in zip(src, pred, dst)
+        ]
+        return pa.table({
+            "src_key": t.column("src_key"), "pred": t.column("pred"),
+            "neg_key": pa.array(negs, type=pa.string()),
+            "k": pa.array([f"{s}\x1f{p}\x1f{g}" for s, p, g in zip(src, pred, negs)], type=pa.string()),
+        }, schema=cand_schema)
+
+    def true_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return true_schema.empty_table()
+        return pa.table({"k": pa.array(
+            [f"{s}\x1f{p}\x1f{d}" for s, p, d in zip(
+                t.column("src_key").to_pylist(), t.column("pred").to_pylist(), t.column("dst_key").to_pylist()
+            )], type=pa.string())}, schema=true_schema)
+
+    cand = ed.map_batches(corrupt, batch_format="pyarrow")
+    truth = ed.map_batches(true_keys, batch_format="pyarrow")
+    kept = filter_by_keys(cand, truth, key="k", mode="anti")
+    out = kept.map_batches(
+        lambda t: t.select(["src_key", "pred", "neg_key"]) if t.num_rows
+        else pa.schema([("src_key", pa.string()), ("pred", pa.string()), ("neg_key", pa.string())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    return sort_coalesced(out, ["src_key", "pred", "neg_key"])
+
+
 def _q_rel_regression(sf_dir):
     """Per-returnflag OLS fit of extendedprice-cents on quantity: chunked
     int64 sufficient sums folded in arbitrary-precision Python ints (the
@@ -2711,6 +2813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
         "graph_ktruss": _q_graph_ktruss,
+        "kg_schema_summary": _q_kg_schema_summary,
+        "kg_negative_samples": _q_kg_negative_samples,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
@@ -2919,7 +3023,32 @@ def oracle_sql() -> dict[str, str]:
     exp_raw = f"{d}/expected_triples_raw.parquet"
     exp_nodes = f"{d}/expected_nodes.parquet"
     repo_files = f"{d}/repo_files.parquet"
+    import pyarrow.parquet as _pq
+
+    _n_kg_nodes = _pq.read_metadata(exp_nodes).num_rows
     return {
+        "kg_schema_summary": (
+            f"SELECT ns.types_packed AS src_type, t.pred, nd.types_packed AS dst_type, "
+            f"count(*)::BIGINT AS n_edges "
+            f"FROM read_parquet('{exp_linked}') t "
+            f"JOIN read_parquet('{exp_nodes}') ns ON t.src_key = ns.entity_key "
+            f"JOIN read_parquet('{exp_nodes}') nd ON t.dst_key = nd.entity_key "
+            f"GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "kg_negative_samples": (
+            # the SAME hash-to-id map as the engine: first 8 hex chars of
+            # sha256('src|pred|dst') parsed via CAST('0x'||.. AS BIGINT)
+            f"WITH t AS (SELECT src_key, pred, dst_key FROM read_parquet('{exp_linked}')), "
+            f"c AS (SELECT src_key, pred, "
+            f"CAST(('0x' || substr(sha256(src_key || '|' || pred || '|' || dst_key), 1, 8)) AS BIGINT) "
+            f"% {_n_kg_nodes} AS neg_id FROM t), "
+            f"cand AS (SELECT c.src_key, c.pred, n.entity_key AS neg_key "
+            f"FROM c JOIN read_parquet('{exp_nodes}') n ON c.neg_id = n.entity_id) "
+            f"SELECT src_key, pred, neg_key FROM cand "
+            f"WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.src_key = cand.src_key "
+            f"AND t.pred = cand.pred AND t.dst_key = cand.neg_key) "
+            f"ORDER BY src_key, pred, neg_key"
+        ),
         "graph_hits": (
             # 2 unrolled HITS iterations, L1 normalization + round(_, 9) at
             # every boundary (the pagerank discipline); dangling ends fill 0

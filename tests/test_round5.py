@@ -2352,3 +2352,52 @@ class TestUserEma:
         _pq.write_table(t.take(perm), str(d / "events.parquet"))
         got2 = user_ema(str(d)).to_pandas()
         assert got2.equals(got)
+
+
+class TestKgSchemaAndNegatives:
+    def test_schema_summary_covers_every_edge(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_kg_schema_summary(sf).to_pandas()
+        _, edges = E._kg_tables(sf, link=True)
+        assert got["n_edges"].sum() == len(edges)  # every edge classified
+        assert got["src_type"].notna().all() and got["dst_type"].notna().all()
+        # the summary is a rollup of the real join, recomputed naively
+        nodes, _ = E._kg_tables(sf, link=True)
+        tp = dict(zip(nodes["entity_key"], nodes["types_packed"]))
+        naive = (
+            edges.assign(src_type=edges["src_key"].map(tp), dst_type=edges["dst_key"].map(tp))
+            .groupby(["src_type", "pred", "dst_type"], as_index=False).size()
+            .rename(columns={"size": "n_edges"})
+            .sort_values(["src_type", "pred", "dst_type"]).reset_index(drop=True)
+        )
+        g = got.sort_values(["src_type", "pred", "dst_type"]).reset_index(drop=True)
+        assert g[["src_type", "pred", "dst_type"]].values.tolist() == naive[["src_type", "pred", "dst_type"]].values.tolist()
+        assert g["n_edges"].tolist() == naive["n_edges"].astype("int64").tolist()
+
+    def test_negative_samples_deterministic_and_clean(self, ray_session):
+        import hashlib
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_kg_negative_samples(sf).to_pandas()
+        got2 = E._q_kg_negative_samples(sf).to_pandas()
+        assert got.equals(got2)  # deterministic end to end
+        nodes, edges = E._kg_tables(sf, link=True)
+        truth = set(zip(edges["src_key"], edges["pred"], edges["dst_key"]))
+        # no emitted negative is a true triple
+        assert not any((s, p, g) in truth for s, p, g in got.itertuples(index=False))
+        # the hash contract: recompute a few rows by hand
+        keys_by_id = nodes.sort_values("entity_id")["entity_key"].to_numpy()
+        n = len(keys_by_id)
+        sample = edges.head(20)
+        expected = {}
+        for s, p, d in zip(sample["src_key"], sample["pred"], sample["dst_key"]):
+            neg = keys_by_id[int(hashlib.sha256(f"{s}|{p}|{d}".encode()).hexdigest()[:8], 16) % n]
+            if (s, p, neg) not in truth:
+                expected[(s, p)] = neg
+        emitted = {(s, p): g for s, p, g in got.itertuples(index=False)}
+        for k, v in expected.items():
+            assert emitted.get(k) == v or v in got[got["src_key"] == k[0]]["neg_key"].values
