@@ -2128,6 +2128,25 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_rel_returned_revenue(sf_dir):
+    """TPC-H-Q10-shaped top-20 customers by returned-item revenue: exact
+    integer cents·(100−pct) sums through a distributed FK join + customer
+    rollup, top-k merged from per-block partials, winners enriched via an
+    is_in dimension scan — revenue is one int→double division, no round."""
+    from text_to_graph_ray.pipelines.analytics import returned_revenue_topk
+
+    return returned_revenue_topk(sf_dir, k=20)
+
+
+def _q_events_cusum(sf_dir):
+    """Per-type CUSUM change-point: stat_k = n·prefix_k − k·total over the
+    (ts, event_id) order, all int64 (loud overflow guard); outputs max |stat|
+    and its first position — a pure-integer result, order-independent."""
+    from text_to_graph_ray.pipelines.analytics import cusum_changepoint
+
+    return cusum_changepoint(sf_dir)
+
+
 def _q_kg_schema_summary(sf_dir):
     """Type-level schema graph of the linked KG — (src_type, pred, dst_type,
     n_edges), the summarization rollup a KG-construction pipeline reports to
@@ -2815,6 +2834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ktruss": _q_graph_ktruss,
         "kg_schema_summary": _q_kg_schema_summary,
         "kg_negative_samples": _q_kg_negative_samples,
+        "rel_returned_revenue": _q_rel_returned_revenue,
+        "events_cusum": _q_events_cusum,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
@@ -4112,6 +4133,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "rel_returned_revenue": (
+            # integer-exact revenue: cents · (100 − discount_pct), summed in
+            # HUGEINT; ranking by revenue DESC == ranking by rev_q DESC
+            "WITH r AS (SELECT l_orderkey, sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_q "
+            "FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1), "
+            "c AS (SELECT o_custkey, sum(rev_q) AS rev_q FROM r JOIN orders ON l_orderkey = o_orderkey GROUP BY 1) "
+            "SELECT c_custkey, c_name, n_name, CAST(rev_q AS DOUBLE) / 1e4 AS revenue "
+            "FROM c JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+            "ORDER BY rev_q DESC, c_custkey LIMIT 20"
+        ),
+        "events_cusum": (
+            # stat_k = n·prefix_k − k·total, all exact ints (window sums
+            # widen to HUGEINT); first argmax via (st DESC, k) row_number
+            "WITH b AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts, event_id FROM events), "
+            "w AS (SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS k, "
+            "sum(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS pref, "
+            "count(*) OVER (PARTITION BY event_type) AS n, sum(cents) OVER (PARTITION BY event_type) AS tot FROM b), "
+            "s AS (SELECT event_type, n, abs(n * pref - k * tot) AS st, k FROM w), "
+            "sel AS (SELECT event_type, n, st, k, row_number() OVER (PARTITION BY event_type ORDER BY st DESC, k) AS rn FROM s) "
+            "SELECT event_type, n::BIGINT AS n_events, st::BIGINT AS cusum_q, k::BIGINT AS pos "
+            "FROM sel WHERE rn = 1 ORDER BY event_type"
+        ),
         "rel_regression": (
             # exact HUGEINT sufficient sums (sum(BIGINT) widens in DuckDB);
             # finish CASTs each exact integer to DOUBLE and applies the SAME

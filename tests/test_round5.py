@@ -2401,3 +2401,65 @@ class TestKgSchemaAndNegatives:
         emitted = {(s, p): g for s, p, g in got.itertuples(index=False)}
         for k, v in expected.items():
             assert emitted.get(k) == v or v in got[got["src_key"] == k[0]]["neg_key"].values
+
+
+class TestCusumAndQ10:
+    def test_cusum_matches_naive(self, ray_session, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from text_to_graph_ray.pipelines.analytics import cusum_changepoint
+
+        rng = np.random.default_rng(41)
+        n = 300
+        # engineered level shift: type "a" jumps halfway through
+        types = ["a"] * 150 + ["b"] * 150
+        vals = np.concatenate([rng.uniform(1, 2, 75), rng.uniform(8, 9, 75), rng.uniform(3, 4, 150)])
+        t = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(np.arange(n) * 1000, type=pa.timestamp("us")),
+            "event_type": pa.array(types),
+            "value": pa.array(np.round(vals, 2), type=pa.float64()),
+            "user_id": pa.array([0] * n, type=pa.int64()),
+            "props": pa.array(["{}"] * n),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        _pq.write_table(t, str(d / "events.parquet"))
+        got = cusum_changepoint(str(d)).to_pandas().set_index("event_type")
+        df = t.to_pandas()
+        for et in ("a", "b"):
+            g = df[df["event_type"] == et].sort_values(["ts", "event_id"])
+            cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+            nn = len(cents)
+            pref = np.cumsum(cents)
+            stat = np.abs(nn * pref - np.arange(1, nn + 1) * cents.sum())
+            assert got.loc[et, "n_events"] == nn
+            assert got.loc[et, "cusum_q"] == stat.max()
+            assert got.loc[et, "pos"] == int(np.argmax(stat)) + 1
+        # the engineered shift is detected near the midpoint of "a"
+        assert 60 <= got.loc["a", "pos"] <= 90
+
+    def test_q10_matches_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_rel_returned_revenue(sf).to_pandas()
+        con = duckdb.connect()
+        for tb in ("lineitem", "orders", "customer", "nation"):
+            con.sql(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{sf}/{tb}.parquet')")
+        # direct naive recompute (avoids oracle's sf0.01-pinned siblings)
+        exp = con.sql(
+            "WITH r AS (SELECT l_orderkey, sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_q "
+            "FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1), "
+            "c AS (SELECT o_custkey, sum(rev_q) AS rev_q FROM r JOIN orders ON l_orderkey = o_orderkey GROUP BY 1) "
+            "SELECT c_custkey, c_name, n_name, CAST(rev_q AS DOUBLE) / 1e4 AS revenue "
+            "FROM c JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+            "ORDER BY rev_q DESC, c_custkey LIMIT 20"
+        ).df()
+        assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+        assert got["c_name"].tolist() == exp["c_name"].tolist()
+        assert got["n_name"].tolist() == exp["n_name"].tolist()
+        assert got["revenue"].tolist() == exp["revenue"].tolist()

@@ -2598,3 +2598,154 @@ def user_ema(sf_dir: str, max_shift: int = 62):
 
     out = bucket_exchange(with_bucket(ev, "user_id", 64, in_schema=in_schema), per_bucket, out_schema, 64)
     return sort_coalesced(out, "user_id")
+
+
+def returned_revenue_topk(sf_dir: str, k: int = 20):
+    """TPC-H-Q10-shaped: top-k customers by revenue lost to RETURNED items
+    (l_returnflag = 'R'), enriched with name and nation.
+
+    Integer-exact revenue: per row rev_q = cents · (100 − discount_pct),
+    both quantized with floor(v·100 + 0.5) — the sum is an exact int64 at
+    any block order, and revenue = float(rev_q)/1e4 is ONE int→double
+    division mirrored verbatim in SQL (no rounding call).
+
+    Plan: pruned filtered scan → per-block order-key combiner → distributed
+    FK hash join to orders (order→customer fan-in) → customer-keyed
+    bucketed sum → per-block top-k partials merged on the driver
+    (answer-sized: ≤ blocks·k rows) → the k winners' name/nation fetched
+    with an is_in scan of the dimension tables (no second join exchange).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    part_schema = pa.schema([("l_orderkey", pa.int64()), ("rev_q", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        cents = np.floor(b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        dpct = np.floor(b.column("l_discount").to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        g = pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev_q": pa.array(cents * (100 - dpct), type=pa.int64()),
+        }).group_by("l_orderkey").aggregate([("rev_q", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"), "rev_q": g.column("rev_q_sum")},
+                        schema=part_schema)
+
+    rev = bucketed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "l_orderkey", {"rev_q": ("rev_q", "sum")}, out_schema=part_schema, in_schema=part_schema,
+    )
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j = rev.join(orders, join_type="inner", num_partitions=join_partitions_for(),
+                 on=("l_orderkey",), right_on=("o_orderkey",), partition_size_hint=32 << 20)
+    cust_schema = pa.schema([("o_custkey", pa.int64()), ("rev_q", pa.int64())])
+    by_cust = bucketed_aggregate(j, "o_custkey", {"rev_q": ("rev_q", "sum")},
+                                 out_schema=cust_schema, in_schema=None)
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return cust_schema.empty_table()
+        return b.sort_by([("rev_q", "descending"), ("o_custkey", "ascending")]).slice(0, k)
+
+    partials = by_cust.map_batches(block_topk, batch_format="pyarrow", batch_size=None).take_all()
+    topk = sorted(partials, key=lambda r: (-r["rev_q"], r["o_custkey"]))[:k]
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()), ("n_name", pa.string()),
+        ("revenue", pa.float64()),
+    ])
+    if not topk:
+        return rd.from_arrow(out_schema.empty_table())
+    keys = pa.array(sorted(r["o_custkey"] for r in topk), type=pa.int64())
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"])
+    matched = cust.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_custkey"), value_set=keys)), batch_format="pyarrow"
+    ).take_all()
+    nations = {r["n_nationkey"]: r["n_name"]
+               for r in read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                           columns=["n_nationkey", "n_name"]).take_all()}
+    meta = {r["c_custkey"]: (r["c_name"], nations[r["c_nationkey"]]) for r in matched}
+    return rd.from_arrow(pa.table({
+        "c_custkey": pa.array([r["o_custkey"] for r in topk], type=pa.int64()),
+        "c_name": pa.array([meta[r["o_custkey"]][0] for r in topk], type=pa.string()),
+        "n_name": pa.array([meta[r["o_custkey"]][1] for r in topk], type=pa.string()),
+        "revenue": pa.array([float(r["rev_q"]) / 1e4 for r in topk], type=pa.float64()),
+    }, schema=out_schema))
+
+
+def cusum_changepoint(sf_dir: str, overflow_guard: int = 1 << 62):
+    """Per-event-type CUSUM change-point statistic over the (ts, event_id)
+    order: the classic drift detector. To stay integer-exact, the centered
+    cumulative sum S_k = Σ_{i≤k}(xᵢ − mean) is scaled by n:
+    stat_k = n·prefix_k − k·total (all int64), and the output is
+    (event_type, n_events, cusum_q = max|stat_k|, pos = first argmax k).
+    Everything is integer until the optional cusum = float(q)/(n·100) view —
+    one exact-int division mirrored in SQL. Guarded loudly when
+    n·max|prefix| approaches 2^63 (n per type ≲ 4·10⁸ at cent scale; past
+    that, route the fold through Python ints like gini_exact).
+
+    Scale shape: ONE type-keyed coarse-bucket exchange, vectorized segment
+    kernel; event_type is low-cardinality by contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"])
+    in_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+        ("value", pa.float64()),
+    ])
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()), ("cusum_q", pa.int64()),
+        ("pos", pa.int64()),
+    ])
+
+    def per_bucket(df):
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        n = len(et)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        cs = np.cumsum(cents)
+        base = cs[starts] - cents[starts]
+        pref = cs - np.repeat(base, sizes)           # per-type prefix sums
+        tot = pref[np.append(starts[1:] - 1, n - 1)]  # per-type totals
+        n_rep = np.repeat(sizes, sizes)
+        k = np.arange(n) - np.repeat(starts, sizes) + 1
+        if sizes.size and int(np.abs(pref).max(initial=0)) * int(sizes.max()) >= overflow_guard:
+            raise ValueError("cusum_changepoint: n*prefix risks int64 overflow; "
+                             "rescale the value column or fold in Python ints")
+        stat = np.abs(n_rep * pref - k * np.repeat(tot, sizes))
+        rows = []
+        for gi, s in enumerate(starts):
+            e = s + sizes[gi]
+            seg = stat[s:e]
+            pos = int(np.argmax(seg))  # first max: argmax returns first
+            rows.append((et[s], int(sizes[gi]), int(seg[pos]), pos + 1))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_events": pa.array([r[1] for r in rows], type=pa.int64()),
+            "cusum_q": pa.array([r[2] for r in rows], type=pa.int64()),
+            "pos": pa.array([r[3] for r in rows], type=pa.int64()),
+        }, schema=out_schema)
+
+    out = bucket_exchange(with_bucket(ev, "event_type", 64, in_schema=in_schema), per_bucket, out_schema, 64)
+    return sort_coalesced(out, "event_type")
