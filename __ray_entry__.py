@@ -2128,6 +2128,20 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_docs_naive_bayes(sf_dir):
+    """Distributed multinomial Naive Bayes on the true lang labels: train on
+    doc_id%5 != 0, classify the rest. Model stays distributed (pair
+    combiner -> token-keyed pivot); classification is one lookup_join +
+    doc-keyed sum of int64-quantized log terms (np.log is scalar/vector/
+    offset-invariant — measured 0 diffs over 200k ratios — so the naive
+    expected-table oracle reproduces the engine bit-exactly; math.log and
+    SQL ln would NOT, the lexical_stats precedent)."""
+    from text_to_graph_ray.functions.text import naive_bayes_classify
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    return naive_bayes_classify(ds)
+
+
 def _q_rel_returned_revenue(sf_dir):
     """TPC-H-Q10-shaped top-20 customers by returned-item revenue: exact
     integer cents·(100−pct) sums through a distributed FK join + customer
@@ -2836,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "rel_returned_revenue": _q_rel_returned_revenue,
         "events_cusum": _q_events_cusum,
+        "docs_naive_bayes": _q_docs_naive_bayes,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
@@ -4133,6 +4148,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "docs_naive_bayes": (
+            # independent naive NB (expected.py, same np.log quantization)
+            f"SELECT doc_id, lang, pred, correct FROM read_parquet('{e}/expected_nb.parquet') ORDER BY doc_id"
+        ),
         "rel_returned_revenue": (
             # integer-exact revenue: cents · (100 − discount_pct), summed in
             # HUGEINT; ranking by revenue DESC == ranking by rev_q DESC

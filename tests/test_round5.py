@@ -2463,3 +2463,49 @@ class TestCusumAndQ10:
         assert got["c_name"].tolist() == exp["c_name"].tolist()
         assert got["n_name"].tolist() == exp["n_name"].tolist()
         assert got["revenue"].tolist() == exp["revenue"].tolist()
+
+
+class TestNaiveBayes:
+    def test_matches_naive_and_learns(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_nb
+        from text_to_graph_ray.functions.text import naive_bayes_classify
+
+        rng = np.random.default_rng(51)
+        vocabs = {"aa": ["red", "green", "blue", "shared"],
+                  "bb": ["cat", "dog", "bird", "shared"],
+                  "cc": ["one", "two", "three", "shared"]}
+        ids, texts, labels = [], [], []
+        for i in range(120):
+            lab = ["aa", "bb", "cc"][i % 3]
+            toks = list(rng.choice(vocabs[lab], 12)) + list(rng.choice(["shared", "noise"], 3))
+            ids.append(i)
+            texts.append(" ".join(toks))
+            labels.append(lab)
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "lang": pa.array(labels, type=pa.string()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = naive_bayes_classify(_ray.data.from_arrow(t).repartition(4)).to_pandas()
+        exp = naive_nb(ids, texts, labels)
+        assert list(map(tuple, got[["doc_id", "lang", "pred", "correct"]].values)) == exp
+        # distinct class vocabularies: the classifier must actually learn
+        assert got["correct"].mean() > 0.9
+
+    def test_unseen_tokens_and_empty_doc(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_nb
+        from text_to_graph_ray.functions.text import naive_bayes_classify
+
+        ids = list(range(12))
+        labels = ["p", "q"] * 6
+        texts = ["ppp ppp" if l == "p" else "qqq qqq" for l in labels]
+        texts[0] = "zzz yyy"   # test doc with only unseen tokens
+        texts[5] = ""          # empty test doc (id 5 % 5 == 0)
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "lang": pa.array(labels, type=pa.string()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = naive_bayes_classify(_ray.data.from_arrow(t).repartition(3)).to_pandas()
+        exp = naive_nb(ids, texts, labels)
+        assert list(map(tuple, got[["doc_id", "lang", "pred", "correct"]].values)) == exp

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v17"  # v17: +expected_pca; v16: +bpe_doclens; v15: +bpe_merges +semdedup
+EXPECTED_ROOT = "/tmp/graft_expected/v18"  # v18: +expected_nb; v17: +expected_pca; v16: +bpe_doclens
 
 _MERSENNE = (1 << 61) - 1
 
@@ -143,6 +143,49 @@ def naive_simhash64(text: str) -> int:
         if acc[i] > 0:
             fp |= 1 << i
     return fp
+
+
+def naive_nb(ids, texts, labels, test_mod: int = 5, scale: int = 10**12):
+    """Single-threaded multinomial Naive Bayes mirror of
+    text.naive_bayes_classify: train on id % test_mod != 0, classify the
+    rest. Every log term quantized to int64 round(log(p)·scale) BEFORE
+    summing (order-independent), argmax tie-break (score desc, class asc).
+    Returns [(doc_id, true, pred, correct)] sorted by doc_id."""
+    from collections import Counter, defaultdict
+
+    counts: dict = defaultdict(Counter)
+    docs_per: Counter = Counter()
+    for i, t, lab in zip(ids, texts, labels):
+        if i % test_mod == 0:
+            continue
+        docs_per[lab] += 1
+        counts[lab].update((t or "").split())
+    classes = sorted(docs_per)
+    vocab = set()
+    for c in classes:
+        vocab |= set(counts[c])
+    V = len(vocab)
+    total_docs = sum(docs_per.values())
+    n_tok = {c: sum(counts[c].values()) for c in classes}
+
+    def q(x: float) -> int:
+        return int(np.round(np.log(x) * scale))
+
+    priors = {c: q(docs_per[c] / total_docs) for c in classes}
+    out = []
+    for i, t, lab in zip(ids, texts, labels):
+        if i % test_mod != 0:
+            continue
+        toks = Counter((t or "").split())
+        best_c, best_s = None, None
+        for c in classes:
+            s = priors[c]
+            for tok, cnt in toks.items():
+                s += cnt * q((counts[c].get(tok, 0) + 1) / (n_tok[c] + V))
+            if best_s is None or s > best_s:
+                best_c, best_s = c, s
+        out.append((i, lab, best_c, int(best_c == lab)))
+    return sorted(out)
 
 
 def naive_bpe_merges(texts, n_merges: int = 40):
@@ -940,6 +983,23 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "n_types": pa.array([x[1] for x in lex], type=pa.int64()),
                 "ttr": pa.array([x[2] for x in lex], type=pa.float64()),
                 "token_entropy": pa.array([x[3] for x in lex], type=pa.float64()),
+            }
+        ),
+    )
+
+    # multinomial Naive Bayes over the true lang labels (train: id%5 != 0)
+    langs_true = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"]).column("lang").to_pylist()
+    nb = naive_nb(ids, texts, langs_true)
+    _write(
+        tmp,
+        "expected_nb",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in nb], type=pa.int64()),
+                "lang": pa.array([r[1] for r in nb], type=pa.string()),
+                "pred": pa.array([r[2] for r in nb], type=pa.string()),
+                "correct": pa.array([r[3] for r in nb], type=pa.int64()),
             }
         ),
     )

@@ -1766,3 +1766,220 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
         return t.take(order[:k])
 
     return scored.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def naive_bayes_classify(ds, label_col: str = "lang", text_col: str = "text",
+                         id_col: str = "doc_id", test_mod: int = 5,
+                         scale: int = 10**12, num_buckets: int = 64):
+    """Distributed multinomial Naive Bayes: train on docs with
+    ``id % test_mod != 0``, classify the held-out rest — the lang-ID /
+    domain-classifier training loop a curation pipeline runs at corpus
+    scale. Returns (doc_id, lang, pred, correct) for every test doc.
+
+    Float discipline: every log term is quantized ONCE to int64
+    (``round(log(p)·scale)``) so per-doc scores are integer sums —
+    order-independent, partition-invariant, and exactly reproducible by the
+    naive single-threaded oracle (same np.log in the same environment; no
+    cross-libm drift because the oracle is expected.py, not SQL libm).
+    argmax tie-break: (score desc, class asc), exact on ints.
+
+    Scale shape: the MODEL never funnels through the driver — per-(class,
+    token) combiner partials -> one bucketed sum -> a token-keyed pivot to
+    wide per-class weight columns; classification joins the exploded test
+    token counts to the weight table via ``lookup_join`` (guarded broadcast
+    under its row cap, bucketed left-merge past it — both plans inherit
+    lookup_join's equivalence guarantee), then ONE doc-keyed sum per class.
+    Only answer-sized facts (class list, per-class totals, vocab size) ever
+    reach the driver. Empty/all-unseen docs still classify (prior +
+    per-token unseen mass via null coalesce)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.joins import lookup_join
+    from text_to_graph_ray.util import sort_coalesced
+
+    pair_schema = pa.schema([(label_col, pa.string()), ("token", pa.string()), ("n", pa.int64())])
+
+    def train_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        ids = b.column(id_col).to_pylist()
+        c: Counter = Counter()
+        for i, g, t in zip(ids, b.column(label_col).to_pylist(), b.column(text_col).to_pylist()):
+            if i % test_mod == 0:
+                continue
+            for tok in (t or "").split():
+                c[(g, tok)] += 1
+        items = sorted(c.items())
+        return pa.table({
+            label_col: pa.array([g for (g, _), _ in items], type=pa.string()),
+            "token": pa.array([tok for (_, tok), _ in items], type=pa.string()),
+            "n": pa.array([v for _, v in items], type=pa.int64()),
+        }, schema=pair_schema)
+
+    counts = bucketed_aggregate(
+        ds.map_batches(train_pairs, batch_format="pyarrow"), [label_col, "token"],
+        {"n": ("n", "sum")}, out_schema=pair_schema, num_buckets=num_buckets, in_schema=pair_schema,
+    ).materialize()
+
+    # answer-sized model facts: class list, per-class token totals, |V|,
+    # per-class train-doc counts (combiner partials, driver folds ints)
+    tot_schema = pa.schema([(label_col, pa.string()), ("nc", pa.int64()), ("nv", pa.int64())])
+    per_class = bucketed_aggregate(counts, label_col, {"nc": ("n", "sum"), "nv": ("n", "size")},
+                                   out_schema=tot_schema, num_buckets=num_buckets,
+                                   in_schema=pair_schema).take_all()
+    classes = sorted(r[label_col] for r in per_class)
+    n_class_tokens = {r[label_col]: int(r["nc"]) for r in per_class}
+    vocab_size = sum(int(r["nv"]) for r in per_class)  # (class, token) rows
+    # |V| = distinct tokens, not (class, token) rows — count them exactly
+    vocab_size = counts.map_batches(
+        lambda t: pa.table({"token": pc.unique(t.column("token"))}) if t.num_rows
+        else pa.schema([("token", pa.string())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    from text_to_graph_ray.functions.agg import distinct_rows
+
+    vocab_size = distinct_rows(vocab_size, ["token"], pa.schema([("token", pa.string())]),
+                               num_buckets=num_buckets).count()
+
+    doc_cnt_schema = pa.schema([(label_col, pa.string()), ("docs", pa.int64())])
+
+    def train_doc_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return doc_cnt_schema.empty_table()
+        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
+        keep = (ids % test_mod) != 0
+        labs = np.asarray(b.column(label_col).to_pylist(), dtype=object)[keep]
+        u, cnt = np.unique(labs, return_counts=True)
+        return pa.table({label_col: pa.array(list(u), type=pa.string()),
+                         "docs": pa.array(cnt.astype(np.int64), type=pa.int64())}, schema=doc_cnt_schema)
+
+    doc_rows = ds.map_batches(train_doc_counts, batch_format="pyarrow").take_all()
+    docs_per_class: dict = {}
+    for r in doc_rows:
+        docs_per_class[r[label_col]] = docs_per_class.get(r[label_col], 0) + int(r["docs"])
+    total_train_docs = sum(docs_per_class.values())
+    if not classes:
+        out_schema = pa.schema([(id_col, pa.int64()), (label_col, pa.string()),
+                                ("pred", pa.string()), ("correct", pa.int64())])
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    def q(x: float) -> int:
+        return int(np.round(np.log(x) * scale))
+
+    priors = {c: q(docs_per_class[c] / total_train_docs) for c in classes}
+    unseen = {c: q(1.0 / (n_class_tokens[c] + vocab_size)) for c in classes}
+    wcols = [f"w_{c}" for c in classes]
+
+    # pivot the (class, token, n) model to wide per-token weight columns:
+    # one token-keyed exchange, weights quantized vectorized per bucket
+    wide_schema = pa.schema([("token", pa.string())] + [(w, pa.int64()) for w in wcols])
+
+    def pivot_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return wide_schema.empty_table()
+        labs = np.asarray(t.column(label_col).to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"token": t.column("token")}
+        for c, w in zip(classes, wcols):
+            m = labs == c
+            nc = np.where(m, n, 0)
+            # quantized log((cnt+1)/(Nc+V)); rows of other classes carry the
+            # class's UNSEEN weight so the per-token max/sum pivot keeps it
+            cols[w] = pa.array(np.round(
+                np.log((nc + 1.0) / (n_class_tokens[c] + vocab_size)) * scale
+            ).astype(np.int64), type=pa.int64())
+        return pa.table(cols, schema=wide_schema)
+
+    model = bucketed_aggregate(
+        counts.map_batches(pivot_partial, batch_format="pyarrow"), "token",
+        {w: (w, "max") for w in wcols},  # per (token, class) one real row; others hold unseen (the min)
+        out_schema=wide_schema, num_buckets=num_buckets, in_schema=wide_schema,
+    )
+
+    # exploded test token counts (per-doc combiner)
+    ex_schema = pa.schema([(id_col, pa.int64()), ("token", pa.string()), ("cnt", pa.int64())])
+
+    def explode_test(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return ex_schema.empty_table()
+        ids, toks, cnts = [], [], []
+        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            if i % test_mod != 0:
+                continue
+            for tok, cnt in sorted(Counter((t or "").split()).items()):
+                ids.append(i)
+                toks.append(tok)
+                cnts.append(cnt)
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "token": pa.array(toks, type=pa.string()),
+                         "cnt": pa.array(cnts, type=pa.int64())}, schema=ex_schema)
+
+    exploded = ds.map_batches(explode_test, batch_format="pyarrow")
+    j = lookup_join(exploded, model, key="token", cols=wcols)
+
+    score_schema = pa.schema([(id_col, pa.int64())] + [(f"s_{c}", pa.int64()) for c in classes])
+
+    def term_scores(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return score_schema.empty_table()
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {id_col: t.column(id_col)}
+        for c, w in zip(classes, wcols):
+            # a token absent from the TRAIN vocabulary joins NULL: it carries
+            # the class's unseen mass, same as the naive oracle
+            wv = pc.fill_null(pc.cast(t.column(w), pa.int64()), unseen[c]).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"s_{c}"] = pa.array(cnt * wv, type=pa.int64())
+        return pa.table(cols, schema=score_schema)
+
+    scores = bucketed_aggregate(
+        j.map_batches(term_scores, batch_format="pyarrow"), id_col,
+        {f"s_{c}": (f"s_{c}", "sum") for c in classes},
+        out_schema=score_schema, num_buckets=num_buckets, in_schema=score_schema,
+    )
+
+    # attach the true label (and keep token-less test docs): LEFT join the
+    # test metadata to the scores
+    meta_schema = pa.schema([(id_col, pa.int64()), (label_col, pa.string())])
+
+    def test_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return meta_schema.empty_table()
+        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
+        keep = (ids % test_mod) == 0
+        return pa.table({id_col: pa.array(ids[keep], type=pa.int64()),
+                         label_col: pa.array(np.asarray(b.column(label_col).to_pylist(), dtype=object)[keep],
+                                             type=pa.string())}, schema=meta_schema)
+
+    meta = ds.map_batches(test_meta, batch_format="pyarrow")
+    enriched = lookup_join(meta, scores, key=id_col, cols=[f"s_{c}" for c in classes])
+
+    out_schema = pa.schema([(id_col, pa.int64()), (label_col, pa.string()),
+                            ("pred", pa.string()), ("correct", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t.num_rows
+        mat = np.empty((n, len(classes)), dtype=np.int64)
+        for ci, c in enumerate(classes):
+            # a token-less test doc joins NULL scores: prior-only prediction
+            vals = pc.fill_null(pc.cast(t.column(f"s_{c}"), pa.int64()), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat[:, ci] = vals + priors[c]
+        # argmax with (score desc, class asc): classes are sorted, and
+        # np.argmax returns the FIRST max — exactly the asc tie-break
+        best = np.argmax(mat, axis=1)
+        preds = np.asarray(classes, dtype=object)[best]
+        true = np.asarray(t.column(label_col).to_pylist(), dtype=object)
+        return pa.table({
+            id_col: t.column(id_col), label_col: t.column(label_col),
+            "pred": pa.array(list(preds), type=pa.string()),
+            "correct": pa.array((preds == true).astype(np.int64), type=pa.int64()),
+        }, schema=out_schema)
+
+    return sort_coalesced(enriched.map_batches(finish, batch_format="pyarrow"), id_col)
