@@ -2128,6 +2128,17 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_emb_kmeans(sf_dir):
+    """Deterministic k-means clustering profile over the embedding corpus
+    (cluster sizes + int64-quantized cohesion sums): bounded training
+    sample, broadcast centroids, per-batch bincount partials, driver folds
+    #blocks·k ints. Oracle: independent naive Lloyd mirror (expected.py)."""
+    from text_to_graph_ray.functions.ann import kmeans_profile
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_profile(ds)
+
+
 def _q_docs_naive_bayes(sf_dir):
     """Distributed multinomial Naive Bayes on the true lang labels: train on
     doc_id%5 != 0, classify the rest. Model stays distributed (pair
@@ -2851,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_returned_revenue": _q_rel_returned_revenue,
         "events_cusum": _q_events_cusum,
         "docs_naive_bayes": _q_docs_naive_bayes,
+        "emb_kmeans": _q_emb_kmeans,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
@@ -4148,6 +4160,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "emb_kmeans": (
+            # independent naive Lloyd mirror (expected.py)
+            f"SELECT list_id, n_vecs, simq_sum FROM read_parquet('{e}/expected_kmeans.parquet') ORDER BY list_id"
+        ),
         "docs_naive_bayes": (
             # independent naive NB (expected.py, same np.log quantization)
             f"SELECT doc_id, lang, pred, correct FROM read_parquet('{e}/expected_nb.parquet') ORDER BY doc_id"

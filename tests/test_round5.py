@@ -2509,3 +2509,35 @@ class TestNaiveBayes:
         got = naive_bayes_classify(_ray.data.from_arrow(t).repartition(3)).to_pandas()
         exp = naive_nb(ids, texts, labels)
         assert list(map(tuple, got[["doc_id", "lang", "pred", "correct"]].values)) == exp
+
+
+class TestKmeansProfile:
+    def test_matches_naive_and_partition_invariant(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_kmeans_profile
+        from text_to_graph_ray.functions.ann import kmeans_profile
+
+        rng = np.random.default_rng(61)
+        n, d = 300, 16
+        vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32()))})
+        exp = naive_kmeans_profile(ids, np.asarray(vecs, dtype=np.float64), n_centroids=8, train_rows=128)
+        for parts in (2, 7):
+            got = kmeans_profile(_ray.data.from_arrow(t).repartition(parts),
+                                 n_centroids=8, train_rows=128).to_pandas()
+            assert got["list_id"].tolist() == exp["list_id"]
+            assert got["n_vecs"].tolist() == exp["n_vecs"]
+            assert got["simq_sum"].tolist() == exp["simq_sum"]
+        assert sum(exp["n_vecs"]) == n  # every vector assigned exactly once
+
+    def test_empty(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.ann import kmeans_profile
+
+        t = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "embedding": pa.array([], type=pa.list_(pa.float32()))})
+        assert kmeans_profile(_ray.data.from_arrow(t)).count() == 0

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v18"  # v18: +expected_nb; v17: +expected_pca; v16: +bpe_doclens
+EXPECTED_ROOT = "/tmp/graft_expected/v19"  # v19: +expected_kmeans; v18: +expected_nb; v17: +expected_pca
 
 _MERSENNE = (1 << 61) - 1
 
@@ -688,6 +688,38 @@ def naive_ann_ivf(
     return rows
 
 
+def naive_kmeans_profile(ids: np.ndarray, vecs: np.ndarray, n_centroids: int = 16,
+                         train_rows: int = 2048, iters: int = 10):
+    """Single-threaded clustering profile mirror of ann.kmeans_profile:
+    same deterministic Lloyd spec as naive_ann_ivf (first train_rows by id,
+    cosine assignment), per-vector nearest-centroid cosine quantized to
+    int64 round(sim·1e9) then summed per cluster."""
+    order = np.argsort(ids)
+    vecs = vecs[order].astype(np.float64)
+    vn = _norm_rows(vecs)
+    sample = vn[:train_rows]
+    nc = min(n_centroids, len(sample))
+    cent = sample[:nc].copy()
+    for _ in range(iters):
+        cn = _norm_rows(cent)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for c in range(nc):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    cent = _norm_rows(cent)
+    sims = vn @ cent.T
+    lists = np.argmax(sims, axis=1)
+    simq = np.round(np.max(sims, axis=1) * 1e9)
+    out = {"list_id": [], "n_vecs": [], "simq_sum": []}
+    for c in sorted(set(lists.tolist())):
+        m = lists == c
+        out["list_id"].append(int(c))
+        out["n_vecs"].append(int(m.sum()))
+        out["simq_sum"].append(int(simq[m].sum()))
+    return out
+
+
 def naive_ann_lsh(ids: np.ndarray, vecs: np.ndarray, n_queries: int, k: int, n_planes: int, seed: int = 42):
     """Global top-k by (round(sim,6) desc, id asc) among same-bucket vectors,
     for the first n_queries vectors by id."""
@@ -1181,6 +1213,18 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "vec_id": pa.array(pp["vec_id"], type=pa.int64()),
                 "pc0": pa.array(pp["pc0"], type=pa.int64()),
                 "pc1": pa.array(pp["pc1"], type=pa.int64()),
+            }
+        ),
+    )
+    km = naive_kmeans_profile(vids, vecs, n_centroids=16, train_rows=2048)
+    _write(
+        tmp,
+        "expected_kmeans",
+        pa.table(
+            {
+                "list_id": pa.array(km["list_id"], type=pa.int64()),
+                "n_vecs": pa.array(km["n_vecs"], type=pa.int64()),
+                "simq_sum": pa.array(km["simq_sum"], type=pa.int64()),
             }
         ),
     )

@@ -349,3 +349,64 @@ def topk_recall(approx_ds, exact_ds, k: int):
         "hits": pa.array([hits[q] for q in qids], type=pa.int64()),
         "recall": pa.array([round(float(hits[q]) / float(k), 6) for q in qids], type=pa.float64()),
     })
+
+
+def kmeans_profile(ds, n_centroids: int = 16, train_rows: int = 2048,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic k-means clustering profile of the embedding corpus:
+    (list_id, n_vecs, simq_sum) per cluster — the vector-store layout /
+    corpus-clustering report (cluster balance + cohesion) built on the same
+    quantizer the IVF index uses.
+
+    Same spec as ``ivf_topk``: Lloyd k-means on the first ``train_rows``
+    vectors by id (bounded, deterministic, no RNG), centroids broadcast
+    once; every vector's cosine to its NEAREST centroid is quantized to
+    int64 ``round(sim·10⁹)`` per row, so per-cluster sums are integers —
+    order-independent and reproducible by the naive oracle. Per-batch
+    partials are ≤ n_centroids rows; the driver folds #blocks·n_centroids
+    ints (answer-sized)."""
+    import ray
+    import ray.data as rd
+
+    out_schema = pa.table({
+        "list_id": pa.array([], type=pa.int64()),
+        "n_vecs": pa.array([], type=pa.int64()),
+        "simq_sum": pa.array([], type=pa.int64()),
+    }).schema
+    sample_rows = ds.sort(id_col).limit(train_rows).take_all()
+    if not sample_rows:
+        return rd.from_arrow(out_schema.empty_table())
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_fit(sample, n_centroids)
+    cent_ref = ray.put(cent)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        c = ray.get(cent_ref)
+        vn = _normalize(vec_matrix(batch.column(vec_col)))
+        sims = vn @ c.T
+        lists = np.argmax(sims, axis=1).astype(np.int64)
+        best = np.max(sims, axis=1)
+        simq = np.round(best * 1e9)  # < 2^53: float bincount sums stay exact
+        n = np.bincount(lists, minlength=len(c)).astype(np.int64)
+        s = np.bincount(lists, weights=simq, minlength=len(c)).astype(np.int64)
+        keep = n > 0
+        return pa.table({
+            "list_id": pa.array(np.flatnonzero(keep).astype(np.int64), type=pa.int64()),
+            "n_vecs": pa.array(n[keep], type=pa.int64()),
+            "simq_sum": pa.array(s[keep], type=pa.int64()),
+        }, schema=out_schema)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:
+        a = acc.setdefault(int(r["list_id"]), [0, 0])
+        a[0] += int(r["n_vecs"])
+        a[1] += int(r["simq_sum"])
+    lids = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "list_id": pa.array(lids, type=pa.int64()),
+        "n_vecs": pa.array([acc[i][0] for i in lids], type=pa.int64()),
+        "simq_sum": pa.array([acc[i][1] for i in lids], type=pa.int64()),
+    }, schema=out_schema))
