@@ -273,6 +273,30 @@ def _bench_queries(sf_dir: str) -> tuple[float, dict, dict]:
     _e._q_emb_pca_project(sf_dir).count()
     times["emb_pca_project"] = round(time.monotonic() - t0, 3)
 
+    # round-5 part-10 families: bounded k-truss peeling, NB classifier
+    # train/classify, k-means clustering profile, the integer-exact EMA /
+    # CUSUM per-key stream kernels, and the Q10-style returned-revenue join
+    t0 = time.monotonic()
+    _e._q_graph_ktruss(sf_dir).count()
+    times["graph_ktruss"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_docs_naive_bayes(sf_dir).count()
+    times["docs_naive_bayes"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_emb_kmeans(sf_dir).count()
+    times["emb_kmeans"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_events_user_ema(sf_dir).count()
+    _e._q_events_cusum(sf_dir).count()
+    times["events_ema_cusum"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _e._q_rel_returned_revenue(sf_dir).count()
+    times["rel_returned_revenue"] = round(time.monotonic() - t0, 3)
+
     return times["kg_pipeline"], times, extras
 
 

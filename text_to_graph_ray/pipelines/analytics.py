@@ -2689,63 +2689,124 @@ def cusum_changepoint(sf_dir: str, overflow_guard: int = 1 << 62):
     cumulative sum S_k = Σ_{i≤k}(xᵢ − mean) is scaled by n:
     stat_k = n·prefix_k − k·total (all int64), and the output is
     (event_type, n_events, cusum_q = max|stat_k|, pos = first argmax k).
-    Everything is integer until the optional cusum = float(q)/(n·100) view —
-    one exact-int division mirrored in SQL. Guarded loudly when
-    n·max|prefix| approaches 2^63 (n per type ≲ 4·10⁸ at cent scale; past
-    that, route the fold through Python ints like gini_exact).
+    Pure-integer result — order-independent and partition-invariant.
 
-    Scale shape: ONE type-keyed coarse-bucket exchange, vectorized segment
-    kernel; event_type is low-cardinality by contract."""
+    Scale shape (the gini_exact discipline, NOT a per-type task): event_type
+    is low-cardinality, so a type-keyed exchange would serialize each type's
+    10⁸ rows into one task. Instead: ONE distributed sort by (type, ts,
+    event_id) — the unavoidable exchange — then two streamed block passes.
+    Pass 1 ships per-(block, type-segment) COUNT and SUM only; the driver
+    folds blocks·types tuples into global totals and per-block running
+    bases. Pass 2 recomputes each block's local prefix and maximizes
+    |n·(base_pref + local_pref) − (base_k + local_k)·total| per segment —
+    per-block maxima (answer-sized) merge on the driver by (stat desc,
+    pos asc), reproducing the single-pass first-argmax exactly. Guarded
+    loudly when n·|prefix| approaches 2^63 (n per type ≲ 4·10⁸ at cent
+    scale; past that, fold in Python ints like gini_exact)."""
     import numpy as np
     import pyarrow as pa
+    import ray
+    import ray.data as rd
 
-    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
     from text_to_graph_ray.util import sort_coalesced
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"])
-    in_schema = pa.schema([
-        ("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_type", pa.string()),
-        ("value", pa.float64()),
+    prep_schema = pa.schema([
+        ("event_type", pa.string()), ("ts", pa.timestamp("us")), ("event_id", pa.int64()),
+        ("cents", pa.int64()),
     ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        cents = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": t.column("event_type"), "ts": t.column("ts"),
+            "event_id": t.column("event_id"), "cents": pa.array(cents, type=pa.int64()),
+        }, schema=prep_schema)
+
     out_schema = pa.schema([
         ("event_type", pa.string()), ("n_events", pa.int64()), ("cusum_q", pa.int64()),
         ("pos", pa.int64()),
     ])
+    sorted_ds = ev.map_batches(prep, batch_format="pyarrow").sort(
+        ["event_type", "ts", "event_id"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
 
-    def per_bucket(df):
-        if len(df) == 0:
-            return out_schema.empty_table()
-        df = df.drop(columns=[BUCKET_COL]).sort_values(["event_type", "ts", "event_id"], kind="mergesort")
-        et = df["event_type"].to_numpy()
-        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(np.int64)
+    def _segments(t: pa.Table):
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
         n = len(et)
         new = np.empty(n, dtype=bool)
         new[0] = True
         new[1:] = et[1:] != et[:-1]
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, n))
-        cs = np.cumsum(cents)
-        base = cs[starts] - cents[starts]
-        pref = cs - np.repeat(base, sizes)           # per-type prefix sums
-        tot = pref[np.append(starts[1:] - 1, n - 1)]  # per-type totals
-        n_rep = np.repeat(sizes, sizes)
-        k = np.arange(n) - np.repeat(starts, sizes) + 1
-        if sizes.size and int(np.abs(pref).max(initial=0)) * int(sizes.max()) >= overflow_guard:
-            raise ValueError("cusum_changepoint: n*prefix risks int64 overflow; "
-                             "rescale the value column or fold in Python ints")
-        stat = np.abs(n_rep * pref - k * np.repeat(tot, sizes))
-        rows = []
-        for gi, s in enumerate(starts):
-            e = s + sizes[gi]
-            seg = stat[s:e]
-            pos = int(np.argmax(seg))  # first max: argmax returns first
-            rows.append((et[s], int(sizes[gi]), int(seg[pos]), pos + 1))
-        return pa.table({
-            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
-            "n_events": pa.array([r[1] for r in rows], type=pa.int64()),
-            "cusum_q": pa.array([r[2] for r in rows], type=pa.int64()),
-            "pos": pa.array([r[3] for r in rows], type=pa.int64()),
-        }, schema=out_schema)
+        return et, starts, sizes
 
-    out = bucket_exchange(with_bucket(ev, "event_type", 64, in_schema=in_schema), per_bucket, out_schema, 64)
-    return sort_coalesced(out, "event_type")
+    @ray.remote
+    def seg_sums(t: pa.Table):
+        if t.num_rows == 0:
+            return []
+        et, starts, sizes = _segments(t)
+        cents = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        return [(str(et[s]), int(sz), int(cents[s:s + sz].sum(dtype=np.int64)))
+                for s, sz in zip(starts, sizes)]
+
+    per_block = ray.get([seg_sums.remote(r) for r in refs])
+    totals_n: dict = {}
+    totals_sum: dict = {}
+    for segs in per_block:
+        for ty, cnt, sm in segs:
+            totals_n[ty] = totals_n.get(ty, 0) + cnt
+            totals_sum[ty] = totals_sum.get(ty, 0) + sm
+    if not totals_n:
+        return rd.from_arrow(out_schema.empty_table())
+    # per-block running bases (blocks are already in global sort order)
+    bases = []  # one dict per block: type -> (base_k, base_pref)
+    run_k: dict = {}
+    run_p: dict = {}
+    for segs in per_block:
+        b = {ty: (run_k.get(ty, 0), run_p.get(ty, 0)) for ty, _, _ in segs}
+        bases.append(b)
+        for ty, cnt, sm in segs:
+            run_k[ty] = run_k.get(ty, 0) + cnt
+            run_p[ty] = run_p.get(ty, 0) + sm
+
+    @ray.remote
+    def block_max(t: pa.Table, base: dict, tn: dict, ts_: dict, guard: int):
+        if t.num_rows == 0:
+            return []
+        et, starts, sizes = _segments(t)
+        cents = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for s, sz in zip(starts, sizes):
+            ty = str(et[s])
+            n_ty, tot = tn[ty], ts_[ty]
+            bk, bp = base[ty]
+            lp = np.cumsum(cents[s:s + sz]) + bp     # global prefix
+            lk = np.arange(1, sz + 1, dtype=np.int64) + bk  # global k
+            if int(np.abs(lp).max(initial=0)) * n_ty >= guard or abs(tot) * int(lk[-1]) >= guard:
+                raise ValueError("cusum_changepoint: n*prefix risks int64 overflow; "
+                                 "rescale the value column or fold in Python ints")
+            stat = np.abs(n_ty * lp - lk * tot)
+            j = int(np.argmax(stat))  # first max within this block
+            out.append((ty, int(stat[j]), int(lk[j])))
+        return out
+
+    maxima = ray.get([
+        block_max.remote(r, b, totals_n, totals_sum, overflow_guard)
+        for r, b in zip(refs, bases)
+    ])
+    best: dict = {}
+    for rows in maxima:
+        for ty, st, pos in rows:
+            cur = best.get(ty)
+            if cur is None or (st, -pos) > (cur[0], -cur[1]):
+                best[ty] = (st, pos)
+    types = sorted(best)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "n_events": pa.array([totals_n[t] for t in types], type=pa.int64()),
+        "cusum_q": pa.array([best[t][0] for t in types], type=pa.int64()),
+        "pos": pa.array([best[t][1] for t in types], type=pa.int64()),
+    }, schema=out_schema))
