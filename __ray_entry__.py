@@ -2128,6 +2128,36 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_graph_mst(sf_dir):
+    """Distributed Borůvka minimum spanning forest over the lineitem-derived
+    weighted graph (a=o%M, b=p%M, M=rows//30, w=extendedprice cents,
+    parallel edges collapsed to min weight): per round each component picks
+    its min-(w, a, b) cross edge through two guarded lookup joins + one
+    comp-keyed pre-reduced exchange; the lexicographic total order makes
+    the forest identical to the naive Kruskal oracle (expected.py)."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from text_to_graph_ray.functions.graph import minimum_spanning_forest
+
+    mod = max(2, _pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows // 30)
+
+    def to_edges(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]).empty_table()
+        ok = np.asarray(b.column("l_orderkey").to_pylist(), dtype=np.int64) % mod
+        pk = np.asarray(b.column("l_partkey").to_pylist(), dtype=np.int64) % mod
+        w = np.floor(b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({"src": pa.array(ok), "dst": pa.array(pk), "w": pa.array(w)})
+
+    edges = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_extendedprice"]
+    ).map_batches(to_edges, batch_format="pyarrow")
+    return minimum_spanning_forest(edges)
+
+
 def _q_emb_kmeans(sf_dir):
     """Deterministic k-means clustering profile over the embedding corpus
     (cluster sizes + int64-quantized cohesion sums): bounded training
@@ -2863,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum": _q_events_cusum,
         "docs_naive_bayes": _q_docs_naive_bayes,
         "emb_kmeans": _q_emb_kmeans,
+        "graph_mst": _q_graph_mst,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
@@ -4160,6 +4191,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "graph_mst": (
+            # independent naive Kruskal under the shared (w, a, b) order
+            f"SELECT a, b, w FROM read_parquet('{e}/expected_mst.parquet') ORDER BY a, b"
+        ),
         "emb_kmeans": (
             # independent naive Lloyd mirror (expected.py)
             f"SELECT list_id, n_vecs, simq_sum FROM read_parquet('{e}/expected_kmeans.parquet') ORDER BY list_id"

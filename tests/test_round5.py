@@ -2541,3 +2541,70 @@ class TestKmeansProfile:
         t = pa.table({"vec_id": pa.array([], type=pa.int64()),
                       "embedding": pa.array([], type=pa.list_(pa.float32()))})
         assert kmeans_profile(_ray.data.from_arrow(t)).count() == 0
+
+
+def _naive_kruskal_pairs(rows):
+    best = {}
+    for s, d, w in rows:
+        if s == d:
+            continue
+        k = (min(s, d), max(s, d))
+        if k not in best or w < best[k]:
+            best[k] = w
+    edges = sorted((w, a, b) for (a, b), w in best.items())
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    out = []
+    for w, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+class TestMst:
+    def _run(self, rows, **kw):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import minimum_spanning_forest
+
+        t = pa.table({"src": pa.array([r[0] for r in rows], type=pa.int64()),
+                      "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+                      "w": pa.array([r[2] for r in rows], type=pa.int64())})
+        got = minimum_spanning_forest(_ray.data.from_arrow(t).repartition(4), **kw).take_all()
+        return sorted((r["a"], r["b"], r["w"]) for r in got)
+
+    def test_random_with_ties_matches_kruskal(self, ray_session):
+        rng = np.random.default_rng(71)
+        for trial in range(3):
+            n = [30, 80, 40][trial]
+            m = [100, 250, 45][trial]
+            rows = list(zip(rng.integers(0, n, m).tolist(), rng.integers(0, n, m).tolist(),
+                            rng.integers(1, 25, m).tolist()))  # heavy weight ties
+            assert self._run(rows) == _naive_kruskal_pairs(rows), trial
+
+    def test_disconnected_forest(self, ray_session):
+        rows = [(0, 1, 5), (1, 2, 3), (0, 2, 4), (10, 11, 1), (11, 12, 1), (10, 12, 9)]
+        got = self._run(rows)
+        assert got == _naive_kruskal_pairs(rows)
+        assert len(got) == 4  # two trees: 3 nodes + 3 nodes -> 2 + 2 edges
+
+    def test_parallel_edges_collapse_to_min(self, ray_session):
+        rows = [(0, 1, 9), (1, 0, 2), (0, 1, 5), (1, 2, 7)]
+        assert self._run(rows) == [(0, 1, 2), (1, 2, 7)]
+
+    def test_round_budget_raises_loudly(self, ray_session):
+        # a path graph merges only neighbors per round: 1 round can't finish
+        rows = [(i, i + 1, 10 + i) for i in range(16)]
+        with pytest.raises(ValueError, match="Borůvka rounds"):
+            self._run(rows, max_rounds=1)

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v19"  # v19: +expected_kmeans; v18: +expected_nb; v17: +expected_pca
+EXPECTED_ROOT = "/tmp/graft_expected/v20"  # v20: +expected_mst; v19: +expected_kmeans; v18: +expected_nb
 
 _MERSENNE = (1 << 61) - 1
 
@@ -688,6 +688,49 @@ def naive_ann_ivf(
     return rows
 
 
+def naive_mst(sf_dir: str):
+    """Single-threaded Kruskal over the lineitem-derived weighted graph —
+    the exact oracle for the distributed Boruvka forest (identical under
+    the shared (w, a, b) total order): a = l_orderkey%M, b = l_partkey%M,
+    M = lineitem_rows//30, w = floor(extendedprice*100+0.5), parallel
+    edges collapsed to their min weight."""
+    li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_partkey", "l_extendedprice"])
+    mod = max(2, li.num_rows // 30)
+    ok = np.asarray(li.column("l_orderkey").to_pylist(), dtype=np.int64) % mod
+    pk = np.asarray(li.column("l_partkey").to_pylist(), dtype=np.int64) % mod
+    w = np.floor(np.asarray(li.column("l_extendedprice").to_pylist()) * 100 + 0.5).astype(np.int64)
+    best: dict = {}
+    for s_, d_, w_ in zip(ok.tolist(), pk.tolist(), w.tolist()):
+        if s_ == d_:
+            continue
+        k = (min(s_, d_), max(s_, d_))
+        if k not in best or w_ < best[k]:
+            best[k] = w_
+    edges = sorted((wv, a, b) for (a, b), wv in best.items())
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    out = {"a": [], "b": [], "w": []}
+    for wv, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out["a"].append(a)
+            out["b"].append(b)
+            out["w"].append(wv)
+    order = sorted(range(len(out["a"])), key=lambda i: (out["a"][i], out["b"][i]))
+    return {k: [v[i] for i in order] for k, v in out.items()}
+
+
 def naive_kmeans_profile(ids: np.ndarray, vecs: np.ndarray, n_centroids: int = 16,
                          train_rows: int = 2048, iters: int = 10):
     """Single-threaded clustering profile mirror of ann.kmeans_profile:
@@ -1213,6 +1256,18 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "vec_id": pa.array(pp["vec_id"], type=pa.int64()),
                 "pc0": pa.array(pp["pc0"], type=pa.int64()),
                 "pc1": pa.array(pp["pc1"], type=pa.int64()),
+            }
+        ),
+    )
+    mst = naive_mst(sf_dir)
+    _write(
+        tmp,
+        "expected_mst",
+        pa.table(
+            {
+                "a": pa.array(mst["a"], type=pa.int64()),
+                "b": pa.array(mst["b"], type=pa.int64()),
+                "w": pa.array(mst["w"], type=pa.int64()),
             }
         ),
     )

@@ -2152,3 +2152,162 @@ def ktruss_bounded(edges_ds, k: int = 4, max_rounds: int = 3, src_col: str = "sr
                          "sup": pc.cast(pc.round(s), pa.int64())}, schema=out_schema)
 
     return sort_coalesced(fo.map_batches(finish, batch_format="pyarrow"), ["a", "b"])
+
+
+def minimum_spanning_forest(edges_ds, max_rounds: int = 12, src_col: str = "src",
+                            dst_col: str = "dst", w_col: str = "w",
+                            num_buckets: int = 64, stats: dict | None = None):
+    """Distributed Borůvka minimum spanning forest: per round every
+    component selects its minimum cross edge under the TOTAL order
+    (w, a, b) — the lexicographic tie-break makes the forest unique and
+    equal to Kruskal's under the same order, so a naive single-threaded
+    Kruskal is an exact oracle. Components at least halve per round, so
+    ``max_rounds`` = 12 covers 4096 components per survivor; a graph whose
+    forest is still incomplete past the budget fails LOUDLY (the
+    connected-components max_rounds convention) rather than returning a
+    partial forest silently.
+
+    Scale shape per round: the node-sized component map attaches to both
+    endpoints via two guarded ``lookup_join``s (broadcast under the row
+    cap, bucketed merge past it); candidate min-edges ride ONE comp-keyed
+    bucket exchange where each bucket pre-reduces to one row per component
+    (never raw edges); the forest only grows by <= #components edges per
+    round. Parallel input edges collapse to their min-(w, a, b)
+    representative first (one (a, b)-keyed exchange).
+
+    Returns (a, b, w) of the forest, sorted by (a, b)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.functions.joins import lookup_join
+    from text_to_graph_ray.util import compact_nonempty, sort_coalesced
+
+    e_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("w", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e_schema.empty_table()
+        s, d = pc.cast(t.column(src_col), pa.int64()), pc.cast(t.column(dst_col), pa.int64())
+        out = pa.table({"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d),
+                        "w": pc.cast(t.column(w_col), pa.int64())})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    def min_per_pair(df) -> pa.Table:
+        if len(df) == 0:
+            return e_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["a", "b", "w"], kind="mergesort")
+        g = df.groupby(["a", "b"], as_index=False, sort=False).first()
+        return pa.table({"a": pa.array(g["a"], type=pa.int64()),
+                         "b": pa.array(g["b"], type=pa.int64()),
+                         "w": pa.array(g["w"], type=pa.int64())}, schema=e_schema)
+
+    # collapse parallel edges: one (a, b)-keyed exchange with a per-batch
+    # combiner (drop_duplicates-style min inside the same kernel)
+    edges = compact_nonempty(bucket_exchange(
+        with_bucket(edges_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"],
+                    num_buckets, in_schema=e_schema),
+        min_per_pair, e_schema, num_buckets,
+    ).materialize())
+    if edges.count() == 0:
+        return rd.from_arrow(e_schema.empty_table())
+
+    comp_schema = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+
+    def self_comps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return comp_schema.empty_table()
+        nodes = pc.unique(pa.concat_arrays([t.column("a").combine_chunks(),
+                                            t.column("b").combine_chunks()]))
+        return pa.table({"node": nodes, "comp": nodes}, schema=comp_schema)
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+
+    comps = distinct_rows(edges.map_batches(self_comps, batch_format="pyarrow"),
+                          ["node", "comp"], comp_schema, num_buckets=num_buckets)
+    forest = rd.from_arrow(e_schema.empty_table())
+    rounds: list[int] = []
+    done = False
+    for _ in range(max_rounds):
+        ca = comps.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "ca": t.column("comp")})
+            if t.num_rows else pa.schema([("node", pa.int64()), ("ca", pa.int64())]).empty_table(),
+            batch_format="pyarrow")
+        cb = comps.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "cb": t.column("comp")})
+            if t.num_rows else pa.schema([("node", pa.int64()), ("cb", pa.int64())]).empty_table(),
+            batch_format="pyarrow")
+        lab = lookup_join(edges, ca, key="a", right_key="node", cols=["ca"])
+        lab = lookup_join(lab, cb, key="b", right_key="node", cols=["cb"])
+        cross_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("w", pa.int64()),
+                                  ("ca", pa.int64()), ("cb", pa.int64())])
+
+        def cross_only(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return cross_schema.empty_table()
+            k = t.filter(pc.not_equal(t.column("ca"), t.column("cb")))
+            return k.select(["a", "b", "w", "ca", "cb"])
+
+        cross = compact_nonempty(lab.map_batches(cross_only, batch_format="pyarrow").materialize())
+        n_cross = cross.count()
+        if n_cross == 0:
+            done = True
+            break
+
+        # each component's min (w, a, b) cross edge: symmetrize to (comp,
+        # w, a, b), pre-reduce per batch AND per bucket — one row per comp
+        cand_schema = pa.schema([("comp", pa.int64()), ("w", pa.int64()),
+                                 ("a", pa.int64()), ("b", pa.int64())])
+
+        def symm(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return cand_schema.empty_table()
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "comp": np.concatenate([t.column("ca").to_numpy(zero_copy_only=False),
+                                        t.column("cb").to_numpy(zero_copy_only=False)]),
+                "w": np.tile(t.column("w").to_numpy(zero_copy_only=False), 2),
+                "a": np.tile(t.column("a").to_numpy(zero_copy_only=False), 2),
+                "b": np.tile(t.column("b").to_numpy(zero_copy_only=False), 2),
+            }).sort_values(["comp", "w", "a", "b"], kind="mergesort")
+            g = df.groupby("comp", as_index=False, sort=False).first()
+            return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in cand_schema},
+                            schema=cand_schema)
+
+        def min_per_comp(df) -> pa.Table:
+            if len(df) == 0:
+                return cand_schema.empty_table()
+            df = df.drop(columns=[BUCKET_COL]).sort_values(["comp", "w", "a", "b"], kind="mergesort")
+            g = df.groupby("comp", as_index=False, sort=False).first()
+            return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in cand_schema},
+                            schema=cand_schema)
+
+        cand = bucket_exchange(
+            with_bucket(cross.map_batches(symm, batch_format="pyarrow"), "comp",
+                        num_buckets, in_schema=cand_schema),
+            min_per_comp, cand_schema, num_buckets,
+        )
+        # two comps may pick the same edge: dedup before growing the forest
+        sel = distinct_rows(cand.map_batches(
+            lambda t: t.select(["a", "b", "w"]) if t.num_rows else e_schema.empty_table(),
+            batch_format="pyarrow"), ["a", "b", "w"], e_schema, num_buckets=num_buckets)
+        forest = compact_nonempty(forest.union(sel).materialize())
+        rounds.append(forest.count())
+        # recompute components over the grown forest (guarded union-find /
+        # min-label inside)
+        cc = connected_components(forest, a_col="a", b_col="b")
+        comps = cc.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "comp": t.column("component")},
+                               schema=comp_schema)
+            if t.num_rows else comp_schema.empty_table(),
+            batch_format="pyarrow").materialize()
+
+    if stats is not None:
+        stats["mst_rounds"] = rounds
+    if not done:
+        raise ValueError(
+            f"minimum_spanning_forest: {max_rounds} Borůvka rounds did not exhaust the "
+            "cross edges — raise max_rounds (components at least halve per round)"
+        )
+    return sort_coalesced(forest, ["a", "b"])
