@@ -2128,6 +2128,15 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_events_ohlc(sf_dir):
+    """OHLC bars per (event_type, 5-min window): order-dependent open/close
+    at the exact (ts, event_id) bar boundaries, integer cents throughout —
+    one keyed exchange, vectorized first/last segment kernel."""
+    from text_to_graph_ray.pipelines.analytics import ohlc_bars
+
+    return ohlc_bars(sf_dir)
+
+
 def _q_graph_mst(sf_dir):
     """Distributed Borůvka minimum spanning forest over the lineitem-derived
     weighted graph (a=o%M, b=p%M, M=rows//30, w=extendedprice cents,
@@ -2894,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_naive_bayes": _q_docs_naive_bayes,
         "emb_kmeans": _q_emb_kmeans,
         "graph_mst": _q_graph_mst,
+        "events_ohlc": _q_events_ohlc,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
@@ -4191,6 +4201,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "events_ohlc": (
+            # open/close via rn over the exact (ts, event_id) order; all cents
+            "WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS w, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts, event_id FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, w ORDER BY ts, event_id) AS rn, "
+            "row_number() OVER (PARTITION BY event_type, w ORDER BY ts DESC, event_id DESC) AS rnd FROM b) "
+            "SELECT event_type, w, max(CASE WHEN rn = 1 THEN cents END)::BIGINT AS open, "
+            "max(cents)::BIGINT AS high, min(cents)::BIGINT AS low, "
+            "max(CASE WHEN rnd = 1 THEN cents END)::BIGINT AS close, count(*)::BIGINT AS volume "
+            "FROM r GROUP BY event_type, w ORDER BY event_type, w"
+        ),
         "graph_mst": (
             # independent naive Kruskal under the shared (w, a, b) order
             f"SELECT a, b, w FROM read_parquet('{e}/expected_mst.parquet') ORDER BY a, b"

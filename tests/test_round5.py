@@ -2608,3 +2608,38 @@ class TestMst:
         rows = [(i, i + 1, 10 + i) for i in range(16)]
         with pytest.raises(ValueError, match="Borůvka rounds"):
             self._run(rows, max_rounds=1)
+
+
+class TestOhlc:
+    def test_matches_pandas_naive(self, ray_session, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from text_to_graph_ray.pipelines.analytics import ohlc_bars
+
+        rng = np.random.default_rng(81)
+        n = 500
+        t = pa.table({
+            "event_id": pa.array(rng.permutation(n), type=pa.int64()),  # ids shuffled vs ts
+            "ts": pa.array(rng.integers(0, 3600 * 10**6, n), type=pa.timestamp("us")),
+            "event_type": pa.array(rng.choice(["x", "y"], n)),
+            "value": pa.array(np.round(rng.uniform(0.01, 99), 2), type=pa.float64()),
+            "user_id": pa.array([0] * n, type=pa.int64()),
+            "props": pa.array(["{}"] * n),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        _pq.write_table(t, str(d / "events.parquet"))
+        got = ohlc_bars(str(d)).to_pandas()
+        df = t.to_pandas()
+        df["w"] = df["ts"].astype("int64") // (300 * 10**6)
+        df["cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = df.sort_values(["event_type", "w", "ts", "event_id"], kind="mergesort")
+        exp = df.groupby(["event_type", "w"], as_index=False).agg(
+            open=("cents", "first"), high=("cents", "max"), low=("cents", "min"),
+            close=("cents", "last"), volume=("cents", "size"))
+        exp = exp.sort_values(["event_type", "w"]).reset_index(drop=True)
+        for c in ("event_type", "w", "open", "high", "low", "close", "volume"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # invariants: low <= open/close <= high
+        assert (got["low"] <= got["open"]).all() and (got["open"] <= got["high"]).all()
+        assert (got["low"] <= got["close"]).all() and (got["close"] <= got["high"]).all()

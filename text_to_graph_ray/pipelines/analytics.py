@@ -2810,3 +2810,63 @@ def cusum_changepoint(sf_dir: str, overflow_guard: int = 1 << 62):
         "cusum_q": pa.array([best[t][0] for t in types], type=pa.int64()),
         "pos": pa.array([best[t][1] for t in types], type=pa.int64()),
     }, schema=out_schema))
+
+
+def ohlc_bars(sf_dir: str, window_s: int = 300):
+    """Per-(event_type, tumbling window) OHLC bars — open/high/low/close/
+    volume, the classic time-series rollup whose open/close are
+    ORDER-dependent firsts/lasts (not plain aggregates). All values are
+    integer cents; open = cents at min (ts, event_id) within the bar,
+    close = at max — exact on both engines with no float math.
+
+    Scale shape: ONE (type, window)-keyed coarse-bucket exchange (bar
+    cardinality grows with the time span, not the row count, but each
+    bar's rows land whole in one bucket task), then a vectorized
+    per-bucket sort + segment kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    from text_to_graph_ray.functions.agg import BUCKET_COL, bucket_exchange, with_bucket
+    from text_to_graph_ray.util import sort_coalesced
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"])
+    prep_schema = pa.schema([
+        ("event_type", pa.string()), ("w", pa.int64()), ("ts", pa.timestamp("us")),
+        ("event_id", pa.int64()), ("cents", pa.int64()),
+    ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        w = ts // (window_s * 1_000_000)
+        cents = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": t.column("event_type"), "w": pa.array(w, type=pa.int64()),
+            "ts": t.column("ts"), "event_id": t.column("event_id"),
+            "cents": pa.array(cents, type=pa.int64()),
+        }, schema=prep_schema)
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("w", pa.int64()), ("open", pa.int64()),
+        ("high", pa.int64()), ("low", pa.int64()), ("close", pa.int64()),
+        ("volume", pa.int64()),
+    ])
+
+    def per_bucket(df):
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            ["event_type", "w", "ts", "event_id"], kind="mergesort")
+        g = df.groupby(["event_type", "w"], as_index=False, sort=False).agg(
+            open=("cents", "first"), high=("cents", "max"), low=("cents", "min"),
+            close=("cents", "last"), volume=("cents", "size"))
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in out_schema},
+                        schema=out_schema)
+
+    out = bucket_exchange(
+        with_bucket(ev.map_batches(prep, batch_format="pyarrow"), ["event_type", "w"], 64,
+                    in_schema=prep_schema),
+        per_bucket, out_schema, 64,
+    )
+    return sort_coalesced(out, ["event_type", "w"])
