@@ -2622,7 +2622,7 @@ class TestOhlc:
             "event_id": pa.array(rng.permutation(n), type=pa.int64()),  # ids shuffled vs ts
             "ts": pa.array(rng.integers(0, 3600 * 10**6, n), type=pa.timestamp("us")),
             "event_type": pa.array(rng.choice(["x", "y"], n)),
-            "value": pa.array(np.round(rng.uniform(0.01, 99), 2), type=pa.float64()),
+            "value": pa.array(np.round(rng.uniform(0.01, 99, n), 2), type=pa.float64()),
             "user_id": pa.array([0] * n, type=pa.int64()),
             "props": pa.array(["{}"] * n),
         })
