@@ -2128,6 +2128,77 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_kg_metapath_counts(sf_dir):
+    """2-hop metapath counts over the linked KG: for every entity that
+    DEFINES something, how many (defines → calls) paths start there — the
+    class-activity profile a KG consumer derives. One distributed hash
+    self-join of the edge table on the hop key + a grouped count; edge
+    tables at 10^12-file scale are corpus-sized, so this is a real
+    shuffle join (join_partitions_for), not a broadcast."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.dedup import join_partitions_for
+    from text_to_graph_ray.util import sort_coalesced
+
+    _, edges = _kg_tables(sf_dir, link=True)
+    left = rd.from_pandas(
+        edges[edges["pred"] == "defines"][["src_key", "dst_key"]].rename(columns={"dst_key": "hop"})
+    ).repartition(4)
+    right = rd.from_pandas(
+        edges[edges["pred"] == "calls"][["src_key", "dst_key"]].rename(
+            columns={"src_key": "hop_r", "dst_key": "callee"})
+    ).repartition(4)
+    j = left.join(right, join_type="inner", num_partitions=join_partitions_for(),
+                  on=("hop",), right_on=("hop_r",), partition_size_hint=16 << 20)
+    in_schema = pa.schema([("src_key", pa.string()), ("hop", pa.string()), ("callee", pa.string())])
+    out_schema = pa.schema([("src_key", pa.string()), ("n_paths", pa.int64())])
+    agg = bucketed_aggregate(
+        j.map_batches(
+            lambda t: t.select(["src_key", "hop", "callee"]) if t.num_rows else in_schema.empty_table(),
+            batch_format="pyarrow"),
+        "src_key", {"n_paths": ("hop", "size")}, out_schema=out_schema, in_schema=in_schema,
+    )
+    return sort_coalesced(agg, "src_key")
+
+
+def _q_rel_integrity_check(sf_dir):
+    """Ingest-validation referential-integrity report: orphan FK rows via
+    guarded anti/semi filters (broadcast under the row cap, distributed
+    join past it), childless parents, and key-uniqueness violations — one
+    (check, n_violations) row each, the loud data-quality gate an ingest
+    pipeline runs before anything downstream trusts the tables."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.functions.joins import filter_by_keys
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    orphan_li = filter_by_keys(li, orders, key="l_orderkey", right_key="o_orderkey", mode="anti").count()
+    orphan_ord = filter_by_keys(orders, cust, key="o_custkey", right_key="c_custkey", mode="anti").count()
+    childless = filter_by_keys(orders, li, key="o_orderkey", right_key="l_orderkey", mode="anti").count()
+    # key-uniqueness: count keys with >1 row (combiner-first grouped count)
+    cnt_schema = pa.schema([("c_custkey", pa.int64()), ("n", pa.int64())])
+    dup_cust = bucketed_aggregate(
+        cust, "c_custkey", {"n": ("c_custkey", "size")}, out_schema=cnt_schema,
+        in_schema=pa.schema([("c_custkey", pa.int64())]),
+    ).map_batches(
+        lambda t: t.filter(_pc.greater(t.column("n"), 1)) if t.num_rows else cnt_schema.empty_table(),
+        batch_format="pyarrow",
+    ).count()
+    return rd.from_arrow(pa.table({
+        "chk": pa.array(["childless_orders", "dup_custkey", "orphan_lineitem", "orphan_orders"],
+                        type=pa.string()),
+        "n_violations": pa.array([childless, dup_cust, orphan_li, orphan_ord], type=pa.int64()),
+    }))
+
+
 def _q_events_ohlc(sf_dir):
     """OHLC bars per (event_type, 5-min window): order-dependent open/close
     at the exact (ts, event_id) bar boundaries, integer cents throughout —
@@ -2904,6 +2975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": _q_emb_kmeans,
         "graph_mst": _q_graph_mst,
         "events_ohlc": _q_events_ohlc,
+        "kg_metapath_counts": _q_kg_metapath_counts,
+        "rel_integrity_check": _q_rel_integrity_check,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
         "graph_hits": _q_graph_hits,
@@ -4201,6 +4274,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "kg_metapath_counts": (
+            f"SELECT d.src_key, count(*)::BIGINT AS n_paths "
+            f"FROM read_parquet('{exp_linked}') d JOIN read_parquet('{exp_linked}') c "
+            f"ON d.dst_key = c.src_key AND d.pred = 'defines' AND c.pred = 'calls' "
+            f"GROUP BY d.src_key ORDER BY d.src_key"
+        ),
+        "rel_integrity_check": (
+            "SELECT chk, n_violations FROM ("
+            "SELECT 'orphan_lineitem' AS chk, count(*)::BIGINT AS n_violations FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) "
+            "UNION ALL SELECT 'orphan_orders', count(*)::BIGINT FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) "
+            "UNION ALL SELECT 'childless_orders', count(*)::BIGINT FROM orders "
+            "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem) "
+            "UNION ALL SELECT 'dup_custkey', count(*)::BIGINT FROM "
+            "(SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)"
+            ") ORDER BY chk"
+        ),
         "events_ohlc": (
             # open/close via rn over the exact (ts, event_id) order; all cents
             "WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS w, "

@@ -2643,3 +2643,38 @@ class TestOhlc:
         # invariants: low <= open/close <= high
         assert (got["low"] <= got["open"]).all() and (got["open"] <= got["high"]).all()
         assert (got["low"] <= got["close"]).all() and (got["close"] <= got["high"]).all()
+
+
+class TestMetapathAndIntegrity:
+    def test_metapath_matches_pandas(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_kg_metapath_counts(sf).to_pandas()
+        _, edges = E._kg_tables(sf, link=True)
+        d = edges[edges["pred"] == "defines"][["src_key", "dst_key"]]
+        c = edges[edges["pred"] == "calls"][["src_key", "dst_key"]]
+        j = d.merge(c, left_on="dst_key", right_on="src_key", suffixes=("", "_c"))
+        exp = j.groupby("src_key", as_index=False).size().rename(columns={"size": "n_paths"})
+        exp = exp.sort_values("src_key").reset_index(drop=True)
+        assert got["src_key"].tolist() == exp["src_key"].tolist()
+        assert got["n_paths"].tolist() == exp["n_paths"].astype("int64").tolist()
+        assert len(got) > 0  # the synth KG has defines->calls chains
+
+    def test_integrity_report(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_rel_integrity_check(sf).to_pandas().set_index("chk")["n_violations"]
+        con = duckdb.connect()
+        for tb in ("lineitem", "orders", "customer"):
+            con.sql(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{sf}/{tb}.parquet')")
+        for chk, sql in [
+            ("orphan_lineitem", "SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"),
+            ("orphan_orders", "SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"),
+            ("childless_orders", "SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"),
+            ("dup_custkey", "SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)"),
+        ]:
+            assert got[chk] == con.sql(sql).fetchone()[0], chk
