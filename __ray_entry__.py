@@ -2128,6 +2128,106 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_docs_lm_terciles(sf_dir):
+    """CCNet-style perplexity bucketing: every doc's self-trained bigram-LM
+    nll ranked into GLOBAL terciles (head/middle/tail) with exact SQL
+    NTILE(3) semantics — one distributed (nll, doc_id) sort + block-offset
+    global ranks (the gini/budget-select discipline; the driver holds
+    #blocks counts only). nll values are the text_lm_score contract, so
+    ranking ties break identically on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.text import bigram_lm_nll
+    from text_to_graph_ray.util import sort_coalesced
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scores = bigram_lm_nll(docs).map_batches(
+        lambda t: t.select(["doc_id", "nll"]) if t.num_rows
+        else pa.schema([("doc_id", pa.int64()), ("nll", pa.float64())]).empty_table(),
+        batch_format="pyarrow",
+    )
+    sorted_ds = scores.sort(["nll", "doc_id"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([block_rows.remote(r) for r in refs])
+    offsets, n = [], 0
+    for c in counts:
+        offsets.append(n)
+        n += c
+    out_schema = pa.schema([("doc_id", pa.int64()), ("nll", pa.float64()), ("tercile", pa.int64())])
+    if n == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    k = 3
+    q, rem = divmod(n, k)
+    big = q + 1
+
+    @ray.remote
+    def tag(t: pa.Table, offset: int) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        r = np.arange(offset + 1, offset + t.num_rows + 1, dtype=np.int64)
+        if q == 0:  # fewer rows than tiles: NTILE gives row r tile r
+            tile = r
+        else:
+            # exact SQL NTILE: the first `rem` tiles carry one extra row
+            tile = np.where(r <= big * rem, (r - 1) // big + 1,
+                            rem + (r - 1 - big * rem) // q + 1)
+        return pa.table({"doc_id": t.column("doc_id"), "nll": t.column("nll"),
+                         "tercile": pa.array(tile, type=pa.int64())}, schema=out_schema)
+
+    tagged = ray.get([tag.remote(r, o) for r, o in zip(refs, offsets)])
+    return sort_coalesced(
+        rd.from_arrow_refs([ray.put(t) for t in tagged if t.num_rows]), "doc_id")
+
+
+def _q_kg_link_rewrites(sf_dir):
+    """Alias-linking audit of the KG: how many RAW triples per predicate the
+    linker rewrote (raw EXCEPT linked on the distinct (src, pred, dst)
+    set) — the extraction-vs-linking delta a KG-construction pipeline
+    reports. Guarded anti filter on the packed triple key (broadcast under
+    the cap, distributed semi join past it) + one grouped count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate, distinct_rows
+    from text_to_graph_ray.functions.joins import filter_by_keys
+    from text_to_graph_ray.util import sort_coalesced
+
+    _, raw = _kg_tables(sf_dir, link=False)
+    _, linked = _kg_tables(sf_dir, link=True)
+    key_schema = pa.schema([("src_key", pa.string()), ("pred", pa.string()),
+                            ("dst_key", pa.string()), ("k", pa.string())])
+
+    def packed(df):
+        ds = rd.from_pandas(df[["src_key", "pred", "dst_key"]]).repartition(4)
+
+        def add_key(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return key_schema.empty_table()
+            ks = [f"{s}\x1f{p}\x1f{d}" for s, p, d in zip(
+                t.column("src_key").to_pylist(), t.column("pred").to_pylist(),
+                t.column("dst_key").to_pylist())]
+            return pa.table({"src_key": t.column("src_key"), "pred": t.column("pred"),
+                             "dst_key": t.column("dst_key"),
+                             "k": pa.array(ks, type=pa.string())}, schema=key_schema)
+
+        return distinct_rows(ds.map_batches(add_key, batch_format="pyarrow"),
+                             ["src_key", "pred", "dst_key", "k"], key_schema)
+
+    rewritten = filter_by_keys(packed(raw), packed(linked), key="k", mode="anti")
+    out_schema = pa.schema([("pred", pa.string()), ("n_rewritten", pa.int64())])
+    agg = bucketed_aggregate(rewritten, "pred", {"n_rewritten": ("k", "size")},
+                             out_schema=out_schema, in_schema=key_schema)
+    return sort_coalesced(agg, "pred")
+
+
 def _q_kg_metapath_counts(sf_dir):
     """2-hop metapath counts over the linked KG: for every entity that
     DEFINES something, how many (defines → calls) paths start there — the
@@ -2976,6 +3076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mst": _q_graph_mst,
         "events_ohlc": _q_events_ohlc,
         "kg_metapath_counts": _q_kg_metapath_counts,
+        "docs_lm_terciles": _q_docs_lm_terciles,
+        "kg_link_rewrites": _q_kg_link_rewrites,
         "rel_integrity_check": _q_rel_integrity_check,
         "rel_regression": _q_rel_regression,
         "events_user_ema": _q_events_user_ema,
@@ -4274,6 +4376,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(_kcore_mod(_SF01)),
         "graph_ktruss": _ktruss_sql(_ktruss_mod(_SF01)),
+        "docs_lm_terciles": (
+            # nll from the independent naive LM; NTILE is exact SQL semantics
+            f"WITH s AS (SELECT doc_id, nll FROM read_parquet('{e}/expected_lm_nll.parquet')) "
+            "SELECT doc_id, nll, ntile(3) OVER (ORDER BY nll, doc_id)::BIGINT AS tercile "
+            "FROM s ORDER BY doc_id"
+        ),
+        "kg_link_rewrites": (
+            f"SELECT pred, count(*)::BIGINT AS n_rewritten FROM ("
+            f"SELECT DISTINCT src_key, pred, dst_key FROM read_parquet('{exp_raw}') "
+            f"EXCEPT SELECT DISTINCT src_key, pred, dst_key FROM read_parquet('{exp_linked}')"
+            f") GROUP BY pred ORDER BY pred"
+        ),
         "kg_metapath_counts": (
             f"SELECT d.src_key, count(*)::BIGINT AS n_paths "
             f"FROM read_parquet('{exp_linked}') d JOIN read_parquet('{exp_linked}') c "

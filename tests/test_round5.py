@@ -2678,3 +2678,38 @@ class TestMetapathAndIntegrity:
             ("dup_custkey", "SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)"),
         ]:
             assert got[chk] == con.sql(sql).fetchone()[0], chk
+
+
+class TestLmTercilesAndRewrites:
+    def test_terciles_are_exact_ntile(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_docs_lm_terciles(sf).to_pandas()
+        con = duckdb.connect()
+        exp = con.execute(
+            "SELECT doc_id, ntile(3) OVER (ORDER BY nll, doc_id) AS tercile FROM got ORDER BY doc_id"
+        ).df()
+        assert got["tercile"].tolist() == exp["tercile"].astype("int64").tolist()
+        # tile sizes differ by at most 1 and are ordered big-first
+        sizes = got.groupby("tercile").size()
+        assert sizes.max() - sizes.min() <= 1
+        assert sizes.sort_index().is_monotonic_decreasing or sizes.nunique() == 1
+
+    def test_link_rewrites_match_pandas_except(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_kg_link_rewrites(sf).to_pandas()
+        _, raw = E._kg_tables(sf, link=False)
+        _, linked = E._kg_tables(sf, link=True)
+        r = set(map(tuple, raw[["src_key", "pred", "dst_key"]].values))
+        l = set(map(tuple, linked[["src_key", "pred", "dst_key"]].values))
+        diff = r - l
+        exp = {}
+        for _, p, _d in diff:
+            exp[p] = exp.get(p, 0) + 1
+        assert dict(zip(got["pred"], got["n_rewritten"])) == exp
+        assert got["n_rewritten"].sum() == len(diff) > 0  # linking is live
