@@ -2128,6 +2128,65 @@ def _q_graph_kcore(sf_dir):
     return kcore_bounded(edges, k=8, max_rounds=4)
 
 
+def _q_emb_outliers(sf_dir):
+    """Cluster-cohesion embedding outliers (z = 2 below the cluster's mean
+    centroid-cosine): per-cluster integer sufficient sums collapse the
+    z-test to ONE isqrt-derived int boundary per cluster, so both passes
+    stay vectorized and overflow-free at any corpus size. Oracle:
+    independent naive mirror (expected.py)."""
+    from text_to_graph_ray.functions.ann import kmeans_outliers
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_outliers(ds)
+
+
+def _q_kg_degree_distribution(sf_dir):
+    """Degree histogram of the linked KG in power-of-two buckets — the
+    graph-shape report a KG-construction pipeline publishes (skew early
+    warning: a hot bucket at 2^k predicts the salted-canonicalization
+    regime). Endpoint fan-out -> one keyed degree exchange -> log2 bucket
+    counts; SQL mirrors with floor(log2(deg)) over the expected triples."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.util import sort_coalesced
+
+    _, edges = _kg_tables(sf_dir, link=True)
+    ed = rd.from_pandas(edges[["src_key", "dst_key"]]).repartition(8)
+    node_schema = pa.schema([("node", pa.string())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return node_schema.empty_table()
+        return pa.table({"node": pa.concat_arrays([
+            t.column("src_key").combine_chunks().cast(pa.string()),
+            t.column("dst_key").combine_chunks().cast(pa.string()),
+        ])}, schema=node_schema)
+
+    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+    deg = bucketed_aggregate(ed.map_batches(endpoints, batch_format="pyarrow"), "node",
+                             {"deg": ("node", "size")}, out_schema=deg_schema, in_schema=node_schema)
+    b_schema = pa.schema([("bucket", pa.int64()), ("n_nodes", pa.int64())])
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return b_schema.empty_table()
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        # floor(log2(deg)): frexp exponent is exact for any deg < 2^53
+        # (the float64 is exact, so e in deg = m·2^e with m ∈ [0.5, 1) is
+        # exactly bit_length), and e - 1 = floor(log2) — no libm rounding
+        b = np.frexp(d.astype(np.float64))[1].astype(np.int64) - 1
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u), "n_nodes": pa.array(cnt.astype(np.int64))},
+                        schema=b_schema)
+
+    hist = bucketed_aggregate(deg.map_batches(to_bucket, batch_format="pyarrow"), "bucket",
+                              {"n_nodes": ("n_nodes", "sum")}, out_schema=b_schema, in_schema=b_schema)
+    return sort_coalesced(hist, "bucket")
+
+
 def _q_docs_lm_terciles(sf_dir):
     """CCNet-style perplexity bucketing: every doc's self-trained bigram-LM
     nll ranked into GLOBAL terciles (head/middle/tail) with exact SQL
@@ -3066,6 +3125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curation flagship, fuzzy joins, sketches, + the round-5 additions).
     # The local gate (scripts/check_correctness.py) still runs ALL of them.
     return {
+        "emb_outliers": _q_emb_outliers,
+        "kg_degree_distribution": _q_kg_degree_distribution,
         "graph_ktruss": _q_graph_ktruss,
         "kg_schema_summary": _q_kg_schema_summary,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -4424,6 +4485,20 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": (
             # independent naive Lloyd mirror (expected.py)
             f"SELECT list_id, n_vecs, simq_sum FROM read_parquet('{e}/expected_kmeans.parquet') ORDER BY list_id"
+        ),
+        "emb_outliers": (
+            # independent naive mirror (expected.py: same Lloyd spec + exact
+            # integer z-boundary per cluster)
+            f"SELECT vec_id, list_id, simq FROM read_parquet('{e}/expected_kmeans_outliers.parquet') ORDER BY vec_id"
+        ),
+        "kg_degree_distribution": (
+            # endpoint fan-out over the linked expected triples; log2 over a
+            # BIGINT degree is libm-exact at these magnitudes (deg << 2^40)
+            f"WITH ep AS (SELECT src_key AS node FROM read_parquet('{exp_linked}') "
+            f"UNION ALL SELECT dst_key FROM read_parquet('{exp_linked}')), "
+            f"deg AS (SELECT node, count(*)::BIGINT AS deg FROM ep GROUP BY node) "
+            f"SELECT floor(log2(deg))::BIGINT AS bucket, count(*)::BIGINT AS n_nodes "
+            f"FROM deg GROUP BY 1 ORDER BY 1"
         ),
         "docs_naive_bayes": (
             # independent naive NB (expected.py, same np.log quantization)

@@ -2713,3 +2713,74 @@ class TestLmTercilesAndRewrites:
             exp[p] = exp.get(p, 0) + 1
         assert dict(zip(got["pred"], got["n_rewritten"])) == exp
         assert got["n_rewritten"].sum() == len(diff) > 0  # linking is live
+
+
+class TestKmeansOutliers:
+    def test_matches_naive_and_partition_invariant(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.expected import naive_kmeans_outliers
+        from text_to_graph_ray.functions.ann import kmeans_outliers
+
+        rng = np.random.default_rng(73)
+        n, d = 400, 12
+        vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+        # plant a few far-off vectors so the z-screen has real positives
+        vecs[::97] *= -3.0
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32()))})
+        exp = naive_kmeans_outliers(ids, np.asarray(vecs, dtype=np.float64),
+                                    n_centroids=8, train_rows=128)
+        assert len(exp["vec_id"]) > 0  # screen is live on this corpus
+        for parts in (2, 7):
+            got = kmeans_outliers(_ray.data.from_arrow(t).repartition(parts),
+                                  n_centroids=8, train_rows=128).to_pandas()
+            assert got["vec_id"].tolist() == exp["vec_id"]
+            assert got["list_id"].tolist() == exp["list_id"]
+            assert got["simq"].tolist() == exp["simq"]
+
+    def test_uniform_cluster_flags_nothing(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.ann import kmeans_outliers
+
+        # every vector identical: zero variance AND zero below-mean members
+        v = [1.0, 0.0, 0.0, 0.0]
+        t = pa.table({"vec_id": pa.array(list(range(50)), type=pa.int64()),
+                      "embedding": pa.array([v] * 50, type=pa.list_(pa.float32()))})
+        assert kmeans_outliers(_ray.data.from_arrow(t), n_centroids=4).count() == 0
+
+    def test_empty(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.ann import kmeans_outliers
+
+        t = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "embedding": pa.array([], type=pa.list_(pa.float32()))})
+        assert kmeans_outliers(_ray.data.from_arrow(t)).count() == 0
+
+
+class TestKgDegreeDistribution:
+    def test_frexp_bucketing_is_exact_bit_length(self):
+        # the engine buckets deg -> floor(log2(deg)) via frexp; must equal
+        # int.bit_length()-1 across powers of two and their neighbours
+        ds = np.array(sorted({1, 2, 3, 4, 7, 8, 9, 255, 256, 257,
+                              (1 << 20) - 1, 1 << 20, (1 << 40) + 3}), dtype=np.int64)
+        got = np.frexp(ds.astype(np.float64))[1].astype(np.int64) - 1
+        exp = [int(x).bit_length() - 1 for x in ds.tolist()]
+        assert got.tolist() == exp
+
+    def test_histogram_counts_every_endpoint(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_kg_degree_distribution(sf).to_pandas()
+        _, edges = E._kg_tables(sf, link=True)
+        from collections import Counter
+
+        deg = Counter(edges["src_key"]) + Counter(edges["dst_key"])
+        exp = Counter(int(v).bit_length() - 1 for v in deg.values())
+        assert dict(zip(got["bucket"], got["n_nodes"])) == dict(exp)
+        assert got["n_nodes"].sum() == len(deg)
+        assert got["bucket"].is_monotonic_increasing

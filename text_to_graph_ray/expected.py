@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-EXPECTED_ROOT = "/tmp/graft_expected/v20"  # v20: +expected_mst; v19: +expected_kmeans; v18: +expected_nb
+EXPECTED_ROOT = "/tmp/graft_expected/v21"  # v21: +expected_kmeans_outliers; v20: +expected_mst; v19: +expected_kmeans
 
 _MERSENNE = (1 << 61) - 1
 
@@ -763,6 +763,45 @@ def naive_kmeans_profile(ids: np.ndarray, vecs: np.ndarray, n_centroids: int = 1
     return out
 
 
+def naive_kmeans_outliers(ids: np.ndarray, vecs: np.ndarray, n_centroids: int = 16,
+                          train_rows: int = 2048, z: int = 2, iters: int = 10):
+    """Single-threaded mirror of ann.kmeans_outliers: same Lloyd spec,
+    q = round(sim·1e7), per-cluster Python-int (n, Σq, Σq²), flag
+    q ≤ (Σq − isqrt(z²(n·Σq² − Σq²ᵗᵒᵗ)) − 1) // n."""
+    import math
+
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order].astype(np.float64)
+    vn = _norm_rows(vecs)
+    sample = vn[:train_rows]
+    nc = min(n_centroids, len(sample))
+    cent = sample[:nc].copy()
+    for _ in range(iters):
+        cn = _norm_rows(cent)
+        assign = np.argmax(sample @ cn.T, axis=1)
+        for c in range(nc):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    cent = _norm_rows(cent)
+    sims = vn @ cent.T
+    lists = np.argmax(sims, axis=1)
+    simq = np.round(np.max(sims, axis=1) * 1e7).astype(np.int64)
+    out = {"vec_id": [], "list_id": [], "simq": []}
+    for c in sorted(set(lists.tolist())):
+        m = lists == c
+        qs = simq[m]
+        n, s, ss = int(m.sum()), int(qs.sum()), int(sum(int(v) * int(v) for v in qs))
+        bound = (s - math.isqrt(z * z * (n * ss - s * s)) - 1) // n
+        for i, q in zip(ids[m], qs):
+            if int(q) <= bound:
+                out["vec_id"].append(int(i))
+                out["list_id"].append(int(c))
+                out["simq"].append(int(q))
+    order2 = sorted(range(len(out["vec_id"])), key=lambda j: out["vec_id"][j])
+    return {k: [v[j] for j in order2] for k, v in out.items()}
+
+
 def naive_ann_lsh(ids: np.ndarray, vecs: np.ndarray, n_queries: int, k: int, n_planes: int, seed: int = 42):
     """Global top-k by (round(sim,6) desc, id asc) among same-bucket vectors,
     for the first n_queries vectors by id."""
@@ -1280,6 +1319,18 @@ def _build_doc_expected(sf_dir: str, tmp: str) -> None:
                 "list_id": pa.array(km["list_id"], type=pa.int64()),
                 "n_vecs": pa.array(km["n_vecs"], type=pa.int64()),
                 "simq_sum": pa.array(km["simq_sum"], type=pa.int64()),
+            }
+        ),
+    )
+    ko = naive_kmeans_outliers(vids, vecs, n_centroids=16, train_rows=2048)
+    _write(
+        tmp,
+        "expected_kmeans_outliers",
+        pa.table(
+            {
+                "vec_id": pa.array(ko["vec_id"], type=pa.int64()),
+                "list_id": pa.array(ko["list_id"], type=pa.int64()),
+                "simq": pa.array(ko["simq"], type=pa.int64()),
             }
         ),
     )

@@ -410,3 +410,92 @@ def kmeans_profile(ds, n_centroids: int = 16, train_rows: int = 2048,
         "n_vecs": pa.array([acc[i][0] for i in lids], type=pa.int64()),
         "simq_sum": pa.array([acc[i][1] for i in lids], type=pa.int64()),
     }, schema=out_schema))
+
+
+def kmeans_outliers(ds, n_centroids: int = 16, train_rows: int = 2048, z: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Cluster-cohesion outlier screen: vectors whose cosine to their
+    assigned centroid sits more than ``z`` standard deviations BELOW the
+    cluster mean — the embedding-corpus anomaly filter riding the same
+    deterministic quantizer as ``kmeans_profile``.
+
+    Exactness without overflow: per-vector cosines quantize to
+    q = round(sim·10⁷) (so q² ≤ 10¹⁴ and a 4096-row batch's Σq² ≤ 4·10¹⁷
+    stay comfortably inside int64); per-cluster sufficient sums (n, Σq,
+    Σq²) fold in arbitrary-precision Python ints on the driver, and the
+    z-test ``(mean − x)/σ > z`` ⇔ ``d = Σq − n·x ≥ isqrt(z²(n·Σq² − Σq²ᵗᵒᵗ)) + 1``
+    collapses to ONE integer boundary per cluster:
+    ``x ≤ X_c = (Σq − isqrt(z²·(n·Σq² − (Σq)²)) − 1) // n`` (math.isqrt is
+    exact) — so the second pass flags with a single vectorized int64
+    compare. A zero-variance cluster flags every strictly-below-mean
+    member (the σ→0 limit of the test); an exactly-uniform cluster flags
+    none. Returns (vec_id, list_id, simq) flagged rows sorted by vec_id.
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("list_id", pa.int64()), ("simq", pa.int64())])
+    sample_rows = ds.sort(id_col).limit(train_rows).take_all()
+    if not sample_rows:
+        return rd.from_arrow(out_schema.empty_table())
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_fit(sample, n_centroids)
+    cent_ref = ray.put(cent)
+    nc = len(cent)
+
+    part_schema = pa.schema([("list_id", pa.int64()), ("n", pa.int64()),
+                             ("s", pa.int64()), ("ss", pa.int64())])
+
+    def assign(batch: pa.Table):
+        c = ray.get(cent_ref)
+        vn = _normalize(vec_matrix(batch.column(vec_col)))
+        sims = vn @ c.T
+        lists = np.argmax(sims, axis=1).astype(np.int64)
+        simq = np.round(np.max(sims, axis=1) * 1e7).astype(np.int64)
+        return lists, simq
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        lists, simq = assign(batch)
+        n = np.bincount(lists, minlength=nc).astype(np.int64)
+        s = np.bincount(lists, weights=simq, minlength=nc).astype(np.int64)
+        ss = np.bincount(lists, weights=(simq * simq).astype(np.float64), minlength=nc)
+        # q² ≤ 1e14 and ≤ 4096 rows/batch: the float64 bincount sums are
+        # exact (< 2^53); cast back loss-free
+        ss = ss.astype(np.int64)
+        keep = n > 0
+        idx = np.flatnonzero(keep).astype(np.int64)
+        return pa.table({"list_id": pa.array(idx), "n": pa.array(n[keep]),
+                         "s": pa.array(s[keep]), "ss": pa.array(ss[keep])}, schema=part_schema)
+
+    rows = ds.map_batches(stats_partial, batch_format="pyarrow", batch_size=4096).take_all()
+    acc: dict = {}
+    for r in rows:  # Python ints: no overflow at any corpus size
+        a = acc.setdefault(int(r["list_id"]), [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["s"])
+        a[2] += int(r["ss"])
+    bounds = np.full(nc, np.iinfo(np.int64).min, dtype=np.int64)
+    for li, (n, s, ss) in acc.items():
+        t = z * z * (n * ss - s * s)
+        bounds[li] = (s - math.isqrt(t) - 1) // n
+    bounds_ref = ray.put(bounds)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        lists, simq = assign(batch)
+        b = ray.get(bounds_ref)
+        m = simq <= b[lists]
+        if not m.any():
+            return out_schema.empty_table()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids[m]), "list_id": pa.array(lists[m]),
+                         "simq": pa.array(simq[m])}, schema=out_schema)
+
+    from text_to_graph_ray.util import sort_coalesced
+
+    return sort_coalesced(ds.map_batches(flag, batch_format="pyarrow", batch_size=4096), "vec_id")
