@@ -2187,6 +2187,26 @@ def _q_kg_degree_distribution(sf_dir):
     return sort_coalesced(hist, "bucket")
 
 
+def _q_kg_containment_depth(sf_dir):
+    """Depth of every entity in the repo/dir/file containment forest (roots
+    at 0) — the KG's directory-hierarchy report. Roots are computed
+    DISTRIBUTED (distinct parents anti-filtered against the child set);
+    each level is one streamed guarded semi pass + a distributed distinct;
+    the single-parent forest contract removes the visited-set pass. Oracle:
+    recursive CTE over the expected linked contains-edges."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.graph import forest_depths
+
+    _, edges = _kg_tables(sf_dir, link=True)
+    c = edges[edges["pred"] == "contains"][["src_key", "dst_key"]]
+    ed = rd.from_pandas(c.reset_index(drop=True)).repartition(8)
+    out = forest_depths(ed, src_col="src_key", dst_col="dst_key",
+                        node_type=pa.string())
+    return out
+
+
 def _q_docs_lm_terciles(sf_dir):
     """CCNet-style perplexity bucketing: every doc's self-trained bigram-LM
     nll ranked into GLOBAL terciles (head/middle/tail) with exact SQL
@@ -3127,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "emb_outliers": _q_emb_outliers,
         "kg_degree_distribution": _q_kg_degree_distribution,
+        "kg_containment_depth": _q_kg_containment_depth,
         "graph_ktruss": _q_graph_ktruss,
         "kg_schema_summary": _q_kg_schema_summary,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -4490,6 +4511,16 @@ def oracle_sql() -> dict[str, str]:
             # independent naive mirror (expected.py: same Lloyd spec + exact
             # integer z-boundary per cluster)
             f"SELECT vec_id, list_id, simq FROM read_parquet('{e}/expected_kmeans_outliers.parquet') ORDER BY vec_id"
+        ),
+        "kg_containment_depth": (
+            # recursive closure of the containment forest; roots = parents
+            # never appearing as a child (single-parent contract makes the
+            # recursion visit each node exactly once)
+            f"WITH RECURSIVE c AS (SELECT src_key, dst_key FROM read_parquet('{exp_linked}') WHERE pred = 'contains'), "
+            f"r AS (SELECT DISTINCT src_key AS node FROM c WHERE src_key NOT IN (SELECT dst_key FROM c)), "
+            f"d AS (SELECT node, 0 AS depth FROM r "
+            f"UNION ALL SELECT c.dst_key, d.depth + 1 FROM c JOIN d ON c.src_key = d.node) "
+            f"SELECT node, depth::BIGINT AS depth FROM d ORDER BY node"
         ),
         "kg_degree_distribution": (
             # endpoint fan-out over the linked expected triples; log2 over a

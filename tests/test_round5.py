@@ -2784,3 +2784,53 @@ class TestKgDegreeDistribution:
         assert dict(zip(got["bucket"], got["n_nodes"])) == dict(exp)
         assert got["n_nodes"].sum() == len(deg)
         assert got["bucket"].is_monotonic_increasing
+
+
+class TestForestDepths:
+    def _naive(self, edges):
+        parent = {c: p for p, c in edges}
+        roots = {p for p, _ in edges} - set(parent)
+        depth = {}
+
+        def d(n):
+            if n in depth:
+                return depth[n]
+            depth[n] = 0 if n in roots else d(parent[n]) + 1
+            return depth[n]
+
+        nodes = roots | set(parent)
+        return sorted((n, d(n)) for n in nodes)
+
+    def test_two_trees_matches_naive(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import forest_depths
+
+        edges = [("r1", "a"), ("r1", "b"), ("a", "c"), ("c", "d"),
+                 ("r2", "x"), ("x", "y"), ("x", "z"), ("z", "w")]
+        t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.string()),
+                      "dst": pa.array([e[1] for e in edges], type=pa.string())})
+        got = forest_depths(_ray.data.from_arrow(t).repartition(3),
+                            node_type=pa.string()).to_pandas()
+        assert list(map(tuple, got[["node", "depth"]].values)) == self._naive(edges)
+
+    def test_cycle_raises(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import forest_depths
+
+        # r -> a -> b -> a : node 'a' has a root-reachable cycle below it
+        t = pa.table({"src": pa.array(["r", "a", "b"], type=pa.string()),
+                      "dst": pa.array(["a", "b", "a"], type=pa.string())})
+        with pytest.raises(ValueError, match="max_depth"):
+            forest_depths(_ray.data.from_arrow(t), node_type=pa.string(), max_depth=5)
+
+    def test_single_root_no_children(self, ray_session):
+        import ray as _ray
+
+        from text_to_graph_ray.functions.graph import forest_depths
+
+        t = pa.table({"src": pa.array(["only"], type=pa.string()),
+                      "dst": pa.array(["leaf"], type=pa.string())})
+        got = forest_depths(_ray.data.from_arrow(t), node_type=pa.string()).to_pandas()
+        assert list(map(tuple, got[["node", "depth"]].values)) == [("leaf", 1), ("only", 0)]

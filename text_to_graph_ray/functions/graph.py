@@ -2311,3 +2311,78 @@ def minimum_spanning_forest(edges_ds, max_rounds: int = 12, src_col: str = "src"
             "cross edges — raise max_rounds (components at least halve per round)"
         )
     return sort_coalesced(forest, ["a", "b"])
+
+
+def forest_depths(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                  max_depth: int = 64, node_type: pa.DataType = None):
+    """Per-node depth in a containment FOREST (every child has exactly ONE
+    parent; acyclic — the KG repo/dir/file containment shape): roots sit at
+    depth 0, each child one below its parent. Returns (node, depth) for
+    every node in the forest, sorted by node.
+
+    Scale shape: root discovery is DISTRIBUTED — the exact distinct of the
+    parent column anti-filtered against the child key set via the guarded
+    filter (``joins.filter_by_keys``: child-set broadcast below its row
+    guard, distributed anti hash join above) — at 10^12-file scale roots
+    are repo-count-sized and never become a driver list (vs ``bfs_depths``,
+    whose seeds are query entry points by contract). Each round then costs
+    ONE streamed guarded semi pass over the (never-driver-materialized)
+    edge table plus an exact distributed DISTINCT of the next level; the
+    single-parent contract means a node is discovered exactly once, so no
+    visited-set anti pass is needed. A frontier that survives past
+    ``max_depth`` raises (cycle or over-deep tree) instead of silently
+    truncating the depth table."""
+    import pyarrow.compute as pc
+
+    from text_to_graph_ray.functions.agg import distinct_rows
+    from text_to_graph_ray.functions.joins import filter_by_keys
+    from text_to_graph_ray.util import sort_coalesced
+
+    node_type = node_type or pa.int64()
+    node_schema = pa.schema([("node", node_type)])
+    out_schema = pa.schema([("node", node_type), ("depth", pa.int64())])
+
+    def project(col):
+        def take(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return node_schema.empty_table()
+            return pa.table({"node": pc.cast(t.column(col), node_type)}, schema=node_schema)
+
+        return take
+
+    def with_depth(nodes, d: int):
+        def add(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            return pa.table(
+                {"node": t.column("node"), "depth": pa.array([d] * t.num_rows, type=pa.int64())},
+                schema=out_schema,
+            )
+
+        return nodes.map_batches(add, batch_format="pyarrow")
+
+    parents = distinct_rows(
+        edges_ds.map_batches(project(src_col), batch_format="pyarrow"), "node", node_schema
+    )
+    frontier = filter_by_keys(parents, edges_ds, key="node", right_key=dst_col,
+                              mode="anti").materialize()
+    out_parts = [with_depth(frontier, 0).materialize()]
+    for d in range(1, max_depth + 1):
+        hit = filter_by_keys(edges_ds, frontier, key=src_col, right_key="node", mode="semi")
+        frontier = distinct_rows(
+            hit.map_batches(project(dst_col), batch_format="pyarrow"), "node", node_schema
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        out_parts.append(with_depth(frontier, d).materialize())
+    else:
+        if frontier.count() > 0:
+            raise ValueError(
+                f"forest_depths: frontier non-empty after max_depth={max_depth} rounds "
+                "— cycle in the 'forest' or raise max_depth"
+            )
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return sort_coalesced(out, "node")
