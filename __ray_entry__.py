@@ -2207,6 +2207,40 @@ def _q_kg_containment_depth(sf_dir):
     return out
 
 
+def _q_kg_repo_triples(sf_dir):
+    """Per-repo triple counts from the '|'-packed provenance column — the
+    per-shard progress/size report a 10^12-file KG build publishes. The
+    explode is pure Arrow (split_pattern -> list_flatten) with a per-batch
+    value_counts combiner, so the exchange carries (repo, partial_n) rows
+    — repo-count-sized, never triple-sized. SQL mirrors with
+    unnest(string_split(...))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from text_to_graph_ray.functions.agg import bucketed_aggregate
+    from text_to_graph_ray.util import sort_coalesced
+
+    _, edges = _kg_tables(sf_dir, link=True)
+    ed = rd.from_pandas(edges[["repos_packed"]]).repartition(8)
+    part_schema = pa.schema([("repo", pa.string()), ("n_triples", pa.int64())])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        repos = pc.list_flatten(
+            pc.split_pattern(t.column("repos_packed").combine_chunks().cast(pa.string()), "|")
+        )
+        vc = repos.value_counts()
+        return pa.table({"repo": vc.field("values"),
+                         "n_triples": vc.field("counts").cast(pa.int64())}, schema=part_schema)
+
+    out = bucketed_aggregate(ed.map_batches(explode_count, batch_format="pyarrow"), "repo",
+                             {"n_triples": ("n_triples", "sum")},
+                             out_schema=part_schema, in_schema=part_schema)
+    return sort_coalesced(out, "repo")
+
+
 def _q_docs_lm_terciles(sf_dir):
     """CCNet-style perplexity bucketing: every doc's self-trained bigram-LM
     nll ranked into GLOBAL terciles (head/middle/tail) with exact SQL
@@ -3148,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_outliers": _q_emb_outliers,
         "kg_degree_distribution": _q_kg_degree_distribution,
         "kg_containment_depth": _q_kg_containment_depth,
+        "kg_repo_triples": _q_kg_repo_triples,
         "graph_ktruss": _q_graph_ktruss,
         "kg_schema_summary": _q_kg_schema_summary,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -4511,6 +4546,12 @@ def oracle_sql() -> dict[str, str]:
             # independent naive mirror (expected.py: same Lloyd spec + exact
             # integer z-boundary per cluster)
             f"SELECT vec_id, list_id, simq FROM read_parquet('{e}/expected_kmeans_outliers.parquet') ORDER BY vec_id"
+        ),
+        "kg_repo_triples": (
+            # provenance explode over the expected linked triples
+            f"SELECT u.repo, count(*)::BIGINT AS n_triples FROM ("
+            f"SELECT unnest(string_split(repos_packed, '|')) AS repo "
+            f"FROM read_parquet('{exp_linked}')) u GROUP BY u.repo ORDER BY u.repo"
         ),
         "kg_containment_depth": (
             # recursive closure of the containment forest; roots = parents

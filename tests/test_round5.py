@@ -2834,3 +2834,32 @@ class TestForestDepths:
                       "dst": pa.array(["leaf"], type=pa.string())})
         got = forest_depths(_ray.data.from_arrow(t), node_type=pa.string()).to_pandas()
         assert list(map(tuple, got[["node", "depth"]].values)) == [("leaf", 1), ("only", 0)]
+
+
+class TestKgRepoTriples:
+    def test_matches_python_explode(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E._q_kg_repo_triples(sf).to_pandas()
+        _, edges = E._kg_tables(sf, link=True)
+        from collections import Counter
+
+        exp = Counter()
+        for packed in edges["repos_packed"]:
+            for r in packed.split("|"):
+                exp[r] += 1
+        assert dict(zip(got["repo"], got["n_triples"])) == dict(exp)
+        # every triple counted at least once per packed repo
+        assert got["n_triples"].sum() >= len(edges)
+        assert got["repo"].is_monotonic_increasing
+
+    def test_explode_fans_out_packed_provenance(self, ray_session):
+        import pyarrow.compute as pc
+
+        # the pure-Arrow kernel itself: multi-repo packs must fan out
+        packed = pa.chunked_array([pa.array(["a|b", "a", "b|c|a"], type=pa.string())])
+        repos = pc.list_flatten(pc.split_pattern(packed.combine_chunks(), "|"))
+        vc = repos.value_counts()
+        assert dict(zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist())) == {"a": 3, "b": 2, "c": 1}
