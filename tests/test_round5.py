@@ -2863,3 +2863,43 @@ class TestKgRepoTriples:
         vc = repos.value_counts()
         assert dict(zip(vc.field("values").to_pylist(),
                         vc.field("counts").to_pylist())) == {"a": 3, "b": 2, "c": 1}
+
+
+class TestForestDepthsProperty:
+    @staticmethod
+    def _forest_edges(draw):
+        from hypothesis import strategies as st
+
+        n = draw(st.integers(min_value=2, max_value=24))
+        edges = []
+        for child in range(1, n):
+            # parent strictly below the child's index => acyclic forest;
+            # None leaves the node an isolated root (not in any edge)
+            parent = draw(st.one_of(st.none(), st.integers(min_value=0, max_value=child - 1)))
+            if parent is not None:
+                edges.append((f"n{parent}", f"n{child}"))
+        return edges
+
+    def test_random_forests_match_naive(self, ray_session):
+        import ray as _ray
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from text_to_graph_ray.functions.graph import forest_depths
+
+        outer = self
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.data())
+        def run(data):
+            edges = outer._forest_edges(data.draw)
+            if not edges:
+                return
+            t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.string()),
+                          "dst": pa.array([e[1] for e in edges], type=pa.string())})
+            got = forest_depths(_ray.data.from_arrow(t).repartition(2),
+                                node_type=pa.string()).to_pandas()
+            assert list(map(tuple, got[["node", "depth"]].values)) == \
+                TestForestDepths._naive(TestForestDepths(), edges)
+
+        run()
